@@ -1,0 +1,78 @@
+"""Flagship query: revenue + latest order per market segment.
+
+Exercises the full slice scan → filter → join → agg → window → join →
+format in one plan (SURVEY.md §7 step 1), combining the reference's two
+signature idioms: the watermark-resolution ROW_NUMBER latest-per-key
+(O12-O13, ``/root/reference/COPY_MSQL_TO_SILVER.py:241,248``) and
+second-precision string-formatted watermarks (O17, ``:131,237``).
+
+Plan shape at scale: lineitem⋈orders is the one big shuffle;
+customer joins via its key; the per-segment aggregate and the
+latest-order window both reduce to 5 segments, so the final join is a
+broadcast of a handful of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .helpers import SQL_DISC_PRICE, disc_price, money_sum, sql_money_sum
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    enriched = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    revenue = enriched.groupBy("c_mktsegment").agg(
+        money_sum(disc_price(), "revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("latest_odate"),
+        )
+    )
+    return revenue.join(latest, "c_mktsegment")
+
+
+ORACLE_FLAGSHIP = f"""
+WITH revenue AS (
+  SELECT c_mktsegment,
+         {sql_money_sum(SQL_DISC_PRICE, 'revenue')},
+         count(DISTINCT o_orderkey) AS n_orders
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+), latest AS (
+  SELECT c_mktsegment, o_orderkey AS latest_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_odate
+  FROM (
+    SELECT c_mktsegment, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+  ) WHERE rn = 1
+)
+SELECT revenue.c_mktsegment, revenue.revenue, revenue.n_orders,
+       latest.latest_orderkey, latest.latest_odate
+FROM revenue JOIN latest USING (c_mktsegment)
+"""
+
+QUERIES = {"q_flagship": q_flagship}
+ORACLES = {"q_flagship": ORACLE_FLAGSHIP}

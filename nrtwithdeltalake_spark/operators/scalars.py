@@ -1,0 +1,185 @@
+"""Scalar function packs (SURVEY.md §2.2 'scalar functions' row).
+
+Generalize the reference's scalar surface: date formatting/CONVERT (O17,
+``/root/reference/COPY_MSQL_TO_SILVER.py:131,176,237``), CASE WHEN (O15,
+``:231,235-240``), COALESCE (O16, ``:231``), string split/concat (O22-O23,
+``:115-117,163,203``), plus JSON and math packs the §2.2 capability bar adds.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python in the row path. Integer-valued outputs are
+cast to long on both engines so the oracle schema comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime pack: format (≡ CONVERT(VARCHAR(21), ts, 120)), extract,
+    interval arithmetic, epoch seconds."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate_str"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("odate_plus30"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+    )
+
+
+ORACLE_SCALAR_DATETIME = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate_str,
+       cast(year(o_orderdate) as bigint) AS o_year,
+       cast(month(o_orderdate) as bigint) AS o_month,
+       cast(quarter(o_orderdate) as bigint) AS o_quarter,
+       cast(day(o_orderdate) as bigint) AS o_day,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS odate_plus30,
+       cast(epoch(o_orderdate) as bigint) AS epoch_s
+FROM orders
+"""
+
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack: the reference splits dotted/comma-packed names on the
+    driver (O22, :115-116,163,203) — here split runs on data, distributed."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.split("c_name", "#").getItem(1).cast("long").alias("cust_num"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.substring("c_name", 1, 8)).alias(
+            "seg_tag"
+        ),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+    )
+
+
+ORACLE_SCALAR_STRING = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       cast(string_split(c_name, '#')[2] as bigint) AS cust_num,
+       cast(length(c_name) as bigint) AS name_len,
+       lpad(cast(c_custkey as varchar), 10, '0') AS key_padded,
+       concat_ws('-', c_mktsegment, substr(c_name, 1, 8)) AS seg_tag,
+       replace(c_name, 'Customer', 'Cust') AS name_short
+FROM customer
+"""
+
+
+def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional pack: CASE WHEN (O15), COALESCE/NULLIF (O16),
+    GREATEST/LEAST."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "bal_nz"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap"),
+        (F.col("c_nationkey") % 5).cast("long").alias("nation_mod"),
+    )
+
+
+ORACLE_SCALAR_CONDITIONAL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_bucket,
+       coalesce(nullif(c_acctbal, 0.0), -1.0) AS bal_nz,
+       greatest(c_acctbal, 0.0) AS bal_pos,
+       least(c_acctbal, 1000.0) AS bal_cap,
+       cast(c_nationkey % 5 as bigint) AS nation_mod
+FROM customer
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack. +,-,*,/ and sqrt are IEEE-deterministic cross-engine; libm
+    functions (ln, pow) are rounded to 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_r2"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+ORACLE_SCALAR_MATH = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS price_r2,
+       abs(l_discount - 0.05) AS disc_dev,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       cast(ceil(l_quantity) as bigint) AS qty_ceil,
+       cast(floor(l_quantity) as bigint) AS qty_floor,
+       cast(l_orderkey % 7 as bigint) AS key_mod7
+FROM lineitem
+"""
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON pack over the semi-structured ``events.props`` column —
+    capability the reference's flat schema never exercised but §2.2
+    declares (SURVEY.md §1 'nested types')."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k.isNotNull(), 1).otherwise(0).cast("long").alias("has_k"),
+        (k % 10).cast("long").alias("k_bucket"),
+    )
+
+
+ORACLE_SCALAR_JSON = """
+SELECT event_id,
+       cast(json_extract_string(props, '$.k') as bigint) AS k_val,
+       cast(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                 THEN 1 ELSE 0 END as bigint) AS has_k,
+       cast(cast(json_extract_string(props, '$.k') as bigint) % 10 as bigint)
+           AS k_bucket
+FROM events
+"""
+
+
+QUERIES = {
+    "q_scalar_datetime": q_scalar_datetime,
+    "q_scalar_string": q_scalar_string,
+    "q_scalar_conditional": q_scalar_conditional,
+    "q_scalar_math": q_scalar_math,
+    "q_scalar_json": q_scalar_json,
+}
+
+ORACLES = {
+    "q_scalar_datetime": ORACLE_SCALAR_DATETIME,
+    "q_scalar_string": ORACLE_SCALAR_STRING,
+    "q_scalar_conditional": ORACLE_SCALAR_CONDITIONAL,
+    "q_scalar_math": ORACLE_SCALAR_MATH,
+    "q_scalar_json": ORACLE_SCALAR_JSON,
+}

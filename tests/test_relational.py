@@ -1,0 +1,40 @@
+"""Every declared query with a SQL oracle must hash-match DuckDB — the
+same check the driver runs at sf0.01 (here at sf0.001 for speed; the
+queries are scale-free)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nrtwithdeltalake_spark.operators import registry
+
+from .oracle import compare
+
+QUERIES = registry.all_queries()
+ORACLES = registry.all_oracles()
+ORACLE_BACKED = sorted(set(QUERIES) & set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_oracle_match(spark, sf_dir, name):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        assert fn(spark, sf_dir).count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "c_mktsegment",
+        "revenue",
+        "n_orders",
+        "latest_orderkey",
+        "latest_odate",
+    }
