@@ -1,0 +1,276 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four escalating strategies, all expressed with built-in Spark array/hash
+expressions (no Python in the row path) so they scale to 100 TB:
+
+* exact        — content-hash groupBy (one shuffle on the hash).
+* minhash+LSH  — shingle → minhash signature → banded bucket join →
+                 candidate pairs → exact-Jaccard verify. The bucket join
+                 shuffles only (band, hash) keys, never the O(n²) pair
+                 space — the standard web-scale near-dup design
+                 (Broder-style MinHash, banded as in Leskovec et al.).
+* simhash      — 64-bit signature + pigeonhole banding (dist ≤ 3 ⇒ one of
+                 4 16-bit chunks equal), hamming verify via bit_count(xor).
+* n-gram Jaccard — exact token-set Jaccard within cheap blocking keys.
+
+The exact/Jaccard variants have DuckDB oracles; minhash/simhash hinge on
+xxhash64, which has no DuckDB twin → declared rows-only (per the driver
+contract in ``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# exact dedup (O6's not-matched-insert semantics applied to content identity)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest doc_id per distinct
+    text. One hash-shuffle; at 100 TB, group on the md5 (fixed 32 bytes),
+    not the text itself, to keep shuffle rows small."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+N_PERM = 16  # permutations (signature length)
+N_BANDS = 8  # bands of r = N_PERM / N_BANDS = 2 rows
+# 2^31 - 1: keeps a*h + b < 2^62 so ANSI-mode long arithmetic never
+# overflows (Spark 4 defaults spark.sql.ansi.enabled=true and raises on
+# wraparound)
+_MERSENNE = (1 << 31) - 1
+# Deterministic permutation parameters (odd multipliers), fixed seed —
+# stability across runs is required for the driver's repeated checks.
+_PERM_A = [2 * k + 1 for k in range(3, 3 + N_PERM)]
+_PERM_B = [1000003 * (k + 1) for k in range(N_PERM)]
+
+
+def _shingle_hashes(col: str = "text", k: int = 3) -> F.Column:
+    """Distinct xxhash64 of k-token shingles (word 3-grams)."""
+    toks = f"split({col}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, {k})))))"
+    )
+
+
+def _minhash_sig(hashes_col: str) -> F.Column:
+    """MinHash signature: min over shingles of (a*h + b) mod p per
+    permutation. Long arithmetic wraps deterministically; pmod maps into
+    [0, p)."""
+    mins = ", ".join(
+        f"array_min(transform({hashes_col}, "
+        f"h -> pmod({a}L * pmod(h, {_MERSENNE}L) + {b}L, {_MERSENNE}L)))"
+        for a, b in zip(_PERM_A, _PERM_B)
+    )
+    return F.expr(f"array({mins})")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan: per-doc signature (scan, no shuffle) → explode N_BANDS band keys
+    (xxhash64 of the band's signature slice) → self-join on (band, key) →
+    distinct candidate pairs → join shingle sets back → exact Jaccard ≥ 0.5.
+    At scale the only large shuffles are on band keys and pair ids; the
+    quadratic blowup is confined to same-bucket collisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    r = N_PERM // N_BANDS
+    sigs = docs.select(
+        "doc_id", _shingle_hashes().alias("shingles")
+    ).withColumn("sig", _minhash_sig("shingles"))
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r}))) AS bkey))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash + pigeonhole banding: pairs at hamming distance ≤ 3.
+
+    Signature: per bit b, sum ±1 over token hashes' bit b; bit set iff
+    sum > 0. Candidate generation: dist ≤ 3 ⇒ at least one of 4 16-bit
+    chunks identical (pigeonhole), so join on exploded chunks and verify
+    with bit_count(xor) — never materializing O(n²) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sim = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              transform(sequence(0, 63),
+                b -> CASE WHEN aggregate(
+                       transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+                       0L,
+                       (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1 ELSE -1 END
+                     ) > 0 THEN shiftleft(1L, b) ELSE 0L END),
+              0L, (acc, x) -> acc | x)
+            """
+        ).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "c -> struct(c AS chunk, shiftright(simhash, c * 16) & 65535L AS ckey))"
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk", "ch.ckey")
+
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard within blocking keys (oracle-backed)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for pairs sharing a cheap blocking key
+    (source, token-count) — the verify stage of near-dedup, isolated so the
+    DuckDB oracle can replay it. Blocking bounds the pair space; at scale
+    the block key becomes (source, minhash-band)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+        F.size(F.split("text", " ")).alias("ntok"),
+    )
+    l, r = toks.alias("l"), toks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.ntok") == F.col("r.ntok"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("l.toks", "r.toks")).cast("double")
+                / F.size(F.array_union("l.toks", "r.toks")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+ORACLE_DEDUP_NGRAM = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split(text, ' ')) AS toks,
+         len(string_split(text, ' ')) AS ntok
+  FROM documents
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       round(cast(len(list_intersect(l.toks, r.toks)) as double)
+             / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))),
+             6) AS jaccard
+FROM t l JOIN t r
+  ON l.source = r.source AND l.ntok = r.ntok AND l.doc_id < r.doc_id
+WHERE cast(len(list_intersect(l.toks, r.toks)) as double)
+      / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.5
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+}

@@ -1,0 +1,97 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns flowing through
+the same DataFrames as relational data (SURVEY.md §2.2 north-star row).
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic fake — but the Spark-side plumbing is real:
+binary columns, Arrow batch transfer, ``mapInPandas`` batch iteration,
+typed output schema, partition-preserving execution.
+
+At 100 TB: payload bytes dominate; keep them in their own column so
+Parquet column pruning skips them unless the operator needs them, and
+size ``spark.sql.files.maxPartitionBytes`` so a batch of payloads fits
+executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata without decoding: payload size and content
+    hash. Runs entirely JVM-side (oracle-backed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+ORACLE_MULTIMODAL_BYTES = """
+SELECT doc_id,
+       cast(octet_length(encode(text)) as bigint) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder — the real one would call PIL/ffmpeg, unavailable in
+    this container. Deterministic fake: dimensions derived from the
+    payload digest, 'frame count' from payload length. Replace the body
+    with a real codec without touching the Spark plumbing."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 1024
+    height = 64 + digest[1] % 1024
+    n_frames = 1 + len(payload) % 32
+    return width, height, n_frames
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via ``mapInPandas``:
+    Arrow-batched binary in, typed metadata out. The pandas function is
+    the pattern for any per-payload Python step (image resize, audio
+    frame-sample, thumbnail) — rows-only check (stubbed decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": meta.map(lambda m: m[0]),
+                    "height": meta.map(lambda m: m[1]),
+                    "n_frames": meta.map(lambda m: m[2]),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width int, height int, n_frames int, n_bytes long",
+    )
+
+
+QUERIES = {
+    "q_multimodal_bytes": q_multimodal_bytes,
+    "q_multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "q_multimodal_bytes": ORACLE_MULTIMODAL_BYTES,
+}
