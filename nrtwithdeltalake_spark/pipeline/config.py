@@ -1,0 +1,186 @@
+"""Entity config + watermark ledger as engine tables.
+
+Mirrors the reference's control schema (``/root/reference/dbrconfig.sql:20-43``)
+— ``Entities`` / ``Watermarks`` — with the stored procedures
+``OpenWatermark``/``CloseWatermark`` (``dbrconfig.sql:45-91``) re-expressed
+as versioned-table append/update (O27-O28). PrimaryKeys is a real
+``array<string>`` instead of the reference's comma-packed string
+(``dbrconfig.sql:28``, split at ``COPY_MSQL_TO_SILVER.py:203``).
+
+The latest-committed-watermark resolution is the reference's entitiesSQL
+(O11-O19, ``COPY_MSQL_TO_SILVER.py:223-249``) as a DataFrame query.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tables import VersionedTable
+
+# sentinel defaults for first loads (COPY_MSQL_TO_SILVER.py:231: COALESCE to
+# '0' / '2000-01-01')
+DEFAULT_DATE_WM = "2000-01-01 00:00:00"
+DEFAULT_CT_WM = -1
+
+ENTITIES_SCHEMA = T.StructType(
+    [
+        T.StructField("EntityId", T.LongType()),
+        T.StructField("FromEntityName", T.StringType()),
+        T.StructField("ToEntityName", T.StringType()),
+        T.StructField("FromZone", T.StringType()),
+        T.StructField("ToZone", T.StringType()),
+        T.StructField("WatermarkType", T.StringType()),  # 'CT' | 'TMSTP'
+        T.StructField("TimestampColumn", T.StringType()),
+        T.StructField("PrimaryKeys", T.ArrayType(T.StringType())),
+    ]
+)
+
+WATERMARKS_SCHEMA = T.StructType(
+    [
+        T.StructField("WatermarkId", T.LongType()),
+        T.StructField("EntityId", T.LongType()),
+        T.StructField("DateWatermark", T.StringType()),  # 'yyyy-MM-dd HH:mm:ss'
+        T.StructField("CTWatermark", T.LongType()),
+        T.StructField("LoadStartDatetime", T.TimestampType()),
+        T.StructField("LoadEndDatetime", T.TimestampType()),  # null = open
+    ]
+)
+
+
+class ConfigStore:
+    """Owns the entities + watermarks tables under ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.entities_path = os.path.join(root, "entities")
+        self.watermarks_path = os.path.join(root, "watermarks")
+        # Ledger writes are serialized: concurrent entity loads (run_pipeline's
+        # thread pool) all append/update the single watermarks table, whose
+        # commit log allows one writer per version.
+        self._ledger_lock = threading.Lock()
+
+    def init(self) -> None:
+        if not VersionedTable.exists(self.entities_path):
+            VersionedTable.create(
+                self.spark,
+                self.entities_path,
+                self.spark.createDataFrame([], ENTITIES_SCHEMA),
+            )
+        if not VersionedTable.exists(self.watermarks_path):
+            VersionedTable.create(
+                self.spark,
+                self.watermarks_path,
+                self.spark.createDataFrame([], WATERMARKS_SCHEMA),
+            )
+
+    @property
+    def entities(self) -> VersionedTable:
+        return VersionedTable(self.spark, self.entities_path)
+
+    @property
+    def watermarks(self) -> VersionedTable:
+        return VersionedTable(self.spark, self.watermarks_path)
+
+    # -- entity registration (dbrconfigData.sql:1-24) ----------------------
+
+    def register_entity(
+        self,
+        from_name: str,
+        to_name: str,
+        watermark_type: str,
+        primary_keys: list[str],
+        timestamp_column: str | None = None,
+        from_zone: str = "source",
+        to_zone: str = "silver",
+    ) -> int:
+        assert watermark_type in ("CT", "TMSTP")
+        ents = self.entities
+        cur = ents.read()
+        next_id = (cur.agg(F.coalesce(F.max("EntityId"), F.lit(0))).first()[0] or 0) + 1
+        row = self.spark.createDataFrame(
+            [
+                (
+                    next_id,
+                    from_name,
+                    to_name,
+                    from_zone,
+                    to_zone,
+                    watermark_type,
+                    timestamp_column,
+                    primary_keys,
+                )
+            ],
+            ENTITIES_SCHEMA,
+        )
+        ents.append(row)
+        return next_id
+
+    # -- ledger (O27-O28) --------------------------------------------------
+
+    def open_watermark(
+        self, entity_id: int, date_wm: str | None, ct_wm: int | None
+    ) -> int:
+        """OpenWatermark proc (dbrconfig.sql:45-83): append an open ledger
+        row; returns the new WatermarkId (≡ SCOPE_IDENTITY())."""
+        with self._ledger_lock:
+            wt = self.watermarks
+            cur = wt.read()
+            next_id = (
+                cur.agg(F.coalesce(F.max("WatermarkId"), F.lit(0))).first()[0] or 0
+            ) + 1
+            row = self.spark.createDataFrame(
+                [(next_id, entity_id, date_wm, ct_wm, None, None)], WATERMARKS_SCHEMA
+            ).withColumn("LoadStartDatetime", F.current_timestamp())
+            wt.append(row)
+            return next_id
+
+    def close_watermark(self, watermark_id: int) -> None:
+        """CloseWatermark proc (dbrconfig.sql:85-91): stamp LoadEndDatetime
+        — the commit point of a load."""
+        with self._ledger_lock:
+            self.watermarks.update(
+                f"WatermarkId = {watermark_id}",
+                {"LoadEndDatetime": F.current_timestamp()},
+            )
+
+    # -- watermark resolution (O11-O19) ------------------------------------
+
+    def entities_with_watermarks(self) -> DataFrame:
+        """The reference's entitiesSQL (COPY_MSQL_TO_SILVER.py:223-249):
+        each entity left-joined to its latest *committed* watermark
+        (LoadEndDatetime IS NOT NULL → O14; ROW_NUMBER latest-per-key →
+        O12-O13; sentinel defaults via COALESCE → O16; per-type choice via
+        CASE WHEN → O15)."""
+        ents = self.entities.read()
+        wms = self.watermarks.read()
+        w = Window.partitionBy("EntityId").orderBy(
+            F.desc("LoadStartDatetime"), F.desc("WatermarkId")
+        )
+        latest = (
+            wms.filter(F.col("LoadEndDatetime").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("EntityId", "DateWatermark", "CTWatermark")
+        )
+        return ents.join(latest, "EntityId", "left").select(
+            "EntityId",
+            "FromEntityName",
+            "ToEntityName",
+            "WatermarkType",
+            "TimestampColumn",
+            "PrimaryKeys",
+            F.when(
+                F.col("WatermarkType") == "TMSTP",
+                F.coalesce(F.col("DateWatermark"), F.lit(DEFAULT_DATE_WM)),
+            ).alias("DateWatermark"),
+            F.when(
+                F.col("WatermarkType") == "CT",
+                F.coalesce(F.col("CTWatermark"), F.lit(DEFAULT_CT_WM)),
+            ).alias("CTWatermark"),
+        )

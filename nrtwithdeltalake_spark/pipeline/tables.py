@@ -1,0 +1,413 @@
+"""Versioned copy-on-write parquet tables: the engine's table format.
+
+The reference targets Delta Lake (``COPY_MSQL_TO_SILVER.py:193-209``) on
+Databricks. delta-spark isn't available in this environment, so the engine
+implements the minimal subset of the lakehouse design it actually needs —
+the design is public (Armbrust et al., "Delta Lake: High-Performance ACID
+Table Storage over Cloud Object Stores", VLDB 2020):
+
+* a table is a set of immutable parquet data files plus an ordered log of
+  commit records (``_log/<version>.json``) listing each version's files;
+* writers never mutate files — a commit adds new files and drops replaced
+  ones (copy-on-write); readers pin a version for a consistent snapshot
+  (time travel);
+* MERGE rewrites **only the files that contain matched keys** — untouched
+  files carry over by reference, which is what makes merge feasible at
+  100 TB (rewrite ∝ touched data, not table size);
+* every merge/update also emits change-feed files (``_cdf/``) with a
+  ``_change_type`` column — the engine's analog of Delta CDF /
+  SQL Server CHANGETABLE (O20, ``COPY_MSQL_TO_SILVER.py:171-174``).
+
+Commit records are written via atomic rename; single-writer semantics
+(the reference is single-writer too — one notebook job). Data files are
+written through the normal Spark parquet writer, so everything here is
+executor-parallel; only file *lists* (metadata) touch the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHANGE_TYPE_COL = "_change_type"
+
+
+def _strip_scheme(p: str) -> str:
+    return p[len("file:") :] if p.startswith("file:") else p
+
+
+@dataclass
+class Commit:
+    version: int
+    op: str
+    files: list[str]
+    cdf_files: list[str]
+    schema_json: str
+    ts: float
+    stats: dict
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @staticmethod
+    def from_json(s: str) -> "Commit":
+        return Commit(**json.loads(s))
+
+
+class VersionedTable:
+    """A versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log_dir = os.path.join(self.path, "_log")
+        self.data_dir = os.path.join(self.path, "_data")
+        self.cdf_dir = os.path.join(self.path, "_cdf")
+
+    # -- log ---------------------------------------------------------------
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        log = os.path.join(os.path.abspath(path), "_log")
+        return os.path.isdir(log) and any(
+            f.endswith(".json") for f in os.listdir(log)
+        )
+
+    def latest_version(self) -> int:
+        versions = [
+            int(f[: -len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no commits in {self.log_dir}")
+        return max(versions)
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    def get_commit(self, version: int | None = None) -> Commit:
+        v = self.latest_version() if version is None else version
+        with open(self._commit_path(v)) as f:
+            return Commit.from_json(f.read())
+
+    def history(self) -> list[Commit]:
+        return [
+            self.get_commit(int(f[: -len(".json")]))
+            for f in sorted(os.listdir(self.log_dir))
+            if f.endswith(".json")
+        ]
+
+    def _write_commit(self, commit: Commit) -> None:
+        """Atomic publish: tempfile + rename. A crash before the rename
+        leaves the previous version intact (data files without a commit
+        record are invisible garbage, as in any log-structured format)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        target = self._commit_path(commit.version)
+        if os.path.exists(target):
+            raise RuntimeError(
+                f"concurrent write detected: version {commit.version} exists"
+            )
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(commit.to_json())
+        os.rename(tmp, target)
+
+    # -- IO ----------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame, base: str) -> list[str]:
+        """Write a batch as immutable parquet files in a fresh uuid dir;
+        returns the file list (metadata only — no data on the driver)."""
+        out = os.path.join(base, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(out)
+        return sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
+        """Read with the commit's schema applied explicitly: after schema
+        evolution, carried-over files physically lack new columns (they are
+        never rewritten) — the log schema is authoritative and fills them
+        with nulls. Also skips footer schema inference."""
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        c = self.get_commit(version)
+        return self._read_files(c.files, c.schema_json)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.get_commit(version).schema_json))
+
+    # -- writes ------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, df: DataFrame
+    ) -> "VersionedTable":
+        """Initial full load — the reference's overwrite branch (O4,
+        ``COPY_MSQL_TO_SILVER.py:193``)."""
+        t = cls(spark, path)
+        if cls.exists(path):
+            raise RuntimeError(f"table already exists at {path}")
+        files = t._write_files(df, t.data_dir)
+        cdf = t._write_files(
+            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), t.cdf_dir
+        )
+        t._write_commit(
+            Commit(0, "create", files, cdf, df.schema.json(), time.time(), {})
+        )
+        return t
+
+    def overwrite(self, df: DataFrame) -> int:
+        v = self.latest_version() + 1
+        files = self._write_files(df, self.data_dir)
+        cdf = self._write_files(
+            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
+        )
+        self._write_commit(
+            Commit(v, "overwrite", files, cdf, df.schema.json(), time.time(), {})
+        )
+        return v
+
+    def append(self, df: DataFrame) -> int:
+        """Append — the reference's INSERT INTO...SELECT (O26)."""
+        prev = self.get_commit()
+        df = _align_to(df, self._merged_schema(prev, df))
+        v = prev.version + 1
+        new_files = self._write_files(df, self.data_dir)
+        cdf = self._write_files(
+            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
+        )
+        self._write_commit(
+            Commit(
+                v,
+                "append",
+                prev.files + new_files,
+                cdf,
+                df.schema.json(),
+                time.time(),
+                {},
+            )
+        )
+        return v
+
+    def _merged_schema(self, prev: Commit, df: DataFrame) -> T.StructType:
+        """Schema evolution (README.md:8): union of target schema and new
+        source columns, target first."""
+        existing = T.StructType.fromJson(json.loads(prev.schema_json))
+        names = {f.name for f in existing.fields}
+        merged = list(existing.fields) + [
+            f for f in df.schema.fields if f.name not in names
+        ]
+        return T.StructType(merged)
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_condition: str | None = None,
+        dedup_order_col: str | None = None,
+        exclude_cols: list[str] | None = None,
+    ) -> dict:
+        """MERGE upsert — the reference's core operator (O6,
+        ``COPY_MSQL_TO_SILVER.py:200-209``): ``WHEN MATCHED UPDATE ALL,
+        WHEN NOT MATCHED INSERT ALL``, composite-key equality built from a
+        key list exactly as the reference string-builds its condition
+        (``:203-206``). Extensions over the reference, flagged in
+        SURVEY.md §7: optional delete handling (rows satisfying
+        ``delete_condition``, e.g. "SyncOperation = 'D'") and source
+        deduplication (reference never dedups its CT batch — Delta would
+        throw on duplicate matches; we keep the latest row per key by
+        ``dedup_order_col``).
+
+        Copy-on-write: only data files containing matched keys are
+        rewritten; all other files carry over by reference.
+
+        ``exclude_cols``: marker columns (e.g. an op flag feeding
+        ``delete_condition`` or ``dedup_order_col``) consumed here but
+        not persisted to the table.
+        """
+        prev = self.get_commit()
+        # evaluate the delete predicate on the source BEFORE the join so
+        # column references stay unambiguous
+        src = source.withColumn(
+            "__is_delete",
+            F.expr(delete_condition) if delete_condition else F.lit(False),
+        )
+        if dedup_order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.desc(dedup_order_col))
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            src = src.dropDuplicates(keys)
+        src = src.drop(*(exclude_cols or []))
+        schema = self._merged_schema(prev, src.drop("__is_delete"))
+        src = _align_to(src, schema, keep=["__is_delete"])
+        src = src.cache()
+
+        # 1. touched files: semi-join target rows against source keys on
+        #    the file-path metadata column — shuffles only keys + paths.
+        tgt_all = self._read_files(prev.files, prev.schema_json)
+        if prev.files:
+            touched = sorted(
+                _strip_scheme(r[0])
+                for r in tgt_all.withColumn(
+                    "__file", F.col("_metadata.file_path")
+                )
+                .join(src.select(*keys).dropDuplicates(keys), keys, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+        else:
+            touched = []
+        carryover = [f for f in prev.files if f not in set(touched)]
+
+        # 2. rewrite touched files: full outer join on keys
+        tgt = _align_to(self._read_files(touched, prev.schema_json), schema)
+        cond = [tgt[k].eqNullSafe(src[k]) for k in keys]
+        joined = tgt.alias("t").join(src.alias("s"), cond, "full_outer")
+        s_present = F.col(f"s.{keys[0]}").isNotNull()
+        t_present = F.col(f"t.{keys[0]}").isNotNull()
+        is_delete = F.coalesce(F.col("s.__is_delete"), F.lit(False))
+
+        merged_cols = [
+            F.when(s_present, F.col(f"s.{f.name}"))
+            .otherwise(F.col(f"t.{f.name}"))
+            .alias(f.name)
+            for f in schema.fields
+        ]
+        result = joined.filter(~(s_present & is_delete)).select(*merged_cols)
+        new_files = self._write_files(result, self.data_dir)
+
+        # 3. change feed: insert / update_postimage / delete rows
+        src_cols = [F.col(f"s.{f.name}").alias(f.name) for f in schema.fields]
+        change = joined.filter(s_present).select(
+            *src_cols,
+            F.when(s_present & is_delete, "delete")
+            .when(t_present, "update_postimage")
+            .otherwise("insert")
+            .alias(CHANGE_TYPE_COL),
+        )
+        cdf_files = self._write_files(change, self.cdf_dir)
+
+        v = prev.version + 1
+        stats = {"touched_files": len(touched), "carryover_files": len(carryover)}
+        self._write_commit(
+            Commit(
+                v,
+                "merge",
+                carryover + new_files,
+                cdf_files,
+                schema.json(),
+                time.time(),
+                stats,
+            )
+        )
+        src.unpersist()
+        return {"version": v, **stats}
+
+    def update(self, condition: str, assignments: dict[str, F.Column]) -> int:
+        """Conditional UPDATE — the reference's CloseWatermark proc (O28,
+        ``dbrconfig.sql:85-91``). Copy-on-write on files containing
+        matching rows."""
+        prev = self.get_commit()
+        tgt_all = self._read_files(prev.files, prev.schema_json)
+        touched = sorted(
+            _strip_scheme(r[0])
+            for r in tgt_all.withColumn("__file", F.col("_metadata.file_path"))
+            .filter(condition)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        carryover = [f for f in prev.files if f not in set(touched)]
+        tgt = self._read_files(touched, prev.schema_json)
+        cond = F.expr(condition)
+        updated = tgt.select(
+            *[
+                F.when(cond, assignments[f.name]).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in tgt.schema.fields
+            ]
+        )
+        new_files = self._write_files(updated, self.data_dir)
+        cdf_files = self._write_files(
+            updated.filter(cond).withColumn(
+                CHANGE_TYPE_COL, F.lit("update_postimage")
+            ),
+            self.cdf_dir,
+        )
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "update",
+                carryover + new_files,
+                cdf_files,
+                prev.schema_json,
+                time.time(),
+                {"touched_files": len(touched)},
+            )
+        )
+        return v
+
+    # -- change feed (O20-O21) --------------------------------------------
+
+    def change_feed(self, starting_version: int) -> DataFrame:
+        """Rows changed in versions > starting_version, with
+        ``_change_type`` ∈ {insert, update_postimage, delete} and a
+        ``_commit_version`` column — the engine's CHANGETABLE(CHANGES …)
+        (O20): the caller resumes from its stored watermark version
+        exactly as the reference does with CT versions
+        (``COPY_MSQL_TO_SILVER.py:128-134,171-174``)."""
+        commits = [c for c in self.history() if c.version > starting_version]
+        out: DataFrame | None = None
+        for c in commits:
+            if not c.cdf_files:
+                continue
+            df = self.spark.read.parquet(*c.cdf_files).withColumn(
+                "_commit_version", F.lit(c.version)
+            )
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        if out is None:
+            base = self.schema()
+            fields = base.add(CHANGE_TYPE_COL, T.StringType()).add(
+                "_commit_version", T.LongType()
+            )
+            return self.spark.createDataFrame([], fields)
+        return out
+
+
+def _align_to(
+    df: DataFrame, schema: T.StructType, keep: list[str] | None = None
+) -> DataFrame:
+    """Project df onto schema, adding missing columns as typed nulls
+    (schema-evolution alignment for both sides of a merge). ``keep``
+    columns ride along unchanged."""
+    have = {f.name for f in df.schema.fields}
+    cols = [
+        F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    cols += [F.col(c) for c in (keep or []) if c in have]
+    return df.select(*cols)

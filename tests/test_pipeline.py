@@ -1,0 +1,303 @@
+"""Pipeline-core tests.
+
+* Golden two-batch incremental scenario (FIXTURES.md §B) — faithful to the
+  reference's staged replay validation (SURVEY.md §5): batch1 full load →
+  batch2 insert+update+delete → rerun is a no-op. Covers both watermark
+  strategies (CT ≡ change feed versions, TMSTP ≡ timestamp filter), the
+  audit columns, the ledger, and the no-new-watermark short-circuit.
+* Property-based merge test: random upsert/delete batches on composite
+  keys; invariant — merged table ≡ latest-per-key over the concatenated
+  history (the reference's own ROW_NUMBER idiom as oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nrtwithdeltalake_spark.pipeline.config import ConfigStore
+from nrtwithdeltalake_spark.pipeline.incremental import load_entity, run_pipeline
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+TXN_SCHEMA = T.StructType(
+    [
+        T.StructField("TransactionId", T.LongType()),
+        T.StructField("TransactionName", T.StringType()),
+        T.StructField("TransactionAmount", T.DoubleType()),
+        T.StructField("TransactionDatetime", T.TimestampType()),
+    ]
+)
+
+
+def _txn_df(spark, rows, ts):
+    import datetime
+
+    t = datetime.datetime.fromisoformat(ts)
+    return spark.createDataFrame(
+        [(i, n, a, t) for i, n, a in rows], TXN_SCHEMA
+    )
+
+
+@pytest.fixture()
+def roots(tmp_path):
+    return (
+        str(tmp_path / "source"),
+        str(tmp_path / "silver"),
+        str(tmp_path / "config"),
+    )
+
+
+def _setup_scenario(spark, roots):
+    source_root, target_root, config_root = roots
+    store = ConfigStore(spark, config_root)
+    store.init()
+    batch1 = [(1, "Test Tran 1", 420.69), (2, "Test Tran 2", 694.20)]
+    for name in ("transactions_ct", "transactions_ts"):
+        VersionedTable.create(
+            spark,
+            os.path.join(source_root, name),
+            _txn_df(spark, batch1, "2024-01-01 10:00:00"),
+        )
+    store.register_entity(
+        "transactions_ct", "silver_ct", "CT", ["TransactionId"]
+    )
+    store.register_entity(
+        "transactions_ts",
+        "silver_ts",
+        "TMSTP",
+        ["TransactionId"],
+        timestamp_column="TransactionDatetime",
+    )
+    return store
+
+
+def _apply_batch2(spark, source_root):
+    """Insert 3,4; update amount of id 1; delete id 2."""
+    import datetime
+
+    t2 = datetime.datetime.fromisoformat("2024-01-02 10:00:00")
+    ops = spark.createDataFrame(
+        [
+            (3, "Test Tran 3", 123.45, t2, "U"),
+            (4, "Test Tran 4", 456.78, t2, "U"),
+            (1, "Test Tran 1", 999.99, t2, "U"),
+            (2, "Test Tran 2", 694.20, t2, "D"),
+        ],
+        # StructType.add mutates in place — build a fresh struct
+        T.StructType(TXN_SCHEMA.fields + [T.StructField("op", T.StringType())]),
+    )
+    for name in ("transactions_ct", "transactions_ts"):
+        VersionedTable(spark, os.path.join(source_root, name)).merge(
+            ops,
+            ["TransactionId"],
+            delete_condition="op = 'D'",
+            exclude_cols=["op"],
+        )
+
+
+def test_golden_two_batch_scenario(spark, roots):
+    source_root, target_root, config_root = roots
+    store = _setup_scenario(spark, roots)
+
+    # ---- run 1: bootstrap full loads -------------------------------------
+    res1 = {r.entity_id: r for r in run_pipeline(spark, store, source_root, target_root)}
+    assert all(r.action == "full" and r.rows == 2 for r in res1.values())
+
+    ct = VersionedTable(spark, os.path.join(target_root, "silver_ct"))
+    rows = {r.TransactionId: r for r in ct.read().collect()}
+    assert set(rows) == {1, 2}
+    assert all(r.SyncOperation == "I" for r in rows.values())
+
+    # ---- run with no changes: short-circuit (reference :157) -------------
+    res_noop = {r.entity_id: r for r in run_pipeline(spark, store, source_root, target_root)}
+    assert all(r.action == "skipped" for r in res_noop.values())
+
+    # ---- batch 2: insert + update + delete -------------------------------
+    _apply_batch2(spark, source_root)
+    res2 = {r.entity_id: r for r in run_pipeline(spark, store, source_root, target_root)}
+    assert all(r.action == "incremental" for r in res2.values())
+
+    # CT silver: deletes applied, ops faithful to the change feed
+    rows = {r.TransactionId: r for r in ct.read().collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1].TransactionAmount == 999.99
+    assert rows[1].SyncOperation == "U"
+    assert rows[3].SyncOperation == "I" and rows[4].SyncOperation == "I"
+
+    # TMSTP silver: deletes invisible (timestamp watermarks can't see them —
+    # reference semantics), updates re-loaded as 'I' (reference :176)
+    ts = VersionedTable(spark, os.path.join(target_root, "silver_ts"))
+    trows = {r.TransactionId: r for r in ts.read().collect()}
+    assert set(trows) == {1, 2, 3, 4}
+    assert trows[1].TransactionAmount == 999.99
+    assert trows[1].SyncOperation == "I"
+
+    # ---- ledger: two committed loads per entity, watermarks advanced -----
+    wm = store.watermarks.read().filter(F.col("LoadEndDatetime").isNotNull())
+    per_entity = {
+        r.EntityId: r.n for r in wm.groupBy("EntityId").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_entity == {1: 2, 2: 2}
+
+    # ---- idempotent rerun ------------------------------------------------
+    res3 = {r.entity_id: r for r in run_pipeline(spark, store, source_root, target_root)}
+    assert all(r.action == "skipped" for r in res3.values())
+    assert {r.TransactionId for r in ct.read().collect()} == {1, 3, 4}
+
+
+def test_crash_replay_is_idempotent(spark, roots):
+    """Crash between data merge and ledger close (SURVEY.md §7 hard-part 5):
+    replaying the batch must converge to the same state."""
+    source_root, target_root, config_root = roots
+    store = _setup_scenario(spark, roots)
+    entities = {e.EntityId: e for e in store.entities_with_watermarks().collect()}
+    ct_entity = next(e for e in entities.values() if e.WatermarkType == "CT")
+
+    load_entity(spark, store, ct_entity, source_root, target_root)
+    _apply_batch2(spark, source_root)
+
+    # simulated crash: run the load but drop the ledger close by monkeypatch
+    real_close = store.close_watermark
+    store.close_watermark = lambda wm_id: None  # crash before close
+    e2 = next(
+        e
+        for e in store.entities_with_watermarks().collect()
+        if e.EntityId == ct_entity.EntityId
+    )
+    load_entity(spark, store, e2, source_root, target_root)
+    store.close_watermark = real_close
+
+    # watermark still old → the batch replays; result must be identical
+    e3 = next(
+        e
+        for e in store.entities_with_watermarks().collect()
+        if e.EntityId == ct_entity.EntityId
+    )
+    res = load_entity(spark, store, e3, source_root, target_root)
+    assert res.action == "incremental"
+    ct = VersionedTable(spark, os.path.join(target_root, "silver_ct"))
+    rows = {r.TransactionId: r for r in ct.read().collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1].TransactionAmount == 999.99
+
+
+def test_schema_evolution_on_merge(spark, tmp_path):
+    """New source column flows into the target with nulls for old rows
+    (README.md:8 'handling of schema evolution' via *All merge semantics)."""
+    p = str(tmp_path / "tbl")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    t.merge(
+        spark.createDataFrame([(2, "b2", 7.5), (3, "c", 1.0)], "id long, v string, extra double"),
+        ["id"],
+    )
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[1].extra is None
+    assert rows[2].extra == 7.5 and rows[2].v == "b2"
+    assert rows[3].extra == 1.0
+
+
+def test_time_travel_and_change_feed(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    t.merge(spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string"), ["id"])
+    assert {r.id for r in t.read(0).collect()} == {1, 2}
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b2"), (3, "c")}
+    feed = t.change_feed(0).collect()
+    by_id = {r.id: r for r in feed}
+    assert by_id[2]._change_type == "update_postimage"
+    assert by_id[3]._change_type == "insert"
+    assert t.change_feed(t.latest_version()).count() == 0
+
+
+def test_merge_only_rewrites_touched_files(spark, tmp_path):
+    """Copy-on-write efficiency: merging a single key must carry over the
+    files that don't contain it."""
+    p = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartition(8)
+    t = VersionedTable.create(spark, p, df)
+    assert len(t.get_commit().files) >= 8
+    stats = t.merge(
+        spark.createDataFrame([(5, 99)], "id long, v long"), ["id"]
+    )
+    assert stats["touched_files"] == 1
+    assert stats["carryover_files"] == len(t.get_commit(0).files) - 1
+    rows = {r.id: r.v for r in t.read().collect()}
+    assert rows[5] == 99 and len(rows) == 1000
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 6),  # k1
+                st.sampled_from(["a", "b"]),  # k2
+                st.integers(0, 100),  # value
+                st.booleans(),  # delete?
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_merge_equals_latest_per_key_oracle(spark_global, tmp_sup, batches):
+    """merge(history) ≡ row_number-latest-per-key(concatenated history),
+    with delete-wins semantics — O12/O13 as its own oracle."""
+    import uuid as _uuid
+
+    spark = spark_global
+    p = os.path.join(tmp_sup, _uuid.uuid4().hex)
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([], "k1 long, k2 string, v long, seq long"),
+    )
+    seq = 0
+    for batch in batches:
+        rows = []
+        for k1, k2, v, is_del in batch:
+            rows.append((k1, k2, v, is_del, seq))
+            seq += 1
+        t.merge(
+            spark.createDataFrame(
+                rows, "k1 long, k2 string, v long, is_del boolean, seq long"
+            ),
+            ["k1", "k2"],
+            delete_condition="is_del",
+            dedup_order_col="seq",
+            exclude_cols=["is_del"],
+        )
+
+    # oracle: apply the history sequentially; deletes remove the key.
+    latest: dict = {}
+    for batch in batches:
+        for k1, k2, v, is_del in batch:
+            if is_del:
+                latest.pop((k1, k2), None)
+            else:
+                latest[(k1, k2)] = v
+
+    got = {(r.k1, r.k2): r.v for r in t.read().drop("seq").collect()}
+    assert got == latest, f"batches={batches}"
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
+
+
+@pytest.fixture(scope="session")
+def tmp_sup(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop_merge"))

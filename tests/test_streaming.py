@@ -1,0 +1,155 @@
+"""Streaming tests (SURVEY.md §5 item 4): every streaming window query is
+asserted against a batch recomputation of the same windows — the batch
+DataFrame API is the oracle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark.sources.catalog import load_table
+from nrtwithdeltalake_spark.streaming import nrt
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+
+def _run_to_memory(spark, stream_df, name, output_mode="complete"):
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    got = _run_to_memory(
+        spark, nrt.tumbling_counts(nrt.stream_events(spark, sf_dir)), "t_tumb"
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").start.alias("w_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    )
+    assert sorted((r.w_start, r.event_type, r.n, r.sum_value) for r in got) == sorted(
+        (r.w_start, r.event_type, r.n, r.sum_value) for r in want
+    )
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    got = _run_to_memory(
+        spark, nrt.sliding_counts(nrt.stream_events(spark, sf_dir)), "t_slide"
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted((r.w_start, r.event_type, r.n) for r in got) == sorted(
+        (r.w_start, r.event_type, r.n) for r in want
+    )
+    # every event lands in exactly 4 sliding windows
+    assert sum(r.n for r in got) == 4 * ev.count()
+
+
+def test_session_stream_has_valid_sessions(spark, sf_dir):
+    got = _run_to_memory(
+        spark, nrt.session_counts(nrt.stream_events(spark, sf_dir)), "t_sess"
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in got) == ev.count()
+    assert all(r.sess_end > r.sess_start for r in got)
+    # session count per user must equal the batch gap-based sessionization
+    from nrtwithdeltalake_spark.operators.relational import q_sessionize
+
+    want = {r.user_id: r.n_sessions for r in q_sessionize(spark, sf_dir).collect()}
+    got_counts: dict = {}
+    for r in got:
+        got_counts[r.user_id] = got_counts.get(r.user_id, 0) + 1
+    assert got_counts == want
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Rows older than the watermark delay must be dropped once the
+    watermark has advanced past them (two micro-batches via file source)."""
+    import datetime
+
+    d = datetime.datetime.fromisoformat
+    sdir = str(tmp_path / "stream_src")
+    os.makedirs(sdir)
+    batch1 = spark.createDataFrame(
+        [
+            (1, d("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+            (2, d("2024-01-01 12:00:00"), 1, "click", 1.0, "{}"),  # advances wm
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, d("2024-01-01 10:10:00"), 1, "click", 1.0, "{}")],  # late by ~2h
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    batch1.write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+
+    agg = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sdir}/*.parquet")
+        .withWatermark("ts", "30 minutes")
+        # group by the window struct itself — projecting .start inside the
+        # groupBy severs watermark propagation and append mode is rejected
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w").start.alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    batch2.write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.w_start: r.n for r in spark.sql("SELECT * FROM t_late").collect()}
+    # append mode emits only finalized windows: the 10:00 window closed when
+    # the watermark passed 11:00, WITHOUT the late event_id=3
+    assert rows.get(d("2024-01-01 10:00:00")) == 1
+
+
+def test_foreachbatch_merge_sink(spark, sf_dir, tmp_path):
+    """The NRT loop: stream → window agg → foreachBatch merge into a
+    versioned table; final table equals the batch aggregation."""
+    tgt = str(tmp_path / "silver_windows")
+    nrt.run_stream_to_table(
+        nrt.tumbling_counts(nrt.stream_events(spark, sf_dir)),
+        tgt,
+        keys=["w_start", "event_type"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    got = {
+        (r.w_start, r.event_type): (r.n, r.sum_value)
+        for r in VersionedTable(spark, tgt).read().collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.w_start, r.event_type): (r.n, r.sum_value)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").start.alias("w_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+        .collect()
+    }
+    assert got == want
