@@ -1,0 +1,66 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes to completion through the noop sink (full computation,
+no driver collect). Timing excludes session startup, includes plan +
+execution per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nrtwithdeltalake_spark.session import build_spark
+from nrtwithdeltalake_spark.operators.registry import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q_flagship",
+    "q_agg_group",
+    "q_join_inner",
+    "q_join_range",
+    "q_window_latest_per_key",
+    "q_topk_per_group",
+    "q_sessionize",
+    "q_window_tumbling_agg",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    spark = build_spark(app_name="nrt_bench")
+    queries = all_queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
+from .helpers import fan_out as _fan_out
 
 # ---------------------------------------------------------------------------
 # exact dedup (O6's not-matched-insert semantics applied to content identity)
@@ -96,11 +98,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the only large shuffles are on band keys and pair ids; the
     quadratic blowup is confined to same-bucket collisions.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
     r = N_PERM // N_BANDS
-    sigs = docs.select(
-        "doc_id", _shingle_hashes().alias("shingles")
-    ).withColumn("sig", _minhash_sig("shingles"))
+    # persisted: consumed three times (band explode + both verify sides);
+    # without it Spark recomputes the signature expressions per consumer
+    sigs = (
+        docs.select("doc_id", _shingle_hashes().alias("shingles"))
+        .withColumn("sig", _minhash_sig("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     bands = sigs.select(
         "doc_id",
@@ -159,7 +165,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks identical (pigeonhole), so join on exploded chunks and verify
     with bit_count(xor) — never materializing O(n²) pairs.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
     sim = docs.select(
         "doc_id",
         F.expr(
@@ -175,7 +181,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("simhash"),
     )
-    chunks = sim.select(
+    chunks = sim.persist(StorageLevel.MEMORY_AND_DISK).select(
         "doc_id",
         "simhash",
         F.explode(
@@ -217,13 +223,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, token-count) — the verify stage of near-dedup, isolated so the
     DuckDB oracle can replay it. Blocking bounds the pair space; at scale
     the block key becomes (source, minhash-band)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select(
         "doc_id",
         "source",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
         F.size(F.split("text", " ")).alias("ntok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = toks.alias("l"), toks.alias("r")
     return (
         l.join(

@@ -14,7 +14,7 @@ broadcast of a handful of rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -34,17 +34,21 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
 
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
+    # latest-per-group as max(struct(ts, key)): identical semantics to the
+    # ROW_NUMBER rn=1 idiom (ORDER BY date DESC, key DESC — struct compare
+    # is lexicographic) but partial-aggregatable map-side, so it never
+    # shuffle-sorts the full orders table the way a window would. The
+    # window form itself is exercised by q_window_latest_per_key.
     latest = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("c_mktsegment")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
         .select(
             "c_mktsegment",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("latest_odate"),
+            F.col("m.o_orderkey").alias("latest_orderkey"),
+            F.date_format("m.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "latest_odate"
+            ),
         )
     )
     return revenue.join(latest, "c_mktsegment")

@@ -16,8 +16,21 @@ billing pipeline wants anyway.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a small single-file scan to the cluster's parallelism.
+
+    The test tables are single-row-group parquet files, so their scans are
+    one task; per-row-heavy expressions (regex packs, shingle/minhash
+    arrays, vector math) would otherwise run on one core. One cheap
+    shuffle buys full parallelism. At 100 TB inputs span thousands of
+    files and scans parallelize naturally — there this is a no-op choice;
+    never fan out plain scan→agg plans (map-side partial aggregation on
+    the scan is strictly better)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 # Decimal shapes chosen so products stay exact within precision 38:
 # price(15,2) * rate(5,4) -> (20,6); * rate(5,4) again -> (25,10).

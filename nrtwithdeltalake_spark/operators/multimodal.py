@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .helpers import fan_out
 
 
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +64,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched binary in, typed metadata out. The pandas function is
     the pattern for any per-payload Python step (image resize, audio
     frame-sample, thumbnail) — rows-only check (stubbed decode)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     with_payload = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )

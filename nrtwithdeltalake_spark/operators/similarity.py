@@ -18,8 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
+from .dedup import _fan_out
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -38,7 +40,7 @@ def _dot(a: str, b: str) -> F.Column:
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for query vectors (vec_id < 5)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -135,12 +137,14 @@ def _bucket_expr(vcol: str) -> F.Column:
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: only vectors sharing ≥1 of 4 LSH bucket keys with
     a query are scored. Approximate by construction → rows-only check."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    buckets = emb.select(
-        "vec_id", "v", F.explode(_bucket_expr("v")).alias("b")
-    ).select("vec_id", "v", "b.tbl", "b.bkey")
+    buckets = (
+        emb.select("vec_id", "v", F.explode(_bucket_expr("v")).alias("b"))
+        .select("vec_id", "v", "b.tbl", "b.bkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     qb = (
         buckets.filter(F.col("vec_id") < N_QUERIES)
@@ -178,12 +182,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.95) via the same
     LSH tables — all-pairs semantics without the O(n²) cross join.
     Approximate by construction → rows-only check."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    buckets = emb.select(
-        "vec_id", "v", F.explode(_bucket_expr("v")).alias("b")
-    ).select("vec_id", "v", "b.tbl", "b.bkey")
+    buckets = (
+        emb.select("vec_id", "v", F.explode(_bucket_expr("v")).alias("b"))
+        .select("vec_id", "v", "b.tbl", "b.bkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     l, r = buckets.alias("l"), buckets.alias("r")
     pairs = (
         l.join(

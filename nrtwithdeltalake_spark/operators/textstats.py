@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .helpers import fan_out
 
 # Stopword regexes per language for the n-gram/stopword language-ID
 # heuristic. Alternation groups are anchored on word boundaries; both Java
@@ -36,7 +37,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: char/token counts, average token length,
     punctuation and stopword ratios — the standard quality-filter
     features."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     n_tok = _n_tokens()
     n_stop = _stop_count("en").cast("long")
     punct = (
@@ -75,7 +76,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace and a BPE-ish pre-tokenizer
     regex (letter runs | digit runs | single non-alnum), the shape GPT-2's
     pre-tokenizer uses."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     bpe_pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     return docs.select(
         "doc_id",
@@ -98,7 +99,7 @@ FROM documents
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score each language by stopword hits,
     argmax with a fixed precedence tiebreak (en > de > fr > es)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     s = {lang: _stop_count(lang) for lang in _LANG_STOPWORDS}
     pred = (
         F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"]), "en")
@@ -146,7 +147,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword presence, the shape of C4/Gopher-style quality filters.
     Pure double arithmetic in a fixed evaluation order → IEEE-identical
     cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     n_tok = _n_tokens()
     n_stop = _stop_count("en")
     len_score = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
@@ -177,7 +178,7 @@ FROM f
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: full-text MD5 plus a truncated prefix used
     as a shard/bucket key (hex MD5 is identical cross-engine)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     fp = F.md5(F.col("text").cast("binary"))
     return docs.select(
         "doc_id",
@@ -196,7 +197,7 @@ def q_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprint: xxhash64 over 8-char shingles at
     stride 4; keeps the minimum hash as the document's robust fingerprint.
     Non-SQL-expressible (xxhash64 has no DuckDB twin) → rows-only check."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     shingle_hashes = F.expr(
         "transform(sequence(1, greatest(length(text) - 7, 1), 4), "
         "i -> xxhash64(substring(text, i, 8)))"

@@ -96,7 +96,9 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         [(3, d("2024-01-01 10:10:00"), 1, "click", 1.0, "{}")],  # late by ~2h
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     )
-    batch1.write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+    # one file per batch: with maxFilesPerTrigger=1, a multi-file batch1
+    # could deliver the 12:00 row first and make 10:05 late within batch1
+    batch1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
 
     agg = (
         spark.readStream.schema(batch1.schema)
@@ -117,7 +119,7 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         .start()
     )
     q.processAllAvailable()
-    batch2.write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
     q.processAllAvailable()
     q.stop()
     rows = {r.w_start: r.n for r in spark.sql("SELECT * FROM t_late").collect()}
