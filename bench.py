@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nrtwithdeltalake_spark.session import build_spark
 from nrtwithdeltalake_spark.operators.registry import all_queries
+from nrtwithdeltalake_spark.sources.catalog import TABLES, load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -26,6 +27,7 @@ HEADLINE = [
     "q_agg_group",
     "q_join_inner",
     "q_join_range",
+    "q_join_asof",
     "q_window_latest_per_key",
     "q_topk_per_group",
     "q_sessionize",
@@ -41,6 +43,10 @@ def main() -> None:
     spark = build_spark(app_name="nrt_bench")
     queries = all_queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # warm parquet footers + filesystem metadata so the first timed query
+    # doesn't absorb one-time listing/footer costs the others skip
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import flagship, relational, scalars
+from . import flagship, relational, relational_ext, scalars
 
-_MODULES = [flagship, relational, scalars]
+_MODULES = [flagship, relational, relational_ext, scalars]
 
 
 def _extend() -> tuple[dict, dict]:

@@ -1,0 +1,213 @@
+"""Extended relational operators: as-of join, sliding windows, grouping
+sets, pivot.
+
+These generalize the reference's query surface (SURVEY.md §2.2): the
+as-of join is the time-series form of the reference's watermark
+resolution idiom — "latest row at or before a point in time" per key
+(O11-O13, ``/root/reference/COPY_MSQL_TO_SILVER.py:223-249``) applied
+row-per-probe instead of once per entity; sliding windows generalize the
+tumbling bucketing of the streaming surface; grouping sets/pivot round
+out the aggregation family (O9 generalized).
+
+Scale notes
+-----------
+* The as-of join uses the union + partitioned-window formulation: both
+  sides are tagged and unioned, then a single shuffle on the join key
+  orders each key's timeline and carries the last-seen right-hand row
+  forward with ``last(..., ignorenulls=True)``. One shuffle, no
+  per-probe subquery, no skew beyond the key distribution — this is the
+  standard distributed as-of and scales to 100 TB (cost ≡ one sort-merge
+  shuffle of events ∪ orders).
+* Sliding windows expand each row to (window / slide) rows *inside* the
+  aggregate's map side (Catalyst rewrites ``window()`` to an explode),
+  so partial aggregation still applies before the shuffle.
+* GROUPING SETS is executed by Spark's ``Expand`` operator — one scan,
+  map-side partial agg per set; pivot is a single hash aggregate wide in
+  columns, shuffle ∝ groups not values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .helpers import money_sum, sql_money_sum
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to that user's latest order at or
+    before the event time (ties on order date broken by max orderkey).
+
+    Union-and-carry-forward formulation: tag orders side=0 and events
+    side=1, union on (key, time), and within each key's time-ordered
+    partition take the last non-null order columns seen so far. Orders
+    sort before events at equal timestamps, so an order exactly at the
+    event time matches (<= semantics, same boundary rule as the
+    reference's watermark comparison, COPY_MSQL_TO_SILVER.py:131).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("timestamp").alias("ot"),
+        F.lit(1).alias("side"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("timestamp").alias("ot"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(orders)
+        .select(
+            "*",
+            F.last("okey", ignorenulls=True).over(w).alias("asof_orderkey"),
+            F.last("ot", ignorenulls=True).over(w).alias("asof_ot"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.date_format("t", _TS_FMT).alias("ts_s"),
+            "asof_orderkey",
+            F.date_format("asof_ot", _TS_FMT).alias("asof_odate"),
+        )
+    )
+
+
+# Oracle: max matching date per event, then max orderkey among orders at
+# that date — exactly the window formulation's tie-break.
+ORACLE_JOIN_ASOF = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, max(o.o_orderdate) AS asof_ot
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  GROUP BY 1, 2, 3
+)
+SELECT j.event_id, j.user_id,
+       strftime(j.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       max(o2.o_orderkey) AS asof_orderkey,
+       strftime(j.asof_ot, '%Y-%m-%d %H:%M:%S') AS asof_odate
+FROM j
+LEFT JOIN orders o2
+  ON o2.o_custkey = j.user_id AND o2.o_orderdate = j.asof_ot
+GROUP BY j.event_id, j.user_id, j.ts, j.asof_ot
+"""
+
+
+def q_window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide, over events — each event
+    lands in exactly two windows. Batch twin of the streaming sliding
+    window (``F.window(ts, window, slide)``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").start.alias("w_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("value").cast("decimal(12,2)"), "sum_value"),
+    )
+
+
+ORACLE_WINDOW_SLIDING = f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS bkt, event_type, value
+  FROM events
+), u AS (
+  SELECT bkt AS w_start, event_type, value FROM b
+  UNION ALL
+  SELECT bkt - INTERVAL 30 MINUTE AS w_start, event_type, value FROM b
+)
+SELECT w_start, event_type, count(*) AS n,
+       {sql_money_sum("cast(value as decimal(12,2))", 'sum_value')}
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over two non-hierarchical dimensions — not
+    expressible as rollup or cube; exercises Spark's Expand operator via
+    the SQL surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               cast(grouping(l_returnflag) as bigint) AS g_rf,
+               cast(grouping(l_linestatus) as bigint) AS g_ls,
+               count(*) AS n,
+               cast(round(sum(cast(l_quantity as decimal(12,2))), 2)
+                    as double) AS sum_qty
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+ORACLE_AGG_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       cast(grouping(l_returnflag) as bigint) AS g_rf,
+       cast(grouping(l_linestatus) as bigint) AS g_ls,
+       count(*) AS n,
+       cast(round(sum(cast(l_quantity as decimal(12,2))), 2)
+            as double) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns per l_returnflag — one hash
+    aggregate, output width ∝ pivot values (explicit value list keeps the
+    plan single-pass; omitting it costs a distinct-values job first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(money_sum(F.col("l_quantity").cast("decimal(12,2)"), "q"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       cast(round(sum(CASE WHEN l_linestatus = 'F'
+                           THEN cast(l_quantity as decimal(12,2)) END), 2)
+            as double) AS qty_f,
+       cast(round(sum(CASE WHEN l_linestatus = 'O'
+                           THEN cast(l_quantity as decimal(12,2)) END), 2)
+            as double) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q_join_asof": q_join_asof,
+    "q_window_sliding_agg": q_window_sliding_agg,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
+    "q_pivot": q_pivot,
+}
+
+ORACLES = {
+    "q_join_asof": ORACLE_JOIN_ASOF,
+    "q_window_sliding_agg": ORACLE_WINDOW_SLIDING,
+    "q_agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
+    "q_pivot": ORACLE_PIVOT,
+}

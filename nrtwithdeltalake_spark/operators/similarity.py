@@ -21,7 +21,7 @@ from pyspark.sql import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
-from .dedup import _fan_out
+from .helpers import fan_out as _fan_out
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -220,9 +220,91 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 4  # IVF cells scanned per query
+CENTROID_MOD = 25  # vec_id % 25 == 7 → ~n/25 deterministic coarse centroids
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to
+    their nearest coarse centroid (the "cell"); a query scores only
+    vectors in its ``N_PROBE`` nearest cells.
+
+    Centroids are a deterministic arithmetic subsample of the corpus
+    (``vec_id % CENTROID_MOD == 7``) standing in for k-means means — the
+    index structure (assign → invert → probe) is identical; swapping in
+    trained centroids changes only the centroid DataFrame. At 100 TB:
+    centroids stay broadcast-sized (k ~ sqrt(n) or fixed 2^16), the
+    assign step is a broadcast nested-loop argmin inside codegen, and the
+    probe join shuffles only (cell, id) pairs — never all-pairs.
+    Approximate by construction → rows-only check."""
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_MOD == 7) & (F.col("vec_id") >= N_QUERIES)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+
+    # assign: argmin over broadcast centroids via min_by on (dist, c_id)
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "c_id",
+                F.struct(
+                    (_dot("v", "v") - F.lit(2.0) * _dot("v", "cv")
+                     + _dot("cv", "cv")).alias("d2"),
+                    F.col("c_id"),
+                ),
+            ).alias("cell"),
+            F.first("v").alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # probe lists: each query's N_PROBE nearest cells
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "qv",
+        F.col("c_id").alias("cell"),
+        (_dot("qv", "qv") - F.lit(2.0) * _dot("qv", "cv")
+         + _dot("cv", "cv")).alias("d2"),
+    )
+    wq = Window.partitionBy("q_id").orderBy("d2", "cell")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_id", "qv", "cell")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            _dot("qv", "v")
+            / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_dedup_embedding": q_dedup_embedding,
 }
 

@@ -92,3 +92,22 @@ def test_multimodal_decode_shape(spark, sf_dir):
     # deterministic stub: same payload → same fake dimensions
     again = {r.doc_id: (r.width, r.height) for r in df.collect()}
     assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
+
+
+def test_ann_ivf_valid_and_scores_match_exact(spark, sf_dir):
+    """IVF results: ≤ top_k per query, scores identical to brute-force for
+    the same (query, neighbor) pair (IVF only restricts the candidate
+    set — it never changes a score)."""
+    exact = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in similarity.q_sim_topk(spark, sf_dir).collect()
+    }
+    per_q = {}
+    for r in similarity.q_sim_ann_ivf(spark, sf_dir).collect():
+        per_q.setdefault(r.q_id, []).append(r)
+        assert -1.0 <= r.cosine <= 1.0
+        if (r.q_id, r.neighbor_id) in exact:
+            assert exact[(r.q_id, r.neighbor_id)] == r.cosine
+    for q, rows in per_q.items():
+        assert len(rows) <= 10
+        assert len({r.neighbor_id for r in rows}) == len(rows)
