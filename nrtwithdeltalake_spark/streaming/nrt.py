@@ -21,6 +21,7 @@ windows additionally bound state by gap timeout (hard-part 4).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -90,6 +91,84 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             F.col("w").end.alias("sess_end"),
             "user_id",
             "n_events",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, sess_start timestamp, sess_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def stateful_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    explicit state via ``applyInPandasWithState``.
+
+    Unlike ``session_window`` (which only emits window+count), this owns
+    its state transition — the pattern for any custom stateful operator
+    Spark lacks (per-key model state, CEP, dedup-with-TTL). State per key
+    is three longs; a session is emitted when (a) a new event arrives
+    past the gap, or (b) the event-time timeout fires once the watermark
+    passes last_ts + gap — so state is bounded by (active keys ×
+    constant), the property that keeps it viable at 100 TB/day streams.
+    Arrow-batched: the python worker sees pandas frames, not rows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "sess_start": [pd.Timestamp(start, unit="us")],
+                    "sess_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        cur = state.getOption  # (start, last, n) or None
+        closed: list[tuple[int, int, int]] = []
+        ts_all: list[int] = []
+        for pdf in pdf_iter:
+            ts_all.extend(
+                int(t) // 1000 for t in pdf["ts"].astype("int64")
+            )  # ns → µs
+        for t in sorted(ts_all):
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "sess_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "sess_end": [pd.Timestamp(l, unit="us") for _, l, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

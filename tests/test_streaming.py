@@ -155,3 +155,60 @@ def test_foreachbatch_merge_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_sessions_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful sessionization: a gap-exceeding event closes the
+    prior session (emitted in-stream); timeouts close idle keys once the
+    watermark passes last_ts + gap."""
+    import datetime as dt
+
+    sdir = str(tmp_path / "src")
+    os.makedirs(sdir, exist_ok=True)
+
+    def d(s):
+        return dt.datetime.fromisoformat(s)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, d("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+            (2, d("2024-01-01 10:10:00"), 1, "click", 1.0, "{}"),
+            (3, d("2024-01-01 10:05:00"), 2, "view", 1.0, "{}"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(4, d("2024-01-01 13:00:00"), 1, "click", 1.0, "{}")], schema
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sdir}/*.parquet")
+    )
+    q = (
+        nrt.stateful_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM t_sess_state").collect()
+    sess = {(r.user_id, r.sess_start, r.sess_end, r.n_events) for r in rows}
+    # user 1's first session closed by the 13:00 event (gap > 30 min)
+    assert (1, d("2024-01-01 10:00:00"), d("2024-01-01 10:10:00"), 2) in sess
+    # user 2's idle session closed by event-time timeout (watermark at
+    # 12:30 > 10:05 + gap)
+    assert (2, d("2024-01-01 10:05:00"), d("2024-01-01 10:05:00"), 1) in sess
+    assert all(r.sess_start <= r.sess_end and r.n_events >= 1 for r in rows)
