@@ -198,11 +198,48 @@ GROUP BY l_returnflag
 """
 
 
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting: approx_count_distinct (HLL++) per
+    segment next to the exact count. At 100 TB the exact count shuffles
+    every distinct key; the sketch shuffles a fixed ~KB state per group —
+    this query is the capability declaration for sketch aggregation.
+    Estimates are engine-specific → rows-only check (the test asserts
+    relative error against the exact count instead)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HLL sketches (Apache DataSketches via Spark 3.5+
+    ``hll_sketch_agg``): per-(priority, status) sketches unioned up to
+    priority level. The union step is the point — pre-computed partition/
+    day-level sketches roll up without touching raw data, the only way
+    distinct counts stay cheap over 100 TB of history. Rows-only check
+    (sketch estimates have no DuckDB twin)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cell = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return (
+        per_cell.groupBy("o_orderpriority")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("sk").alias("approx_custs"),
+        )
+    )
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
     "q_window_sliding_agg": q_window_sliding_agg,
     "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_pivot": q_pivot,
+    "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_agg_hll_union": q_agg_hll_union,
 }
 
 ORACLES = {

@@ -371,6 +371,55 @@ class VersionedTable:
         )
         return v
 
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
+    ) -> int:
+        """Bin-pack small files into ~``target_file_bytes`` files — the
+        engine's OPTIMIZE (the reference's Delta tables rely on
+        Databricks' OPTIMIZE/Z-ORDER, unavailable in OSS; SURVEY.md §4
+        file-layout row). Incremental merges/appends accrete small files;
+        at 100 TB the resulting task-per-tiny-file overhead and lost
+        min/max pruning dominate scan cost, so compaction is a
+        first-class maintenance op.
+
+        ``cluster_by`` range-partitions and sorts by the given columns
+        (repartitionByRange + sortWithinPartitions) so each output file
+        covers a narrow key range — parquet min/max footer stats then
+        prune scans on those columns, the OSS analog of Z-ordering (for
+        one key prefix). Data content is unchanged: no CDF rows are
+        emitted, and prior versions remain readable (time travel keeps
+        the old file set alive)."""
+        prev = self.get_commit()
+        df = self._read_files(prev.files, prev.schema_json)
+        total = sum(os.path.getsize(f) for f in prev.files)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        if cluster_by:
+            df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(n_out) if n_out < len(prev.files) else df
+        new_files = self._write_files(df, self.data_dir)
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "compact",
+                new_files,
+                [],
+                prev.schema_json,
+                time.time(),
+                {
+                    "files_before": len(prev.files),
+                    "files_after": len(new_files),
+                    "bytes": total,
+                },
+            )
+        )
+        return v
+
     # -- change feed (O20-O21) --------------------------------------------
 
     def change_feed(self, starting_version: int) -> DataFrame:

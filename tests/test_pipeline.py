@@ -301,3 +301,41 @@ def spark_global(spark):
 @pytest.fixture(scope="session")
 def tmp_sup(tmp_path_factory):
     return str(tmp_path_factory.mktemp("prop_merge"))
+
+
+def test_compact_binpacks_preserving_content_and_history(spark, tmp_path):
+    """compact() shrinks the file count, keeps content identical, emits no
+    CDF rows, and leaves prior versions time-travelable."""
+    path = str(tmp_path / "t_compact")
+    df0 = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t = VersionedTable.create(spark, path, df0.repartition(8))
+    for i in range(3):
+        t.append(
+            spark.range(1000 + i * 100, 1100 + i * 100)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .repartition(4)
+        )
+    pre = t.get_commit()
+    before = sorted(r.k for r in t.read().collect())
+    v = t.compact(cluster_by=["k"])
+    post = t.get_commit()
+    assert post.op == "compact" and post.version == v
+    assert len(post.files) < len(pre.files)
+    assert post.cdf_files == []
+    assert sorted(r.k for r in t.read().collect()) == before
+    # time travel to the pre-compact version still sees the old file set
+    assert sorted(r.k for r in t.read(version=pre.version).collect()) == before
+    # change feed across the compact commit carries no spurious changes
+    assert t.change_feed(pre.version).count() == 0
+    # clustering: each output file covers a disjoint k range (min/max prune)
+    stats = (
+        t.read()
+        .withColumn("f", F.col("_metadata.file_path"))
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in stats)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))

@@ -38,3 +38,20 @@ def test_entry_smoke(spark):
         "latest_orderkey",
         "latest_odate",
     }
+
+
+def test_sketch_distinct_error_bounds(spark, sf_dir):
+    """Sketch estimates must land within 5% of the exact distinct count
+    (rsd=0.02 for HLL++; DataSketches HLL default is tighter)."""
+    from nrtwithdeltalake_spark.operators import relational_ext as rx
+
+    for r in rx.q_agg_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_custs - r.exact_custs) <= max(2, 0.05 * r.exact_custs)
+
+    exact = {
+        r.o_orderpriority: r.exact_custs
+        for r in rx.q_agg_approx_distinct(spark, sf_dir).collect()
+    }
+    for r in rx.q_agg_hll_union(spark, sf_dir).collect():
+        e = exact[r.o_orderpriority]
+        assert abs(r.approx_custs - e) <= max(2, 0.05 * e)
