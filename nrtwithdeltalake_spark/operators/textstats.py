@@ -175,6 +175,51 @@ FROM f
 """
 
 
+CHUNK_LEN = 256
+CHUNK_STRIDE = 224  # 32-char overlap between consecutive chunks
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking — the standard pre-embedding /
+    context-window split for training-data pipelines. Pure Catalyst
+    (sequence → transform → posexplode): chunk generation happens inside
+    codegen on the executors, output rows ∝ total characters / stride,
+    and the operator parallelizes with the scan — no Python in the path."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text), 1), "
+                    f"{CHUNK_STRIDE}), i -> substring(text, i, {CHUNK_LEN}))"
+                )
+            ).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            F.length("chunk_text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+ORACLE_TEXT_CHUNKS = f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1),
+                {CHUNK_STRIDE})) AS i
+  FROM documents
+)
+SELECT doc_id,
+       cast((i - 1) // {CHUNK_STRIDE} as bigint) AS chunk_id,
+       substring(text, i, {CHUNK_LEN}) AS chunk_text,
+       cast(length(substring(text, i, {CHUNK_LEN})) as bigint) AS n_chars
+FROM g
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: full-text MD5 plus a truncated prefix used
     as a shard/bucket key (hex MD5 is identical cross-engine)."""
@@ -216,6 +261,7 @@ QUERIES = {
     "q_quality_score": q_quality_score,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_fingerprint_shingles": q_fingerprint_shingles,
+    "q_text_chunks": q_text_chunks,
 }
 
 ORACLES = {
@@ -224,4 +270,5 @@ ORACLES = {
     "q_lang_id": ORACLE_LANG_ID,
     "q_quality_score": ORACLE_QUALITY,
     "q_doc_fingerprint": ORACLE_FINGERPRINT,
+    "q_text_chunks": ORACLE_TEXT_CHUNKS,
 }

@@ -1,0 +1,64 @@
+"""Plan-property guardrails: the optimizations SURVEY.md §4 promises must
+be visible in the physical plan, permanently. A refactor that silently
+drops pushdown, pruning, a broadcast, or adds a shuffle fails here
+instead of becoming a 10× regression at scale."""
+
+from __future__ import annotations
+
+from nrtwithdeltalake_spark.operators import (
+    dedup,
+    flagship,
+    relational,
+    relational_ext,
+)
+from nrtwithdeltalake_spark.plans import inspect
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = relational.q_filter_project(spark, sf_dir)
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "l_shipdate" in pushed or "l_discount" in pushed, pushed
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = relational.q_scan_project(spark, sf_dir)
+    scans = inspect.scan_columns(df)
+    assert scans, "no parquet scan found"
+    # lineitem has 11 columns; the projection must not read all of them
+    assert all(len(s) <= 5 for s in scans), scans
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = relational.q_join_inner(spark, sf_dir)
+    strategies = inspect.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of join's contract: one hash shuffle on the key — the
+    union-window formulation must not add sorts-as-exchanges."""
+    df = relational_ext.q_join_asof(spark, sf_dir)
+    assert inspect.num_shuffles(df) == 1, inspect.physical_plan(df)
+
+
+def test_flagship_uses_partial_agg_not_global_sort(spark, sf_dir):
+    plan = inspect.physical_plan(flagship.q_flagship(spark, sf_dir))
+    # latest-per-segment is max(struct(...)), not a windowed sort of orders
+    assert "Window" not in plan, plan
+
+
+def test_agg_group_single_pass(spark, sf_dir):
+    """Scan→partial agg→shuffle→final agg: exactly one shuffle, no fan_out
+    (map-side combine beats repartition for plain aggregation)."""
+    df = relational.q_agg_group(spark, sf_dir)
+    assert inspect.num_shuffles(df) == 1, inspect.physical_plan(df)
+    assert inspect.has_partial_agg(df)
+
+
+def test_minhash_has_no_cartesian(spark, sf_dir):
+    """Band-blocking contract: candidate generation must never be a
+    cross join over documents."""
+    plan = inspect.physical_plan(dedup.q_dedup_minhash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Cross" not in plan, plan
