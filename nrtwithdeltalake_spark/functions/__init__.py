@@ -1,0 +1,101 @@
+"""Public expression library: the engine's reusable column functions.
+
+Everything here returns a ``pyspark.sql.Column`` built from built-in
+functions (JVM codegen — no Python in the row path), so these compose
+freely with any DataFrame operation and keep whole-stage codegen intact.
+
+Three families:
+
+* **decimal-exact money math** — aggregation over money/quantity doubles
+  in decimal space so results are deterministic and engine-portable
+  (re-exported from ``operators.helpers``, see that module's numeric
+  policy note);
+* **vector math** over ``array<float|double>`` embedding columns —
+  dot/cosine via ``zip_with`` + ``aggregate`` folds;
+* **text expressions** — tokenization, shingling, chunking used by the
+  dedup/text operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.helpers import (  # noqa: F401  (re-exports)
+    avg_double,
+    charge,
+    disc_price,
+    dprice,
+    dqty,
+    drate,
+    money_sum,
+)
+
+__all__ = [
+    "avg_double",
+    "charge",
+    "disc_price",
+    "dprice",
+    "dqty",
+    "drate",
+    "money_sum",
+    "vec_as_double",
+    "vec_dot",
+    "vec_norm",
+    "vec_cosine",
+    "ws_tokens",
+    "token_shingles",
+    "chunk_spans",
+]
+
+
+# -- vector math -----------------------------------------------------------
+
+
+def vec_as_double(col: str) -> Column:
+    """Cast an array<float> embedding to array<double> for stable math."""
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def vec_dot(a: str, b: str) -> Column:
+    """Dot product of two array columns (left-to-right double fold —
+    deterministic accumulation order)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def vec_norm(a: str) -> Column:
+    """L2 norm of an array column."""
+    return F.sqrt(vec_dot(a, a))
+
+
+def vec_cosine(a: str, b: str) -> Column:
+    """Cosine similarity of two array columns."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+# -- text ------------------------------------------------------------------
+
+
+def ws_tokens(col: str = "text") -> Column:
+    """Whitespace tokens."""
+    return F.split(F.col(col), " ")
+
+
+def token_shingles(col: str = "text", k: int = 3) -> Column:
+    """Distinct xxhash64 of k-token shingles (the minhash input)."""
+    toks = f"split({col}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, {k})))))"
+    )
+
+
+def chunk_spans(col: str = "text", length: int = 256, stride: int = 224) -> Column:
+    """Overlapping fixed-size substrings (pre-embedding chunking)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}), 1), {stride}), "
+        f"i -> substring({col}, i, {length}))"
+    )

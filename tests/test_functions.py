@@ -1,0 +1,92 @@
+"""Unit tests for the public expression library and skew utilities —
+each helper asserted against a plain-Spark recomputation (salting and
+decimal tricks must be invisible in results)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark import functions as nf
+from nrtwithdeltalake_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_vec_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 2.0], [2.0, 4.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r.id: (r.dot, r.cos)
+        for r in df.select(
+            "id",
+            nf.vec_dot("a", "b").alias("dot"),
+            nf.vec_cosine("a", "b").alias("cos"),
+        ).collect()
+    }
+    assert got[1] == (0.0, 0.0)
+    assert got[2][0] == 10.0
+    assert math.isclose(got[2][1], 1.0)
+
+
+def test_chunk_spans_cover_text_with_overlap(spark):
+    df = spark.createDataFrame([("x" * 600,)], "text string")
+    chunks = df.select(
+        F.explode(nf.chunk_spans("text", length=256, stride=224)).alias("c")
+    ).collect()
+    # spans at 1, 225, 449 → lengths 256, 256, 152
+    assert [len(r.c) for r in chunks] == [256, 256, 152]
+    assert sum(len(r.c) - 32 for r in chunks[:-1]) + len(chunks[-1].c) == 600
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k")
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    plain = left.join(right, ["k"]).select("rid", "k", "v")
+    salted = salted_join(left, right, ["k"], ["rid"], n_salt=8).select(
+        "rid", "k", "v"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 10), (2, 99)], "rid long, k long")
+    right = spark.createDataFrame([(10, "hit")], "k long, v string")
+    rows = {
+        r.rid: r.v
+        for r in salted_join(left, right, ["k"], ["rid"], n_salt=4, how="left")
+        .select("rid", "v")
+        .collect()
+    }
+    assert rows == {1: "hit", 2: None}
+
+
+def test_two_phase_agg_equals_plain_agg(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    plain = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    two = {
+        r.k: (r.s, r.n)
+        for r in two_phase_agg(
+            df,
+            ["k"],
+            {"ps": F.sum("v"), "pn": F.count(F.lit(1))},
+            {"s": F.sum("ps"), "n": F.sum("pn")},
+            salt_cols=["v"],
+            n_salt=16,
+        ).collect()
+    }
+    assert two == plain
