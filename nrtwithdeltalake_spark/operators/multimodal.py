@@ -88,9 +88,55 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SAMPLED_FRAMES = 4
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one input payload → N output rows (≤ 4 evenly
+    strided 'frames'), the video-keyframe / audio-window extraction shape.
+    Unlike decode (1→1), this exercises variable output cardinality
+    through ``mapInPandas`` — the same pattern yields image tiles,
+    audio windows, or PDF pages. Frame bytes are faked (codec-free
+    container) as deterministic digests; the row shape, Arrow batching,
+    and per-frame metadata are real. Rows-only check."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_index": [],
+                "frame_md5": [],
+                "n_frames_total": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, n_frames = _fake_decode(payload)
+                stride = max(1, -(-n_frames // MAX_SAMPLED_FRAMES))
+                for idx in range(0, n_frames, stride):
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(idx)
+                    # stand-in for decoded frame bytes: digest(payload‖idx)
+                    out["frame_md5"].append(
+                        hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
+                    )
+                    out["n_frames_total"].append(n_frames)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        sample_batches,
+        schema=(
+            "doc_id long, frame_index int, frame_md5 string, n_frames_total int"
+        ),
+    )
+
+
 QUERIES = {
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {

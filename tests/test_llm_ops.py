@@ -111,3 +111,21 @@ def test_ann_ivf_valid_and_scores_match_exact(spark, sf_dir):
     for q, rows in per_q.items():
         assert len(rows) <= 10
         assert len({r.neighbor_id for r in rows}) == len(rows)
+
+
+def test_frame_sample_cardinality_and_determinism(spark, sf_dir):
+    """≤ 4 frames per doc, indices strided evenly, deterministic bytes."""
+    df = multimodal.q_multimodal_frame_sample(spark, sf_dir)
+    rows = df.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(per_doc) == n_docs
+    for frames in per_doc.values():
+        assert 1 <= len(frames) <= 4
+        total = frames[0].n_frames_total
+        assert all(f.n_frames_total == total for f in frames)
+        assert all(0 <= f.frame_index < total for f in frames)
+    again = {(r.doc_id, r.frame_index): r.frame_md5 for r in df.collect()}
+    assert all(again[(r.doc_id, r.frame_index)] == r.frame_md5 for r in rows)
