@@ -18,6 +18,8 @@ Three families:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -74,6 +76,29 @@ def vec_norm(a: str) -> Column:
 def vec_cosine(a: str, b: str) -> Column:
     """Cosine similarity of two array columns."""
     return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def vec_cosine_pandas() -> "object":
+    """Arrow-batched pandas_udf cosine: the Python-side alternative to
+    ``vec_cosine`` for when vector math outgrows Catalyst expression
+    trees (high dims, fused multi-score kernels). NumPy vectorizes the
+    whole Arrow batch — the 10-100× path over row-at-a-time UDFs; still
+    slower than the pure-Catalyst fold for simple kernels, so prefer
+    ``vec_cosine`` unless profiling says otherwise.
+
+    Usage: ``df.select(vec_cosine_pandas()("a", "b"))``
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        dots = np.einsum("ij,ij->i", am, bm)
+        norms = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(dots / norms)
+
+    return _cos
 
 
 # -- text ------------------------------------------------------------------

@@ -90,3 +90,16 @@ def test_two_phase_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert two == plain
+
+
+def test_vec_cosine_pandas_matches_catalyst(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 2.0, 3.0], [4.0, 5.0, float(i + 6)]) for i in range(50)],
+        "id long, a array<double>, b array<double>",
+    )
+    got = df.select(
+        "id",
+        nf.vec_cosine("a", "b").alias("c_sql"),
+        nf.vec_cosine_pandas()("a", "b").alias("c_py"),
+    ).collect()
+    assert all(math.isclose(r.c_sql, r.c_py, rel_tol=1e-12) for r in got)
