@@ -301,13 +301,55 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 max-abs quantization per vector — the standard
+    4× storage/bandwidth cut before ANN indexing at scale. Pure Catalyst
+    (lambda references the precomputed scale column; no per-element
+    rescan). Zero-vectors guarded with an epsilon floor so ANSI-mode
+    round(inf)→int can't trap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    am = F.expr(
+        "greatest(array_max(transform(embedding, y -> abs(cast(y as double)))),"
+        " cast(1e-12 as double))"
+    )
+    return (
+        emb.select("vec_id", "embedding", am.alias("am"))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "cast(round(cast(x as double) * 127.0 / am) as int))"
+            ).alias("q8"),
+            F.round(F.col("am") / 127.0, 9).alias("scale"),
+        )
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH a AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  y -> abs(cast(y as double)))), cast(1e-12 as double)) AS am
+  FROM embeddings
+)
+SELECT vec_id,
+       list_transform(embedding,
+                      x -> cast(round(cast(x as double) * 127.0 / am) as int))
+           AS q8,
+       round(am / 127.0, 9) AS scale
+FROM a
+"""
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_embed_quantize": q_embed_quantize,
 }
 
 ORACLES = {
     "q_sim_topk": ORACLE_SIM_TOPK,
+    "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
 }

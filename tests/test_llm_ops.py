@@ -129,3 +129,17 @@ def test_frame_sample_cardinality_and_determinism(spark, sf_dir):
         assert all(0 <= f.frame_index < total for f in frames)
     again = {(r.doc_id, r.frame_index): r.frame_md5 for r in df.collect()}
     assert all(again[(r.doc_id, r.frame_index)] == r.frame_md5 for r in rows)
+
+
+def test_quantize_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized values must sit within scale/2 of the originals, and
+    q8 must span [-127, 127]."""
+    got = similarity.q_embed_quantize(spark, sf_dir).collect()
+    orig = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    for r in got:
+        assert all(-127 <= q <= 127 for q in r.q8)
+        for q, x in zip(r.q8, orig[r.vec_id]):
+            assert abs(q * r.scale - x) <= r.scale / 2 + 1e-9
