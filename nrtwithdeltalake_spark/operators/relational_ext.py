@@ -233,6 +233,121 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, date theta
+    filters, grouped revenue, top-10. Catalyst pushes both date filters
+    into the scans and broadcasts the filtered customer side."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "2001-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "2001-06-01"
+    )
+    from .helpers import disc_price, money_sum
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money_sum(disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_odate"),
+            "revenue",
+        )
+    )
+
+
+ORACLE_TPCH_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_odate,
+       {sql_money_sum("cast(l_extendedprice as decimal(15,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))", 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2001-06-01'
+  AND l_shipdate  > TIMESTAMP '2001-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-table join chain where
+    region→nation→{customer, supplier} are broadcast dims and the
+    customer-nation = supplier-nation condition closes the cycle."""
+    from .helpers import disc_price, money_sum
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(disc_price(), "revenue"))
+    )
+
+
+ORACLE_TPCH_Q5 = f"""
+SELECT n_name,
+       {sql_money_sum("cast(l_extendedprice as decimal(15,2)) * (cast(1 as decimal(5,4)) - cast(l_discount as decimal(5,4)))", 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subqueries through the SQL surface (O19
+    generalized): rows above the global average, tagged with how far
+    above the per-flag average they sit. Catalyst rewrites the scalar
+    subquery to a broadcast and the correlated one to an aggregate+join."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_sub")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               round(l_quantity - (SELECT avg(l_quantity) FROM v_li_sub
+                                   WHERE l_returnflag = o.l_returnflag),
+                     6) AS above_flag_avg
+        FROM v_li_sub o
+        WHERE l_quantity > (SELECT avg(l_quantity) FROM v_li_sub)
+        """
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_quantity - (SELECT avg(l_quantity) FROM lineitem
+                           WHERE l_returnflag = o.l_returnflag),
+             6) AS above_flag_avg
+FROM lineitem o
+WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
     "q_window_sliding_agg": q_window_sliding_agg,
@@ -240,6 +355,9 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_agg_hll_union": q_agg_hll_union,
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q5": q_tpch_q5,
+    "q_scalar_subquery": q_scalar_subquery,
 }
 
 ORACLES = {
@@ -247,4 +365,7 @@ ORACLES = {
     "q_window_sliding_agg": ORACLE_WINDOW_SLIDING,
     "q_agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
     "q_pivot": ORACLE_PIVOT,
+    "q_tpch_q3": ORACLE_TPCH_Q3,
+    "q_tpch_q5": ORACLE_TPCH_Q5,
+    "q_scalar_subquery": ORACLE_SCALAR_SUBQUERY,
 }
