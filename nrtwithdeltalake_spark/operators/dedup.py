@@ -269,14 +269,105 @@ WHERE cast(len(list_intersect(l.toks, r.toks)) as double)
 """
 
 
+def connected_components(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation — the clustering step that turns near-duplicate PAIRS
+    into groups with one canonical survivor (GraphFrames-free).
+
+    Each node starts labeled with the smallest id among itself and its
+    direct neighbors; every iteration joins labels across edges and
+    re-minimizes, so labels flood monotonically downhill and the loop
+    converges in ≤ graph-diameter iterations (dedup clusters are
+    shallow). Per iteration: one join + one groupBy — both shuffles on
+    node id; ``localCheckpoint`` truncates the growing lineage so plans
+    stay O(1) per round. Driver sees only the convergence counter."""
+    both = edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    both = both.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        both.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            both.join(labels, both.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the n-gram Jaccard pairs: every clustered
+    doc labeled with its component's min doc_id (the canonical keeper).
+    Deterministic → DuckDB-oracle-backed via a recursive reachability
+    CTE."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# Reachability closure (recursive CTE; the UNION dedup terminates cycles),
+# then min reachable id per node == the propagation fixpoint.
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split(text, ' ')) AS toks,
+         len(string_split(text, ' ')) AS ntok
+  FROM documents
+), pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM t l JOIN t r
+    ON l.source = r.source AND l.ntok = r.ntok AND l.doc_id < r.doc_id
+  WHERE cast(len(list_intersect(l.toks, r.toks)) as double)
+        / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst AS r
+  FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+    "q_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

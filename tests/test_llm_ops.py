@@ -143,3 +143,20 @@ def test_quantize_roundtrip_error_bounded(spark, sf_dir):
         assert all(-127 <= q <= 127 for q in r.q8)
         for q, x in zip(r.q8, orig[r.vec_id]):
             assert abs(q * r.scale - x) <= r.scale / 2 + 1e-9
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Both endpoints of every near-dup pair share a cluster, and each
+    cluster's id is its minimum member."""
+    pairs = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    by_cluster = {}
+    for doc, c in labels.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
