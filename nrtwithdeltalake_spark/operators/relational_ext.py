@@ -198,6 +198,55 @@ GROUP BY l_returnflag
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): customer balance vs a derived metric widened back
+    to (key, metric, value) rows — the inverse of q_pivot, via the
+    native ``DataFrame.unpivot`` (Expand operator, no shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.round(F.col("c_acctbal") * 0.1, 4).alias("tithe"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "tithe"], "metric", "value"
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'tithe', round(c_acctbal * 0.1, 4) FROM customer
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per event, activity count in the
+    preceding hour for the same user — time-based frames complement the
+    ROWS frames of q_window_running."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+           AS n_last_hour
+FROM events
+"""
+
+
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting: approx_count_distinct (HLL++) per
     segment next to the exact count. At 100 TB the exact count shuffles
@@ -355,6 +404,8 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_agg_hll_union": q_agg_hll_union,
+    "q_unpivot": q_unpivot,
+    "q_window_range_frame": q_window_range_frame,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
     "q_scalar_subquery": q_scalar_subquery,
@@ -365,6 +416,8 @@ ORACLES = {
     "q_window_sliding_agg": ORACLE_WINDOW_SLIDING,
     "q_agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
     "q_pivot": ORACLE_PIVOT,
+    "q_unpivot": ORACLE_UNPIVOT,
+    "q_window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "q_tpch_q3": ORACLE_TPCH_Q3,
     "q_tpch_q5": ORACLE_TPCH_Q5,
     "q_scalar_subquery": ORACLE_SCALAR_SUBQUERY,
