@@ -420,6 +420,40 @@ class VersionedTable:
         )
         return v
 
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Delete data/CDF files referenced only by versions older than
+        the newest ``retain_last`` — the storage-reclamation half of
+        copy-on-write (Delta VACUUM analog). Bounds time travel to the
+        retained window; expired commit records stay readable as history
+        metadata but their exclusive files are gone. At 100 TB this is
+        what keeps a merge-heavy table from storing every rewrite
+        forever. Metadata-only on the driver (file-list set algebra);
+        deletion is idempotent — a crash mid-delete just leaves garbage
+        for the next vacuum."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        commits = self.history()
+        cutoff = commits[-1].version - retain_last + 1
+        keep: set[str] = set()
+        drop: set[str] = set()
+        for c in commits:
+            target = keep if c.version >= cutoff else drop
+            target.update(c.files)
+            target.update(c.cdf_files)
+        doomed = drop - keep
+        freed = 0
+        n_deleted = 0
+        for f in sorted(doomed):
+            if os.path.exists(f):
+                freed += os.path.getsize(f)
+                os.remove(f)
+                n_deleted += 1
+        return {
+            "deleted_files": n_deleted,
+            "freed_bytes": freed,
+            "oldest_readable_version": cutoff,
+        }
+
     # -- change feed (O20-O21) --------------------------------------------
 
     def change_feed(self, starting_version: int) -> DataFrame:
@@ -434,6 +468,15 @@ class VersionedTable:
         for c in commits:
             if not c.cdf_files:
                 continue
+            gone = [f for f in c.cdf_files if not os.path.exists(f)]
+            if gone:
+                # vacuumed past this consumer's watermark: resuming would
+                # silently lose changes — fail loudly (Delta does too);
+                # the consumer must re-bootstrap from a snapshot read.
+                raise ValueError(
+                    f"change feed for version {c.version} was vacuumed; "
+                    "reload from a snapshot and restart the watermark"
+                )
             df = self.spark.read.parquet(*c.cdf_files).withColumn(
                 "_commit_version", F.lit(c.version)
             )

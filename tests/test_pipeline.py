@@ -339,3 +339,36 @@ def test_compact_binpacks_preserving_content_and_history(spark, tmp_path):
     )
     spans = sorted((r.lo, r.hi) for r in stats)
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_vacuum_reclaims_only_expired_exclusive_files(spark, tmp_path):
+    """vacuum(retain_last=1) deletes files exclusive to expired versions,
+    keeps everything the retained snapshot references (carried-over files
+    survive), leaves the latest read intact, and breaks change-feed
+    resumption from vacuumed versions with a clear error."""
+    path = str(tmp_path / "t_vac")
+    df0 = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    t = VersionedTable.create(spark, path, df0.repartition(4))
+    t.append(
+        spark.range(500, 600).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+        )
+    )
+    # overwrite drops all old data files from the live set
+    t.overwrite(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+        )
+    )
+    live = set(t.get_commit().files)
+    assert all(os.path.exists(f) for f in live)
+    res = t.vacuum(retain_last=1)
+    assert res["deleted_files"] > 0
+    assert all(os.path.exists(f) for f in live)
+    assert sorted(r.k for r in t.read().collect()) == list(range(50))
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.change_feed(0).count()
+    # idempotent
+    assert t.vacuum(retain_last=1)["deleted_files"] == 0
