@@ -402,6 +402,15 @@ class VersionedTable:
         else:
             df = df.coalesce(n_out) if n_out < len(prev.files) else df
         new_files = self._write_files(df, self.data_dir)
+        stats = {
+            "files_before": len(prev.files),
+            "files_after": len(new_files),
+            "bytes": total,
+        }
+        if cluster_by:
+            stats["file_stats"] = self._collect_file_stats(
+                new_files, prev.schema_json, cluster_by
+            )
         v = prev.version + 1
         self._write_commit(
             Commit(
@@ -411,14 +420,65 @@ class VersionedTable:
                 [],
                 prev.schema_json,
                 time.time(),
-                {
-                    "files_before": len(prev.files),
-                    "files_after": len(new_files),
-                    "bytes": total,
-                },
+                stats,
             )
         )
         return v
+
+    # -- data skipping (Delta file-stats analog) ---------------------------
+
+    def _collect_file_stats(
+        self, files: list[str], schema_json: str, cols: list[str]
+    ) -> dict:
+        """Per-file min/max of ``cols`` — one aggregate job grouped by
+        ``_metadata.file_path``; O(#files × #cols) JSON in the commit.
+        Values are stored via ``str()`` (sortable for numerics compared
+        as-typed at prune time; prune falls back to keeping the file on
+        parse failure)."""
+        df = self._read_files(files, schema_json).withColumn(
+            "__f", F.col("_metadata.file_path")
+        )
+        aggs = [F.min(c).alias(f"lo_{c}") for c in cols] + [
+            F.max(c).alias(f"hi_{c}") for c in cols
+        ]
+        out: dict[str, dict] = {}
+        for r in df.groupBy("__f").agg(*aggs).collect():
+            out[_strip_scheme(r["__f"])] = {
+                c: [str(r[f"lo_{c}"]), str(r[f"hi_{c}"])] for c in cols
+            }
+        return out
+
+    def read_between(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read with driver-side file skipping: files whose
+        committed [min, max] for ``col`` don't intersect [lo, hi] are
+        dropped from the scan list before Spark ever opens them — the
+        query never pays listing/footer cost for cold ranges. Falls back
+        to the full file list when no stats exist (pre-compact commits);
+        the residual filter keeps results exact either way."""
+        c = self.get_commit(version)
+        fstats = c.stats.get("file_stats", {})
+
+        def overlaps(f: str) -> bool:
+            s = fstats.get(f)
+            if not s or col not in s:
+                return True
+            f_lo, f_hi = s[col]
+            try:
+                t_lo, t_hi = type(lo)(f_lo), type(hi)(f_hi)
+            except (TypeError, ValueError):
+                return True
+            return t_hi >= lo and t_lo <= hi
+
+        files = [f for f in c.files if overlaps(f)]
+        return self._read_files(files, c.schema_json).filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Delete data/CDF files referenced only by versions older than

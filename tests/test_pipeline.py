@@ -372,3 +372,23 @@ def test_vacuum_reclaims_only_expired_exclusive_files(spark, tmp_path):
         t.change_feed(0).count()
     # idempotent
     assert t.vacuum(retain_last=1)["deleted_files"] == 0
+
+
+def test_read_between_skips_files_by_stats(spark, tmp_path):
+    """After a clustered compact, a narrow range read must scan fewer
+    files than the table holds and still return exact rows."""
+    path = str(tmp_path / "t_skip")
+    df0 = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t = VersionedTable.create(spark, path, df0.repartition(16))
+    t.compact(target_file_bytes=16 * 1024, cluster_by=["k"])
+    n_files_total = len(t.get_commit().files)
+    assert n_files_total > 3, "compact produced too few files for the test"
+    pruned = t.read_between("k", 100, 200)
+    assert len(pruned.inputFiles()) < n_files_total
+    got = sorted(r.k for r in pruned.collect())
+    assert got == list(range(100, 201))
+    # no stats for the pre-compact version -> full list, same rows
+    v0 = t.read_between("k", 100, 200, version=0)
+    assert sorted(r.k for r in v0.collect()) == got
