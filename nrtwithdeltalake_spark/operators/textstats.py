@@ -220,6 +220,54 @@ FROM g
 """
 
 
+# Simple alternation-free patterns that Java regex (Spark) and RE2
+# (DuckDB) evaluate identically.
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_URL_PAT = "https?://[^ ]+"
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning: redact emails and URLs, report how many of
+    each were removed and the cleaned length. Single scan+project in
+    codegen — the shape of every regex-scrub pass (PII, boilerplate,
+    markup) over a 100 TB corpus."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    n_email = F.size(
+        F.regexp_extract_all("text", F.lit(_EMAIL_PAT), F.lit(0))
+    ).cast("long")
+    n_url = F.size(
+        F.regexp_extract_all("text", F.lit(_URL_PAT), F.lit(0))
+    ).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_PAT, "<EMAIL>"),
+        _URL_PAT,
+        "<URL>",
+    )
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_url.alias("n_urls"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+ORACLE_TEXT_SCRUB = f"""
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '{_EMAIL_PAT}', 0)) as bigint)
+           AS n_emails,
+       cast(len(regexp_extract_all(text, '{_URL_PAT}', 0)) as bigint)
+           AS n_urls,
+       cast(length(regexp_replace(regexp_replace(text, '{_EMAIL_PAT}',
+                '<EMAIL>', 'g'), '{_URL_PAT}', '<URL>', 'g')) as bigint)
+           AS clean_len,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>',
+                'g'), '{_URL_PAT}', '<URL>', 'g'))
+           AS clean_md5
+FROM documents
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: full-text MD5 plus a truncated prefix used
     as a shard/bucket key (hex MD5 is identical cross-engine)."""
@@ -262,6 +310,7 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_fingerprint_shingles": q_fingerprint_shingles,
     "q_text_chunks": q_text_chunks,
+    "q_text_scrub": q_text_scrub,
 }
 
 ORACLES = {
@@ -271,4 +320,5 @@ ORACLES = {
     "q_quality_score": ORACLE_QUALITY,
     "q_doc_fingerprint": ORACLE_FINGERPRINT,
     "q_text_chunks": ORACLE_TEXT_CHUNKS,
+    "q_text_scrub": ORACLE_TEXT_SCRUB,
 }
