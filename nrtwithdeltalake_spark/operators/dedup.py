@@ -311,6 +311,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        both.unpersist()
+        # returning unconverged labels would silently split clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter too large — raise max_iter)"
+        )
     both.unpersist()
     return labels
 

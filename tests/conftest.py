@@ -22,3 +22,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Session-scoped alias usable inside hypothesis @given tests (which
+    reject function-scoped fixtures)."""
+    return spark

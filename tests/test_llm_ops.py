@@ -4,6 +4,7 @@ test_relational.py's parametrized oracle sweep via the registry."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from nrtwithdeltalake_spark.operators import dedup, multimodal, similarity
@@ -160,3 +161,36 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         by_cluster.setdefault(c, []).append(doc)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark_global, edges):
+    """Property: distributed min-label propagation ≡ driver union-find on
+    random graphs (self-loops and duplicates included)."""
+    uf = {}
+
+    def find(x):
+        while uf.setdefault(x, x) != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            uf[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in uf}
+
+    df = spark_global.createDataFrame(edges, "a long, b long")
+    got = {
+        r.node: r.label
+        for r in dedup.connected_components(df, max_iter=30).collect()
+    }
+    assert got == {n: r for n, r in want.items()}

@@ -62,3 +62,17 @@ def test_minhash_has_no_cartesian(spark, sf_dir):
     plan = inspect.physical_plan(dedup.q_dedup_minhash(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Cross" not in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    strategies = inspect.join_strategies(relational_ext.q_tpch_q5(spark, sf_dir))
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+
+
+def test_text_chunks_single_fanout_shuffle(spark, sf_dir):
+    """Chunking must stay scan-parallel: the only exchange allowed is the
+    explicit fan_out repartition (a no-op choice on multi-file inputs)."""
+    from nrtwithdeltalake_spark.operators import textstats
+
+    df = textstats.q_text_chunks(spark, sf_dir)
+    assert inspect.num_shuffles(df) <= 1, inspect.physical_plan(df)
