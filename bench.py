@@ -36,6 +36,10 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_sim_topk",
     "q_text_stats",
+    "q_tpch_q5",
+    "q_text_chunks",
+    "q_text_scrub",
+    "q_embed_quantize",
 ]
 
 
