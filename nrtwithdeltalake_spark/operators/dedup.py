@@ -269,6 +269,58 @@ WHERE cast(len(list_intersect(l.toks, r.toks)) as double)
 """
 
 
+EVAL_MOD = 100  # doc_id % 100 == 0 → held-out eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs sharing ≥1 word 4-gram
+    with any eval-set doc (doc_id % 100 == 0 plays the benchmark set),
+    with the shared-gram count. Same blocking shape as minhash banding —
+    explode distinct grams, equi-join on the gram, aggregate pairs; the
+    shuffle carries (gram, id), never document pairs, so contamination
+    checks stay linear in corpus size at 100 TB (at that scale, hash the
+    gram to 8 bytes first; kept as text here for the DuckDB oracle)."""
+    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                "sequence(1, greatest(size(split(text, ' ')) - 3, 1)), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 4))))"
+            )
+        ).alias("gram"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    tr = grams.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        tr.join(ev, "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+ORACLE_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 3, 1)),
+             i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+  FROM t
+)
+SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, count(*) AS n_shared
+FROM g tr JOIN g ev ON tr.gram = ev.gram
+WHERE ev.doc_id % 100 = 0 AND tr.doc_id % 100 <> 0
+GROUP BY 1, 2
+"""
+
+
 def connected_components(
     edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
 ) -> DataFrame:
@@ -371,10 +423,12 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_decontaminate": q_decontaminate,
 }
 
 ORACLES = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "q_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "q_decontaminate": ORACLE_DECONTAMINATE,
 }
