@@ -397,8 +397,47 @@ WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
 """
 
 
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sampling by content-independent key hash
+    (md5(doc_id) bucket) — the way training pipelines downsample:
+    engine-portable, stable across runs/partitionings (unlike
+    ``df.sample``), and stratification-friendly (uniform per key).
+    Emits per-source totals vs sampled counts so the rate is visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        % 10
+    )
+    return (
+        docs.select("source", bucket.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+        )
+    )
+
+
+ORACLE_SAMPLE_DETERMINISTIC = """
+SELECT source, count(*) AS n_total,
+       cast(sum(CASE WHEN CAST(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+                          AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END) as bigint)
+           AS n_sampled
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
+    "q_sample_deterministic": q_sample_deterministic,
     "q_window_sliding_agg": q_window_sliding_agg,
     "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_pivot": q_pivot,
@@ -413,6 +452,7 @@ QUERIES = {
 
 ORACLES = {
     "q_join_asof": ORACLE_JOIN_ASOF,
+    "q_sample_deterministic": ORACLE_SAMPLE_DETERMINISTIC,
     "q_window_sliding_agg": ORACLE_WINDOW_SLIDING,
     "q_agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
     "q_pivot": ORACLE_PIVOT,
