@@ -435,8 +435,83 @@ GROUP BY source
 """
 
 
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-customer order counts reconciled against
+    per-user event counts — matched, left-only, and right-only keys all
+    surface (the audit/reconciliation join)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") >= 50)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, o.o_custkey == e.user_id, "full").select(
+        F.coalesce("o_custkey", "user_id").alias("key"),
+        "n_orders",
+        "n_events",
+    )
+
+
+ORACLE_JOIN_FULL = """
+SELECT coalesce(o.o_custkey, e.user_id) AS key, o.n_orders, e.n_events
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders
+      WHERE o_custkey < 100 GROUP BY o_custkey) o
+FULL OUTER JOIN
+     (SELECT user_id, count(*) AS n_events FROM events
+      WHERE user_id >= 50 GROUP BY user_id) e
+  ON o.o_custkey = e.user_id
+"""
+
+
+def q_agg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: deterministic (sorted, distinct) collection of
+    group members — collect_set is unordered by contract, so sort_array
+    makes the result engine-portable and testable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_AGG_ARRAY = """
+SELECT l_returnflag,
+       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p95) per group — the
+    exact path; the sketch path for 100 TB is approx_percentile /
+    q_agg_approx_distinct's family."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+ORACLE_AGG_PERCENTILE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
+    "q_join_full": q_join_full,
+    "q_agg_array": q_agg_array,
+    "q_agg_percentile": q_agg_percentile,
     "q_sample_deterministic": q_sample_deterministic,
     "q_window_sliding_agg": q_window_sliding_agg,
     "q_agg_grouping_sets": q_agg_grouping_sets,
@@ -452,6 +527,9 @@ QUERIES = {
 
 ORACLES = {
     "q_join_asof": ORACLE_JOIN_ASOF,
+    "q_join_full": ORACLE_JOIN_FULL,
+    "q_agg_array": ORACLE_AGG_ARRAY,
+    "q_agg_percentile": ORACLE_AGG_PERCENTILE,
     "q_sample_deterministic": ORACLE_SAMPLE_DETERMINISTIC,
     "q_window_sliding_agg": ORACLE_WINDOW_SLIDING,
     "q_agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,

@@ -168,12 +168,36 @@ FROM events
 """
 
 
+def q_scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic/content hash pack (md5, sha2-256) — the primitives
+    under content addressing, dedup keys, and cache keys; both engines
+    produce identical hex."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.md5(payload).alias("h_md5"),
+        F.sha2(payload, 256).alias("h_sha256"),
+        F.length(F.sha2(payload, 256)).cast("long").alias("hex_len"),
+    )
+
+
+ORACLE_SCALAR_HASH = """
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       cast(length(sha256(text)) as bigint) AS hex_len
+FROM documents
+"""
+
+
 QUERIES = {
     "q_scalar_datetime": q_scalar_datetime,
     "q_scalar_string": q_scalar_string,
     "q_scalar_conditional": q_scalar_conditional,
     "q_scalar_math": q_scalar_math,
     "q_scalar_json": q_scalar_json,
+    "q_scalar_hash": q_scalar_hash,
 }
 
 ORACLES = {
@@ -182,4 +206,5 @@ ORACLES = {
     "q_scalar_conditional": ORACLE_SCALAR_CONDITIONAL,
     "q_scalar_math": ORACLE_SCALAR_MATH,
     "q_scalar_json": ORACLE_SCALAR_JSON,
+    "q_scalar_hash": ORACLE_SCALAR_HASH,
 }
