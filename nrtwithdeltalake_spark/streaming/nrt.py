@@ -95,6 +95,34 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join (e.g. clicks ⋈ purchases per user within
+    a time bound). Both sides carry watermarks and the join condition
+    bounds event-time distance, so each side's buffered state is evicted
+    once the other side's watermark passes — state stays
+    O(rate × window), the requirement for unbounded streams. Attribution
+    joins (ad click → conversion) are exactly this shape."""
+    l = left.withWatermark("ts", within).alias("l")
+    r = right.withWatermark("ts", within).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            "l.user_id = r.user_id AND "
+            "r.ts BETWEEN l.ts AND l.ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, sess_start timestamp, sess_end timestamp, n_events long"
 )

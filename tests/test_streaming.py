@@ -212,3 +212,42 @@ def test_stateful_sessions_applyinpandaswithstate(spark, tmp_path):
     # 12:30 > 10:05 + gap)
     assert (2, d("2024-01-01 10:05:00"), d("2024-01-01 10:05:00"), 1) in sess
     assert all(r.sess_start <= r.sess_end and r.n_events >= 1 for r in rows)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Clicks joined to purchases of the same user within 30 minutes —
+    streamed result must equal the batch join."""
+    clicks = nrt.stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purch = nrt.stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        spark,
+        nrt.stream_stream_join(clicks, purch),
+        "t_ssj",
+        output_mode="append",
+    ).collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").cast("timestamp").alias("lt"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").cast("timestamp").alias("rt"),
+    )
+    want = (
+        bc.join(bp, "u")
+        .filter(
+            (F.col("rt") >= F.col("lt"))
+            & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted((r.left_id, r.right_id) for r in got) == sorted(
+        (r.left_id, r.right_id) for r in want
+    )
