@@ -28,6 +28,7 @@ Scale notes
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -507,9 +508,36 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type via a GROUPED_AGG pandas
+    UDAF — the robust-dispersion statistic Spark has no built-in for,
+    and the engine's demonstration of custom aggregates: Arrow ships the
+    group's column to numpy, one scalar comes back. At 100 TB prefer a
+    two-pass approx_percentile decomposition; the UDAF path is for
+    aggregates that genuinely can't decompose."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        import numpy as np
+
+        a = v.to_numpy()
+        return round(float(np.median(np.abs(a - np.median(a)))), 6)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(mad("value").alias("mad_value"))
+
+
+ORACLE_AGG_MAD = """
+SELECT event_type, round(mad(value), 6) AS mad_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
     "q_join_full": q_join_full,
+    "q_agg_mad": q_agg_mad,
     "q_agg_array": q_agg_array,
     "q_agg_percentile": q_agg_percentile,
     "q_sample_deterministic": q_sample_deterministic,
@@ -528,6 +556,7 @@ QUERIES = {
 ORACLES = {
     "q_join_asof": ORACLE_JOIN_ASOF,
     "q_join_full": ORACLE_JOIN_FULL,
+    "q_agg_mad": ORACLE_AGG_MAD,
     "q_agg_array": ORACLE_AGG_ARRAY,
     "q_agg_percentile": ORACLE_AGG_PERCENTILE,
     "q_sample_deterministic": ORACLE_SAMPLE_DETERMINISTIC,
