@@ -627,9 +627,10 @@ SELECT user_id, cast(sum(new_sess) + 1 as bigint) AS n_sessions,
        count(*) AS n_events
 FROM (
   SELECT user_id,
-         CASE WHEN epoch(ts)::BIGINT
-                   - lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id
-                                                  ORDER BY ts, event_id) > 1800
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ) GROUP BY user_id

@@ -241,7 +241,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINDOW_RANGE_FRAME = """
 SELECT event_id, user_id,
-       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+       count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
            AS n_last_hour
 FROM events
@@ -534,10 +534,64 @@ FROM events GROUP BY event_type
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user hourly grid between the user's
+    first and last event, bucket sums, gaps forward-filled from the last
+    observed bucket (the standard densify step before sequence models /
+    charting). Grid generation is ``sequence`` + ``explode`` (codegen,
+    rows ∝ user-hours); fill is one window pass — two shuffles total
+    (bucket agg, user window)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    b = (epoch - (epoch % 3600)).alias("b")
+    sums = ev.select("user_id", b, F.col("value").cast("decimal(12,2)").alias("v")).groupBy(
+        "user_id", "b"
+    ).agg(F.round(F.sum("v"), 2).cast("double").alias("v"))
+    span = sums.groupBy("user_id").agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, 3600)")).alias("b")
+    )
+    joined = grid.join(sums, ["user_id", "b"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "b",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias("gap"),
+    )
+
+
+ORACLE_RESAMPLE_FFILL = """
+WITH sums AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS b,
+         cast(round(sum(cast(value as decimal(12,2))), 2) as double) AS v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM sums GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS b FROM span
+)
+SELECT g.user_id, g.b,
+       last_value(s.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       cast(CASE WHEN s.v IS NULL THEN 1 ELSE 0 END as bigint) AS gap
+FROM grid g LEFT JOIN sums s ON g.user_id = s.user_id AND g.b = s.b
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
     "q_join_full": q_join_full,
     "q_agg_mad": q_agg_mad,
+    "q_resample_ffill": q_resample_ffill,
     "q_agg_array": q_agg_array,
     "q_agg_percentile": q_agg_percentile,
     "q_sample_deterministic": q_sample_deterministic,
@@ -557,6 +611,7 @@ ORACLES = {
     "q_join_asof": ORACLE_JOIN_ASOF,
     "q_join_full": ORACLE_JOIN_FULL,
     "q_agg_mad": ORACLE_AGG_MAD,
+    "q_resample_ffill": ORACLE_RESAMPLE_FFILL,
     "q_agg_array": ORACLE_AGG_ARRAY,
     "q_agg_percentile": ORACLE_AGG_PERCENTILE,
     "q_sample_deterministic": ORACLE_SAMPLE_DETERMINISTIC,
