@@ -587,11 +587,64 @@ FROM grid g LEFT JOIN sums s ON g.user_id = s.user_id AND g.b = s.b
 """
 
 
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: per-user previous/next event ids and the
+    inter-event gap in seconds — the building block of funnel and
+    dwell-time analyses."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch, "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        (epoch - F.lag(epoch).over(w)).alias("gap_s"),
+    )
+
+
+ORACLE_WINDOW_LAG_LEAD = """
+SELECT event_id, user_id,
+       lag(event_id)  OVER w AS prev_id,
+       lead(event_id) OVER w AS next_id,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+"""
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles of order value within each priority — deterministic
+    via the (totalprice, orderkey) tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+ORACLE_WINDOW_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       cast(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) as bigint)
+           AS quartile
+FROM orders
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
     "q_join_full": q_join_full,
     "q_agg_mad": q_agg_mad,
     "q_resample_ffill": q_resample_ffill,
+    "q_window_lag_lead": q_window_lag_lead,
+    "q_window_ntile": q_window_ntile,
     "q_agg_array": q_agg_array,
     "q_agg_percentile": q_agg_percentile,
     "q_sample_deterministic": q_sample_deterministic,
@@ -612,6 +665,8 @@ ORACLES = {
     "q_join_full": ORACLE_JOIN_FULL,
     "q_agg_mad": ORACLE_AGG_MAD,
     "q_resample_ffill": ORACLE_RESAMPLE_FFILL,
+    "q_window_lag_lead": ORACLE_WINDOW_LAG_LEAD,
+    "q_window_ntile": ORACLE_WINDOW_NTILE,
     "q_agg_array": ORACLE_AGG_ARRAY,
     "q_agg_percentile": ORACLE_AGG_PERCENTILE,
     "q_sample_deterministic": ORACLE_SAMPLE_DETERMINISTIC,
