@@ -95,6 +95,21 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_change_feed(spark: SparkSession, table_path: str) -> DataFrame:
+    """Stream a VersionedTable's change feed: every commit writes its CDF
+    rows as new immutable parquet files under ``_cdf/<uuid>/``, so a file
+    stream over that directory IS a CDC tail — new commits arrive as new
+    micro-batches with ``_change_type``. This is the engine's replacement
+    for the reference's scheduled CHANGETABLE polling
+    (COPY_MSQL_TO_SILVER.py:162-174): bronze commits stream straight into
+    the silver merge with no scheduler."""
+    from ..pipeline.tables import CHANGE_TYPE_COL, VersionedTable
+
+    t = VersionedTable(spark, table_path)
+    schema = t.schema().add(CHANGE_TYPE_COL, T.StringType())
+    return spark.readStream.schema(schema).parquet(f"{t.cdf_dir}/*")
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -251,3 +251,48 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert sorted((r.left_id, r.right_id) for r in got) == sorted(
         (r.left_id, r.right_id) for r in want
     )
+
+
+def test_cdf_stream_end_to_end_nrt(spark, tmp_path):
+    """The full NRT loop with no scheduler: bronze commits stream through
+    the change feed into a silver merge; silver converges to bronze's
+    latest state after each micro-batch."""
+    bronze_path = str(tmp_path / "bronze")
+    silver_path = str(tmp_path / "silver")
+
+    df0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, amt double"
+    )
+    bronze = VersionedTable.create(spark, bronze_path, df0)
+
+    stream = nrt.stream_change_feed(spark, bronze_path).drop("_change_type")
+
+    def sink(batch_df, epoch_id):
+        if not batch_df.take(1):
+            return
+        if VersionedTable.exists(silver_path):
+            VersionedTable(spark, silver_path).merge(batch_df, ["k"])
+        else:
+            VersionedTable.create(spark, silver_path, batch_df)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got0 = {(r.k, r.name, r.amt) for r in VersionedTable(spark, silver_path).read().collect()}
+    assert got0 == {(1, "a", 10.0), (2, "b", 20.0)}
+
+    # bronze upsert: update k=2, insert k=3 → streams into silver
+    bronze.merge(
+        spark.createDataFrame(
+            [(2, "b2", 25.0), (3, "c", 30.0)], "k long, name string, amt double"
+        ),
+        ["k"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    got1 = {(r.k, r.name, r.amt) for r in VersionedTable(spark, silver_path).read().collect()}
+    assert got1 == {(1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0)}
