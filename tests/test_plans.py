@@ -76,3 +76,16 @@ def test_text_chunks_single_fanout_shuffle(spark, sf_dir):
 
     df = textstats.q_text_chunks(spark, sf_dir)
     assert inspect.num_shuffles(df) <= 1, inspect.physical_plan(df)
+
+
+def test_lag_lead_single_shuffle(spark, sf_dir):
+    df = relational_ext.q_window_lag_lead(spark, sf_dir)
+    assert inspect.num_shuffles(df) == 1, inspect.physical_plan(df)
+
+
+def test_resample_shuffle_budget(spark, sf_dir):
+    """Grid densify + fill: bucket agg, span agg, grid-to-sums join, fill
+    window — at most 4 exchanges, no broadcast explosion."""
+    df = relational_ext.q_resample_ffill(spark, sf_dir)
+    assert inspect.num_shuffles(df) <= 4, inspect.physical_plan(df)
+    assert "CartesianProduct" not in inspect.physical_plan(df)
