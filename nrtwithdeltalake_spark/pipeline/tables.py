@@ -151,6 +151,18 @@ class VersionedTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.get_commit(version).schema_json))
 
+    @staticmethod
+    def _carry_stats(prev: Commit, kept_files: list[str], base: dict | None = None) -> dict:
+        """Carry per-file min/max stats forward for files that survive a
+        commit untouched — data skipping keeps working between compactions
+        (a rewritten file's stats die with the file)."""
+        out = dict(base or {})
+        prev_stats = prev.stats.get("file_stats", {})
+        kept = {f: prev_stats[f] for f in kept_files if f in prev_stats}
+        if kept:
+            out["file_stats"] = kept
+        return out
+
     # -- writes ------------------------------------------------------------
 
     @classmethod
@@ -199,7 +211,7 @@ class VersionedTable:
                 cdf,
                 df.schema.json(),
                 time.time(),
-                {},
+                self._carry_stats(prev, prev.files),
             )
         )
         return v
@@ -310,7 +322,11 @@ class VersionedTable:
         cdf_files = self._write_files(change, self.cdf_dir)
 
         v = prev.version + 1
-        stats = {"touched_files": len(touched), "carryover_files": len(carryover)}
+        stats = self._carry_stats(
+            prev,
+            carryover,
+            {"touched_files": len(touched), "carryover_files": len(carryover)},
+        )
         self._write_commit(
             Commit(
                 v,
@@ -366,7 +382,7 @@ class VersionedTable:
                 cdf_files,
                 prev.schema_json,
                 time.time(),
-                {"touched_files": len(touched)},
+                self._carry_stats(prev, carryover, {"touched_files": len(touched)}),
             )
         )
         return v

@@ -392,3 +392,28 @@ def test_read_between_skips_files_by_stats(spark, tmp_path):
     # no stats for the pre-compact version -> full list, same rows
     v0 = t.read_between("k", 100, 200, version=0)
     assert sorted(r.k for r in v0.collect()) == got
+
+
+def test_file_stats_survive_merge_on_untouched_files(spark, tmp_path):
+    """After compact(cluster_by), a merge touching one key range keeps
+    stats for carried-over files, so read_between still prunes."""
+    path = str(tmp_path / "t_stats_carry")
+    t = VersionedTable.create(
+        spark,
+        path,
+        spark.range(0, 10000)
+        .select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+        .repartition(8),
+    )
+    t.compact(target_file_bytes=16 * 1024, cluster_by=["k"])
+    n_files = len(t.get_commit().files)
+    # merge rows only in the low key range
+    t.merge(
+        spark.createDataFrame([(5, 99), (6, 99)], "k long, v long"), ["k"]
+    )
+    c = t.get_commit()
+    assert c.op == "merge"
+    assert "file_stats" in c.stats and len(c.stats["file_stats"]) > 0
+    pruned = t.read_between("k", 8000, 9000)
+    assert len(pruned.inputFiles()) < n_files
+    assert sorted(r.k for r in pruned.collect()) == list(range(8000, 9001))
