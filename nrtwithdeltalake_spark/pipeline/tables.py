@@ -253,6 +253,16 @@ class VersionedTable:
         not persisted to the table.
         """
         prev = self.get_commit()
+        if not keys:
+            raise ValueError("merge requires at least one key column")
+        tgt_cols = {f.name for f in self.schema().fields}
+        src_cols = set(source.columns)
+        missing = [k for k in keys if k not in src_cols or k not in tgt_cols]
+        if missing:
+            raise ValueError(
+                f"merge keys {missing} missing from source or target "
+                f"(source={sorted(src_cols)}, target={sorted(tgt_cols)})"
+            )
         # evaluate the delete predicate on the source BEFORE the join so
         # column references stay unambiguous
         src = source.withColumn(

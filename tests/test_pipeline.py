@@ -417,3 +417,15 @@ def test_file_stats_survive_merge_on_untouched_files(spark, tmp_path):
     pruned = t.read_between("k", 8000, 9000)
     assert len(pruned.inputFiles()) < n_files
     assert sorted(r.k for r in pruned.collect()) == list(range(8000, 9001))
+
+
+def test_merge_rejects_bad_keys(spark, tmp_path):
+    path = str(tmp_path / "t_badkeys")
+    t = VersionedTable.create(
+        spark, path, spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    src = spark.createDataFrame([(2, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="at least one key"):
+        t.merge(src, [])
+    with pytest.raises(ValueError, match="missing from source or target"):
+        t.merge(src, ["nope"])
