@@ -133,10 +133,51 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THUMB_W, THUMB_H = 64, 64
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail: binary in → binary out with target dimensions —
+    the 1→1 payload-transform shape (image resize, audio transcode,
+    re-encode). The output stays a ``binary`` column so downstream
+    operators (hashing, dedup, storage) treat it like any payload. Codec
+    stubbed (deterministic digest-derived bytes, length ∝ thumb area);
+    swap ``_fake_resize`` for PIL without touching the plumbing.
+    Rows-only check."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def _fake_resize(payload: bytes) -> bytes:
+        seed = hashlib.md5(payload).digest()
+        reps = (THUMB_W * THUMB_H) // len(seed)
+        return seed * reps
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(_fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_w": THUMB_W,
+                    "thumb_h": THUMB_H,
+                    "n_bytes": thumbs.map(len),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        resize_batches,
+        schema="doc_id long, thumb binary, thumb_w int, thumb_h int, n_bytes long",
+    )
+
+
 QUERIES = {
     "q_multimodal_bytes": q_multimodal_bytes,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
+    "q_multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {

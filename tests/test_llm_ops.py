@@ -194,3 +194,12 @@ def test_connected_components_matches_union_find(spark_global, edges):
         for r in dedup.connected_components(df, max_iter=30).collect()
     }
     assert got == {n: r for n, r in want.items()}
+
+
+def test_resize_produces_fixed_size_binary(spark, sf_dir):
+    rows = multimodal.q_multimodal_resize(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(r.thumb_w == 64 and r.thumb_h == 64 for r in rows)
+    assert all(isinstance(r.thumb, (bytes, bytearray)) for r in rows)
+    assert all(r.n_bytes == len(r.thumb) == 4096 for r in rows)
