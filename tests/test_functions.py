@@ -103,3 +103,41 @@ def test_vec_cosine_pandas_matches_catalyst(spark):
         nf.vec_cosine_pandas()("a", "b").alias("c_py"),
     ).collect()
     assert all(math.isclose(r.c_sql, r.c_py, rel_tol=1e-12) for r in got)
+
+
+def test_quantize_zero_vector_guard(spark, tmp_path):
+    """All-zero embeddings must quantize to zeros (epsilon floor), not
+    trap on ANSI round(inf)."""
+    from nrtwithdeltalake_spark.operators.similarity import q_embed_quantize
+
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(0, [0.0] * 64, 0), (1, [1.0] * 64, 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{p}/embeddings.parquet")
+    rows = {r.vec_id: r for r in q_embed_quantize(spark, p).collect()}
+    assert all(q == 0 for q in rows[0].q8)
+    assert rows[0].scale < 1e-10
+    assert all(q == 127 for q in rows[1].q8)
+
+
+def test_sessionize_boundary_gap_not_a_new_session(spark, tmp_path):
+    """A gap of exactly 1800 s must NOT open a new session (> is strict),
+    1801 s must."""
+    import datetime as dt
+
+    from nrtwithdeltalake_spark.operators.relational import q_sessionize
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [
+            (1, base, 1, "c", 1.0, "{}"),
+            (2, base + dt.timedelta(seconds=1800), 1, "c", 1.0, "{}"),
+            (3, base, 2, "c", 1.0, "{}"),
+            (4, base + dt.timedelta(seconds=1801), 2, "c", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{p}/events.parquet")
+    got = {r.user_id: r.n_sessions for r in q_sessionize(spark, p).collect()}
+    assert got == {1: 1, 2: 2}
