@@ -141,3 +141,61 @@ def test_sessionize_boundary_gap_not_a_new_session(spark, tmp_path):
     ).write.parquet(f"{p}/events.parquet")
     got = {r.user_id: r.n_sessions for r in q_sessionize(spark, p).collect()}
     assert got == {1: 1, 2: 2}
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # events: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # orders: (key, t, okey)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_python_oracle(spark_global, events, orders):
+    """Property: the union+window as-of ≡ brute-force latest-at-or-before
+    with (max t, then max okey) tie-break, on random keys/times."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(x):
+        return base + dt.timedelta(minutes=x)
+
+    ev_rows = [(i, ts(t), k, "c", 1.0, "{}") for i, (k, t) in enumerate(events)]
+    o_rows = [
+        (ok, k, "O", 1.0, ts(t), "P") for (k, t, ok) in orders
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark_global.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    spark_global.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    from nrtwithdeltalake_spark.operators.relational_ext import q_join_asof
+
+    got = {
+        r.event_id: (r.asof_orderkey, r.asof_odate)
+        for r in q_join_asof(spark_global, d).collect()
+    }
+    for i, (k, t) in enumerate(events):
+        cands = [(tt, oo) for (kk, tt, oo) in orders if kk == k and tt <= t]
+        if not cands:
+            assert got[i] == (None, None)
+        else:
+            bt = max(c[0] for c in cands)
+            bk = max(c[1] for c in cands if c[0] == bt)
+            assert got[i][0] == bk
+            assert got[i][1] == ts(bt).strftime("%Y-%m-%d %H:%M:%S")
