@@ -638,10 +638,34 @@ FROM orders
 """
 
 
+def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG): distinct priorities per order status
+    concatenated in sorted order — deterministic by construction
+    (collect_set is unordered; sort_array fixes the order before
+    joining)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_AGG_STRING = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
     "q_join_full": q_join_full,
     "q_agg_mad": q_agg_mad,
+    "q_agg_string": q_agg_string,
     "q_resample_ffill": q_resample_ffill,
     "q_window_lag_lead": q_window_lag_lead,
     "q_window_ntile": q_window_ntile,
@@ -664,6 +688,7 @@ ORACLES = {
     "q_join_asof": ORACLE_JOIN_ASOF,
     "q_join_full": ORACLE_JOIN_FULL,
     "q_agg_mad": ORACLE_AGG_MAD,
+    "q_agg_string": ORACLE_AGG_STRING,
     "q_resample_ffill": ORACLE_RESAMPLE_FFILL,
     "q_window_lag_lead": ORACLE_WINDOW_LAG_LEAD,
     "q_window_ntile": ORACLE_WINDOW_NTILE,
