@@ -473,17 +473,23 @@ FULL OUTER JOIN
 def q_agg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: deterministic (sorted, distinct) collection of
     group members — collect_set is unordered by contract, so sort_array
-    makes the result engine-portable and testable."""
+    makes the result engine-portable and testable. The compare surface
+    serializes the array with array_join because the driver's value
+    hasher can't hash list cells; the aggregation itself is still
+    collect_set → sort_array (ObjectHashAggregate in the plan)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 ORACLE_AGG_ARRAY = """
 SELECT l_returnflag,
-       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+           AS statuses,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """

@@ -184,9 +184,18 @@ class VersionedTable:
         return t
 
     def overwrite(self, df: DataFrame) -> int:
-        v = self.latest_version() + 1
+        """Full replace. The change feed gets a ``delete`` row for every
+        row of the previous snapshot plus an ``insert`` row per new row
+        (Delta CDF does the same for overwritten data) — a consumer
+        resuming across the overwrite drops stale rows instead of
+        retaining them."""
+        prev = self.get_commit()
+        v = prev.version + 1
         files = self._write_files(df, self.data_dir)
+        old = self._read_files(prev.files, prev.schema_json)
         cdf = self._write_files(
+            old.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
+        ) + self._write_files(
             df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
         )
         self._write_commit(
@@ -289,12 +298,24 @@ class VersionedTable:
         #    the file-path metadata column — shuffles only keys + paths.
         tgt_all = self._read_files(prev.files, prev.schema_json)
         if prev.files:
+            # null-safe semi-join: the rewrite join below matches NULL keys
+            # via eqNullSafe, so touched-file detection must too — otherwise
+            # a NULL-keyed target row's file is carried over unrewritten and
+            # the merged row duplicates it.
+            src_keys = src.select(*keys).dropDuplicates(keys).alias("s")
+            probe = tgt_all.withColumn(
+                "__file", F.col("_metadata.file_path")
+            ).alias("t")
             touched = sorted(
                 _strip_scheme(r[0])
-                for r in tgt_all.withColumn(
-                    "__file", F.col("_metadata.file_path")
+                for r in probe.join(
+                    src_keys,
+                    [
+                        F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                        for k in keys
+                    ],
+                    "left_semi",
                 )
-                .join(src.select(*keys).dropDuplicates(keys), keys, "left_semi")
                 .select("__file")
                 .distinct()
                 .collect()
@@ -303,12 +324,18 @@ class VersionedTable:
             touched = []
         carryover = [f for f in prev.files if f not in set(touched)]
 
-        # 2. rewrite touched files: full outer join on keys
-        tgt = _align_to(self._read_files(touched, prev.schema_json), schema)
-        cond = [tgt[k].eqNullSafe(src[k]) for k in keys]
-        joined = tgt.alias("t").join(src.alias("s"), cond, "full_outer")
-        s_present = F.col(f"s.{keys[0]}").isNotNull()
-        t_present = F.col(f"t.{keys[0]}").isNotNull()
+        # 2. rewrite touched files: full outer join on keys. Side presence
+        # is detected via explicit marker columns, NOT key nullness — a
+        # legitimately NULL-keyed row (matched null-safely above) would
+        # otherwise read as "absent" and its values would be dropped.
+        tgt = _align_to(
+            self._read_files(touched, prev.schema_json), schema
+        ).withColumn("__t_present", F.lit(True))
+        srcm = src.withColumn("__s_present", F.lit(True))
+        cond = [tgt[k].eqNullSafe(srcm[k]) for k in keys]
+        joined = tgt.alias("t").join(srcm.alias("s"), cond, "full_outer")
+        s_present = F.coalesce(F.col("s.__s_present"), F.lit(False))
+        t_present = F.coalesce(F.col("t.__t_present"), F.lit(False))
         is_delete = F.coalesce(F.col("s.__is_delete"), F.lit(False))
 
         merged_cols = [
@@ -377,10 +404,20 @@ class VersionedTable:
             ]
         )
         new_files = self._write_files(updated, self.data_dir)
+        # CDF = pre-update matching rows with assignments applied. Filtering
+        # the post-update frame instead would re-evaluate ``condition`` on
+        # post-assignment values, silently dropping rows whose update
+        # falsifies the condition (e.g. status transitions).
+        post_image = tgt.filter(cond).select(
+            *[
+                assignments[f.name].alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in tgt.schema.fields
+            ]
+        )
         cdf_files = self._write_files(
-            updated.filter(cond).withColumn(
-                CHANGE_TYPE_COL, F.lit("update_postimage")
-            ),
+            post_image.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage")),
             self.cdf_dir,
         )
         v = prev.version + 1

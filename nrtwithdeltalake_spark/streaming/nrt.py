@@ -127,7 +127,10 @@ def stream_stream_join(
         r,
         F.expr(
             "l.user_id = r.user_id AND "
-            "r.ts BETWEEN l.ts AND l.ts + INTERVAL 30 MINUTES"
+            # the join bound must track `within`, or a non-default value
+            # gives mismatched watermark/state semantics (dropped matches
+            # or oversized state)
+            f"r.ts BETWEEN l.ts AND l.ts + INTERVAL {within}"
         ),
     ).select(
         F.col("l.user_id").alias("user_id"),
