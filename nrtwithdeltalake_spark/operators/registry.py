@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import flagship, relational, relational_ext, scalars
+from . import corpus, flagship, relational, relational_ext, scalars, tpch
 
-_MODULES = [flagship, relational, relational_ext, scalars]
+_MODULES = [flagship, relational, relational_ext, scalars, tpch, corpus]
 
 
 def _extend() -> tuple[dict, dict]:
