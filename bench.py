@@ -40,6 +40,9 @@ HEADLINE = [
     "q_text_chunks",
     "q_text_scrub",
     "q_embed_quantize",
+    "q_tpch_q10",
+    "q_ngram_topk",
+    "q_embed_centroids",
 ]
 
 
