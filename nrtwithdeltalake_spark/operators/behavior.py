@@ -1,0 +1,200 @@
+"""Behavioral/event analytics over the events stream table: funnel
+conversion, cohort retention, distribution ranks — the queries a user of
+the reference's silver `events` data runs next (SURVEY.md §2.2 window /
+streaming rows), plus the salted-join equivalence proof that promotes
+``operators.skew`` into the oracle-checked surface.
+
+All timestamps surface second-formatted (the reference's VARCHAR(21)
+watermark convention, O17) while comparisons run on raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """click→purchase funnel: per user, first click and first purchase
+    within 7 days of it. Two tiny per-user aggregates and one left join
+    on user_id — each step is partial-aggregatable; nothing touches the
+    raw event grain after the first groupBy. At scale the join keys are
+    users (small), not events."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        first_click.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("first_click"))
+            & (F.col("p_ts") < F.col("first_click") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return conv.select(
+        "user_id",
+        F.date_format("first_click", "yyyy-MM-dd HH:mm:ss").alias("first_click"),
+        F.date_format("first_purchase", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_purchase"
+        ),
+        F.col("first_purchase").isNotNull().cast("long").alias("converted"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+  SELECT f.user_id, f.first_click, min(p.ts) AS first_purchase
+  FROM first_click f
+  LEFT JOIN events p
+    ON p.user_id = f.user_id AND p.event_type = 'purchase'
+   AND p.ts >= f.first_click AND p.ts < f.first_click + INTERVAL 7 DAY
+  GROUP BY f.user_id, f.first_click
+)
+SELECT user_id,
+       strftime(first_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+       strftime(first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+       cast(first_purchase IS NOT NULL as bigint) AS converted
+FROM conv
+"""
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week; a
+    user counts as retained if active in the following week. Two
+    aggregates over the user grain — the classic DAU/WAU analysis as a
+    fully partial-aggregatable plan (no self-join of raw events: events
+    collapse to (user, week) first)."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    first_week = user_weeks.groupBy("user_id").agg(F.min("w").alias("w0"))
+    next_week = user_weeks.select(
+        F.col("user_id").alias("u2"), F.col("w").alias("w2")
+    )
+    return (
+        first_week.join(
+            next_week,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("w2") == F.col("w0") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("w0")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("u2").isNotNull().cast("long")).cast("long").alias(
+                "n_retained"
+            ),
+            F.round(
+                F.sum(F.col("u2").isNotNull().cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("retention"),
+        )
+        .select(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            "n_users",
+            "n_retained",
+            "retention",
+        )
+    )
+
+
+ORACLE_RETENTION_COHORT = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), first_week AS (
+  SELECT user_id, min(w) AS w0 FROM user_weeks GROUP BY user_id
+)
+SELECT strftime(f.w0, '%Y-%m-%d') AS cohort_week,
+       count(*) AS n_users,
+       cast(sum(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+           AS n_retained,
+       round(cast(sum(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  as double) / count(*), 6) AS retention
+FROM first_week f
+LEFT JOIN user_weeks n
+  ON n.user_id = f.user_id AND n.w = f.w0 + INTERVAL 7 DAY
+GROUP BY f.w0
+"""
+
+
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks (percent_rank, cume_dist) of order totals
+    within each status — the quantile-position window family §2.2
+    declares alongside ntile."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_WINDOW_PERCENT_RANK = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey), 6)
+           AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey), 6) AS cume
+FROM orders
+"""
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, oracle-proven equivalent to the plain
+    equi-join (the salt must be invisible in the result). events is the
+    large/skewed side, spread by event_id hash; the customer slice
+    replicates ×8. The oracle is the unsalted SQL join — identical
+    output IS the correctness contract of ``operators.skew``."""
+    from .skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return salted_join(
+        ev, cust, keys=["user_id"], left_unique_cols=["event_id"], n_salt=8
+    ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+
+
+ORACLE_JOIN_SALTED = """
+SELECT event_id, user_id, event_type, value, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+QUERIES = {
+    "q_events_funnel": q_events_funnel,
+    "q_retention_cohort": q_retention_cohort,
+    "q_window_percent_rank": q_window_percent_rank,
+    "q_join_salted": q_join_salted,
+}
+
+ORACLES = {
+    "q_events_funnel": ORACLE_EVENTS_FUNNEL,
+    "q_retention_cohort": ORACLE_RETENTION_COHORT,
+    "q_window_percent_rank": ORACLE_WINDOW_PERCENT_RANK,
+    "q_join_salted": ORACLE_JOIN_SALTED,
+}

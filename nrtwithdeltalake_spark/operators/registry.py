@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import corpus, flagship, relational, relational_ext, scalars, tpch
+from . import behavior, corpus, flagship, relational, relational_ext, scalars, tpch
 
-_MODULES = [flagship, relational, relational_ext, scalars, tpch, corpus]
+_MODULES = [flagship, relational, relational_ext, scalars, tpch, corpus, behavior]
 
 
 def _extend() -> tuple[dict, dict]:

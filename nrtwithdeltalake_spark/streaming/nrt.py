@@ -141,6 +141,23 @@ def stream_stream_join(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes its event time plus ``within``, so state is
+    O(rate × window) — the streaming half of q_dedup_exact, and the
+    idempotency guard an at-least-once source (Kafka, CDF replay,
+    the reference's re-run CT extracts) needs in front of an
+    append-only sink."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, sess_start timestamp, sess_end timestamp, n_events long"
 )

@@ -296,3 +296,54 @@ def test_cdf_stream_end_to_end_nrt(spark, tmp_path):
     q.stop()
     got1 = {(r.k, r.name, r.amt) for r in VersionedTable(spark, silver_path).read().collect()}
     assert got1 == {(1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """stream_dedup: a replayed event_id inside the watermark window is
+    emitted once; state for expired keys is dropped (bounded-state
+    at-least-once → exactly-once guard)."""
+    import datetime
+
+    d = datetime.datetime.fromisoformat
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    sdir = str(tmp_path / "dd_src")
+    os.makedirs(sdir)
+    batch1 = spark.createDataFrame(
+        [
+            (1, d("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+            (2, d("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    # duplicate of event 1 (redelivery) + one new event
+    batch2 = spark.createDataFrame(
+        [
+            (1, d("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+            (3, d("2024-01-01 10:20:00"), 1, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+
+    deduped = nrt.stream_dedup(
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sdir}/*.parquet"),
+        within="30 minutes",
+    ).select("event_id")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM t_dedup").collect())
+    assert got == [1, 2, 3], got
