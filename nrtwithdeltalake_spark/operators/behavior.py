@@ -185,7 +185,46 @@ FROM events JOIN customer ON user_id = c_custkey
 """
 
 
+def q_group_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization via ``applyInPandas`` — the
+    GROUPED_MAP pattern (whole group as one Arrow-backed pandas frame)
+    for transforms that need full-group context. min/max are
+    order-independent and the per-row rescale is IEEE double math, so
+    the Python path stays oracle-exact; the final rounding runs
+    Spark-side (numpy rounds half-even, Spark/DuckDB half-up on
+    doubles). State per group is one frame — groups must fit an
+    executor, which event-type partitions trivially do; high-cardinality
+    grouping keys are the scalable choice for this operator."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def rescale(pdf):
+        lo = pdf["value"].min()
+        rng = pdf["value"].max() - lo
+        out = pdf[["event_id", "event_type", "value"]].copy()
+        out["norm"] = (pdf["value"] - lo) / rng if rng > 0 else 0.0
+        return out
+
+    normed = ev.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(
+        rescale,
+        "event_id long, event_type string, value double, norm double",
+    )
+    return normed.withColumn("norm", F.round("norm", 6))
+
+
+ORACLE_GROUP_MINMAX_NORM = """
+SELECT event_id, event_type, value,
+       round(coalesce((value - min(value) OVER w)
+                      / NULLIF(max(value) OVER w - min(value) OVER w, 0),
+                      0.0), 6) AS norm
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 QUERIES = {
+    "q_group_minmax_norm": q_group_minmax_norm,
     "q_events_funnel": q_events_funnel,
     "q_retention_cohort": q_retention_cohort,
     "q_window_percent_rank": q_window_percent_rank,
@@ -193,6 +232,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_group_minmax_norm": ORACLE_GROUP_MINMAX_NORM,
     "q_events_funnel": ORACLE_EVENTS_FUNNEL,
     "q_retention_cohort": ORACLE_RETENTION_COHORT,
     "q_window_percent_rank": ORACLE_WINDOW_PERCENT_RANK,
