@@ -104,3 +104,37 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out).filter(F2.col("lang") == "en")
     plan = inspect.formatted_plan(back)
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing contract (SURVEY.md §4 file-layout row): two tables
+    bucketed by the join key on the same bucket count join with NO
+    exchange on either side — the co-location strategy that turns a
+    repeated 100 TB shuffle join into a local zip. (Broadcast disabled
+    so the shuffle question is actually exercised.)"""
+    from pyspark.sql import functions as F2
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    try:
+        (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .mode("overwrite").saveAsTable("b_orders"))
+        (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .mode("overwrite").saveAsTable("b_customer"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bo, bc = spark.table("b_orders"), spark.table("b_customer")
+            joined = bo.join(bc, bo.o_custkey == bc.c_custkey).select(
+                "o_orderkey", "c_mktsegment"
+            )
+            assert inspect.num_shuffles(joined) == 0, inspect.formatted_plan(joined)
+            want = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
