@@ -191,7 +191,44 @@ FROM documents
 """
 
 
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    lambda family (filter/transform/exists/aggregate) that keeps
+    nested-type row math JVM-side (codegen) instead of exploding or
+    dropping to Python. Per-row only: no shuffle at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dims"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias(
+            "max_abs"
+        ),
+        F.exists(v, lambda x: F.abs(x) > 0.2).cast("long").alias("has_big"),
+        # in-order left fold: deterministic double accumulation per row
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("el_sum"),
+    )
+
+
+ORACLE_ARRAY_OPS = """
+SELECT vec_id,
+       cast(len(embedding) as bigint) AS dims,
+       cast(len(list_filter(embedding::DOUBLE[], x -> x > 0)) as bigint)
+           AS n_pos,
+       round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
+           AS max_abs,
+       cast(len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.2)) > 0
+            as bigint) AS has_big,
+       round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS el_sum
+FROM embeddings
+"""
+
+
 QUERIES = {
+    "q_array_ops": q_array_ops,
     "q_scalar_datetime": q_scalar_datetime,
     "q_scalar_string": q_scalar_string,
     "q_scalar_conditional": q_scalar_conditional,
@@ -201,6 +238,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_array_ops": ORACLE_ARRAY_OPS,
     "q_scalar_datetime": ORACLE_SCALAR_DATETIME,
     "q_scalar_string": ORACLE_SCALAR_STRING,
     "q_scalar_conditional": ORACLE_SCALAR_CONDITIONAL,
