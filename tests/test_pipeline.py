@@ -429,3 +429,84 @@ def test_merge_rejects_bad_keys(spark, tmp_path):
         t.merge(src, [])
     with pytest.raises(ValueError, match="missing from source or target"):
         t.merge(src, ["nope"])
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """IncrementalRollup invariant: after any sequence of base commits
+    (append, merge-update, merge-delete), refresh() produces exactly
+    groupBy().agg() of the current snapshot — while recomputing only
+    touched groups."""
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.pipeline.rollup import IncrementalRollup
+
+    base = VersionedTable.create(
+        spark,
+        str(tmp_path / "base"),
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "c", 1.0)],
+            "id long, grp string, v double",
+        ),
+    )
+    roll = IncrementalRollup(
+        spark,
+        base,
+        str(tmp_path / "rollup"),
+        ["grp"],
+        {
+            "n": lambda: F.count(F.lit(1)),
+            "sum_v": lambda: F.round(F.sum(F.col("v").cast("decimal(18,2)")), 2)
+            .cast("double"),
+            "max_v": lambda: F.max("v"),
+        },
+    )
+
+    def check():
+        got = sorted(tuple(r) for r in roll.read().collect())
+        want = sorted(
+            tuple(r)
+            for r in base.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("v").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("sum_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        )
+        assert got == want, (got, want)
+
+    r = roll.refresh()
+    assert r["bootstrap"]
+    check()
+
+    # append into existing and new groups
+    base.append(
+        spark.createDataFrame([(5, "b", 3.0), (6, "d", 9.0)], "id long, grp string, v double")
+    )
+    r = roll.refresh()
+    assert r["touched_groups"] == 2, r
+    check()
+
+    # update rows in one group, delete all rows of another (non-invertible
+    # max under delete: group-recompute must handle it)
+    base.merge(
+        spark.createDataFrame(
+            [(1, "a", 100.0, "U"), (4, "c", 0.0, "D")],
+            "id long, grp string, v double, op string",
+        ),
+        keys=["id"],
+        delete_condition="op = 'D'",
+        exclude_cols=["op"],
+    )
+    r = roll.refresh()
+    assert r["touched_groups"] == 2, r
+    check()
+    grps = {r.grp for r in roll.read().collect()}
+    assert grps == {"a", "b", "d"}, grps  # c vanished with its last row
+
+    # idempotent no-op refresh
+    r = roll.refresh()
+    assert r["refreshed"] is False
