@@ -77,13 +77,19 @@ def _shingle_hashes(col: str = "text", k: int = 3) -> F.Column:
     )
 
 
-def _minhash_sig(hashes_col: str) -> F.Column:
-    """MinHash signature: min over shingles of (a*h + b) mod p per
-    permutation. Long arithmetic wraps deterministically; pmod maps into
-    [0, p)."""
+def _mod_hashes(hashes_col: str) -> F.Column:
+    """Base reduction pmod(h, p), materialized once per shingle array so
+    the N_PERM signature transforms below don't each redo it."""
+    return F.expr(f"transform({hashes_col}, h -> pmod(h, {_MERSENNE}L))")
+
+
+def _minhash_sig(mod_hashes_col: str) -> F.Column:
+    """MinHash signature over a pre-reduced (``_mod_hashes``) array:
+    min over shingles of (a*h + b) mod p per permutation. a*h + b stays
+    under 2^62, so ANSI-mode long arithmetic never overflows."""
     mins = ", ".join(
-        f"array_min(transform({hashes_col}, "
-        f"h -> pmod({a}L * pmod(h, {_MERSENNE}L) + {b}L, {_MERSENNE}L)))"
+        f"array_min(transform({mod_hashes_col}, "
+        f"h -> pmod({a}L * h + {b}L, {_MERSENNE}L)))"
         for a, b in zip(_PERM_A, _PERM_B)
     )
     return F.expr(f"array({mins})")
@@ -104,7 +110,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it Spark recomputes the signature expressions per consumer
     sigs = (
         docs.select("doc_id", _shingle_hashes().alias("shingles"))
-        .withColumn("sig", _minhash_sig("shingles"))
+        .withColumn("__hb", _mod_hashes("shingles"))
+        .withColumn("sig", _minhash_sig("__hb"))
+        .drop("__hb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
