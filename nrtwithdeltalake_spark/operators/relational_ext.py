@@ -667,7 +667,37 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/boolean aggregates per group: count_if, bool_and/bool_or,
+    and a FILTER-clause-style conditional sum — the aggregate modifiers
+    §2.2's aggregation row implies beyond plain SUM/COUNT. All
+    partial-aggregatable (single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast("decimal(12,2)"))
+        ).cast("double").alias("qty_discounted"),
+    )
+
+
+ORACLE_AGG_FILTERED = """
+SELECT l_returnflag,
+       count(*) AS n,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       cast(sum(cast(l_quantity as decimal(12,2)))
+            FILTER (WHERE l_discount > 0.05) as double) AS qty_discounted
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
+    "q_agg_filtered": q_agg_filtered,
     "q_join_asof": q_join_asof,
     "q_join_full": q_join_full,
     "q_agg_mad": q_agg_mad,
@@ -691,6 +721,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_agg_filtered": ORACLE_AGG_FILTERED,
     "q_join_asof": ORACLE_JOIN_ASOF,
     "q_join_full": ORACLE_JOIN_FULL,
     "q_agg_mad": ORACLE_AGG_MAD,
