@@ -265,3 +265,29 @@ def run_stream_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+def run_rollup_stream(
+    rollup,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous-aggregate NRT loop: tail the base table's change feed
+    as a file stream and call ``IncrementalRollup.refresh()`` whenever a
+    commit lands. The CDF batch content is only the *trigger* —
+    refresh() itself reads the change feed from its own committed
+    watermark, so replayed/dropped micro-batches can neither skip nor
+    double-apply work (the same ledger idempotency the reference gets
+    from commit-on-close watermarks, dbrconfig.sql:85-91)."""
+    spark = rollup.spark
+    cdf = stream_change_feed(spark, rollup.base.path)
+
+    def on_commit(batch_df: DataFrame, epoch_id: int) -> None:
+        rollup.refresh()
+
+    q = (
+        cdf.writeStream.foreachBatch(on_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

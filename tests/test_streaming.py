@@ -347,3 +347,42 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.stop()
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM t_dedup").collect())
     assert got == [1, 2, 3], got
+
+
+def test_rollup_stream_refreshes_on_commits(spark, tmp_path):
+    """run_rollup_stream: commits to the base table drive the continuous
+    aggregate to the exact full-recompute state, via the CDF file tail."""
+    from nrtwithdeltalake_spark.pipeline.rollup import IncrementalRollup
+
+    base = VersionedTable.create(
+        spark,
+        str(tmp_path / "rbase"),
+        spark.createDataFrame(
+            [(1, "a", 2.0), (2, "b", 3.0)], "id long, grp string, v double"
+        ),
+    )
+    base.append(
+        spark.createDataFrame([(3, "a", 5.0)], "id long, grp string, v double")
+    )
+    roll = IncrementalRollup(
+        spark,
+        base,
+        str(tmp_path / "rroll"),
+        ["grp"],
+        {"n": lambda: F.count(F.lit(1))},
+    )
+    nrt.run_rollup_stream(roll, str(tmp_path / "rckpt"))
+    got = {r.grp: r.n for r in roll.read().collect()}
+    assert got == {"a": 2, "b": 1}, got
+    assert roll.last_refreshed_version() == base.latest_version()
+
+    # a new commit, a new availableNow pass: rollup follows
+    base.merge(
+        spark.createDataFrame([(2, "b", 9.0, "D")], "id long, grp string, v double, op string"),
+        keys=["id"],
+        delete_condition="op = 'D'",
+        exclude_cols=["op"],
+    )
+    nrt.run_rollup_stream(roll, str(tmp_path / "rckpt"))
+    got = {r.grp: r.n for r in roll.read().collect()}
+    assert got == {"a": 2}, got
