@@ -203,3 +203,33 @@ def test_resize_produces_fixed_size_binary(spark, sf_dir):
     assert all(r.thumb_w == 64 and r.thumb_h == 64 for r in rows)
     assert all(isinstance(r.thumb, (bytes, bytearray)) for r in rows)
     assert all(r.n_bytes == len(r.thumb) == 4096 for r in rows)
+
+
+def test_kmeans_monotone_deterministic(spark, sf_dir):
+    """Distributed Lloyd k-means (IVF training step): inertia is
+    non-increasing across iterations, exactly k centroids of full dim
+    come back, every vector gets one cluster, and refitting reproduces
+    bit-identical centroids (quantized exact partials + seeded init)."""
+    from nrtwithdeltalake_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, inertia = kmeans_fit(emb, k=4, iters=3)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+    rows = cents.collect()
+    assert len(rows) == 4 and all(len(r.cv) == 64 for r in rows)
+
+    a = assign_clusters(emb, cents)
+    assert a.count() == a.select("id").distinct().count() == emb.count()
+    assert {r.cluster for r in a.select("cluster").distinct().collect()} <= set(
+        range(4)
+    )
+
+    cents2, inertia2 = kmeans_fit(emb, k=4, iters=3)
+    assert inertia == inertia2
+    assert sorted((r.cluster, tuple(r.cv)) for r in rows) == sorted(
+        (r.cluster, tuple(r.cv)) for r in cents2.collect()
+    )
