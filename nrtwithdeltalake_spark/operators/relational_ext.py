@@ -667,6 +667,111 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity-
+    preserving variants Spark implements via a counted anti/semi
+    expansion. Event-type multisets of two user cohorts."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.filter(F.col("user_id") < 50).select("event_type")
+    hi = ev.filter(F.col("user_id") >= 100).select("event_type")
+    both = lo.intersectAll(hi).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    only_lo = lo.exceptAll(hi).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lo_extra")
+    )
+    return both.join(only_lo, "event_type", "full_outer")
+
+
+ORACLE_SETOPS_ALL = """
+WITH lo AS (SELECT event_type FROM events WHERE user_id < 50),
+     hi AS (SELECT event_type FROM events WHERE user_id >= 100),
+     both_t AS (
+       SELECT event_type, count(*) AS n_common
+       FROM (SELECT event_type FROM lo INTERSECT ALL SELECT event_type FROM hi)
+       GROUP BY event_type
+     ),
+     only_lo AS (
+       SELECT event_type, count(*) AS n_lo_extra
+       FROM (SELECT event_type FROM lo EXCEPT ALL SELECT event_type FROM hi)
+       GROUP BY event_type
+     )
+SELECT coalesce(b.event_type, o.event_type) AS event_type,
+       b.n_common, o.n_lo_extra
+FROM both_t b FULL OUTER JOIN only_lo o ON b.event_type = o.event_type
+"""
+
+
+def q_window_nav_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window family: first/last/nth order total within
+    each customer's order history (rows frame pinned to the full
+    partition so last/nth are well-defined)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(wf).alias("first_total"),
+        F.last("o_totalprice").over(wf).alias("last_total"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_total"),
+    )
+
+
+ORACLE_WINDOW_NAV_VALUES = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_total,
+       last_value(o_totalprice) OVER w AS last_total,
+       nth_value(o_totalprice, 2) OVER w AS second_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev per group, decimal-exact: the two power
+    sums run in decimal (l_quantity is exactly decimal(12,2)), so the
+    double-space finalization is partition-order-independent — the
+    helpers.py policy extended to second moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum((q * q).cast("decimal(28,4)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return agg.select(
+        "l_linestatus",
+        "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("std_qty"),
+    )
+
+
+ORACLE_AGG_STDDEV = """
+WITH agg AS (
+  SELECT l_linestatus, count(*) AS n,
+         sum(cast(l_quantity as decimal(12,2))) AS s1,
+         sum(cast(cast(l_quantity as decimal(12,2))
+                  * cast(l_quantity as decimal(12,2)) as decimal(28,4))) AS s2
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, n,
+       round((cast(s2 as double) - cast(s1 as double) * cast(s1 as double)
+              / cast(n as double)) / (cast(n as double) - 1.0), 6) AS var_qty,
+       round(sqrt((cast(s2 as double) - cast(s1 as double) * cast(s1 as double)
+              / cast(n as double)) / (cast(n as double) - 1.0)), 6) AS std_qty
+FROM agg
+"""
+
+
 def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/boolean aggregates per group: count_if, bool_and/bool_or,
     and a FILTER-clause-style conditional sum — the aggregate modifiers
@@ -697,6 +802,9 @@ FROM lineitem GROUP BY l_returnflag
 
 
 QUERIES = {
+    "q_setops_all": q_setops_all,
+    "q_window_nav_values": q_window_nav_values,
+    "q_agg_stddev": q_agg_stddev,
     "q_agg_filtered": q_agg_filtered,
     "q_join_asof": q_join_asof,
     "q_join_full": q_join_full,
@@ -721,6 +829,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_setops_all": ORACLE_SETOPS_ALL,
+    "q_window_nav_values": ORACLE_WINDOW_NAV_VALUES,
+    "q_agg_stddev": ORACLE_AGG_STDDEV,
     "q_agg_filtered": ORACLE_AGG_FILTERED,
     "q_join_asof": ORACLE_JOIN_ASOF,
     "q_join_full": ORACLE_JOIN_FULL,

@@ -146,3 +146,15 @@ def test_source_stats_single_agg_shuffle(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert plan.find("HashAggregate") != -1
     assert inspect.has_partial_agg(df)
+
+
+def test_latest_per_key_uses_window_group_limit(spark, sf_dir):
+    """rn=1 latest-per-key must trigger WindowGroupLimit (rank pushdown
+    prunes per-partition before the sort buffer fills) — the plan
+    feature that keeps the O12-O13 idiom viable on billions of rows."""
+    from nrtwithdeltalake_spark.operators import relational
+
+    plan = inspect.physical_plan(
+        relational.q_window_latest_per_key(spark, sf_dir)
+    )
+    assert "WindowGroupLimit" in plan, plan
