@@ -121,6 +121,10 @@ def load_entity(
         w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
         changes = (
             src_table.change_feed(old_wm)
+            # the feed also carries update_preimage rows (old values, for
+            # consumers that need key-change invalidation); state
+            # replication wants only the new-state/delete rows
+            .filter(F.col("_change_type") != "update_preimage")
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")

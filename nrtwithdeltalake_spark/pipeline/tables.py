@@ -347,16 +347,27 @@ class VersionedTable:
         result = joined.filter(~(s_present & is_delete)).select(*merged_cols)
         new_files = self._write_files(result, self.data_dir)
 
-        # 3. change feed: insert / update_postimage / delete rows
+        # 3. change feed: Delta-CDF-shaped rows.
+        #    insert / update_postimage carry SOURCE (new) values;
+        #    update_preimage / delete carry TARGET (old) values — the
+        #    pre-image rows are what lets a downstream consumer (e.g.
+        #    IncrementalRollup) see the OLD group of a row whose grouping
+        #    key changed, and deletes of nonexistent keys emit nothing.
         src_cols = [F.col(f"s.{f.name}").alias(f.name) for f in schema.fields]
-        change = joined.filter(s_present).select(
+        tgt_cols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
+        post = joined.filter(s_present & ~is_delete).select(
             *src_cols,
-            F.when(s_present & is_delete, "delete")
-            .when(t_present, "update_postimage")
+            F.when(t_present, "update_postimage")
             .otherwise("insert")
             .alias(CHANGE_TYPE_COL),
         )
-        cdf_files = self._write_files(change, self.cdf_dir)
+        pre = joined.filter(s_present & t_present).select(
+            *tgt_cols,
+            F.when(is_delete, "delete")
+            .otherwise("update_preimage")
+            .alias(CHANGE_TYPE_COL),
+        )
+        cdf_files = self._write_files(post.unionByName(pre), self.cdf_dir)
 
         v = prev.version + 1
         stats = self._carry_stats(
@@ -404,11 +415,15 @@ class VersionedTable:
             ]
         )
         new_files = self._write_files(updated, self.data_dir)
-        # CDF = pre-update matching rows with assignments applied. Filtering
-        # the post-update frame instead would re-evaluate ``condition`` on
+        # CDF = pre-update matching rows, emitted twice: as-is
+        # (update_preimage) and with assignments applied
+        # (update_postimage). Pre-images let group-key-changing updates
+        # invalidate the OLD group downstream; filtering the post-update
+        # frame instead would also re-evaluate ``condition`` on
         # post-assignment values, silently dropping rows whose update
         # falsifies the condition (e.g. status transitions).
-        post_image = tgt.filter(cond).select(
+        matching = tgt.filter(cond)
+        post_image = matching.select(
             *[
                 assignments[f.name].alias(f.name)
                 if f.name in assignments
@@ -417,7 +432,11 @@ class VersionedTable:
             ]
         )
         cdf_files = self._write_files(
-            post_image.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage")),
+            post_image.withColumn(
+                CHANGE_TYPE_COL, F.lit("update_postimage")
+            ).unionByName(
+                matching.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+            ),
             self.cdf_dir,
         )
         v = prev.version + 1

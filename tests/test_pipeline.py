@@ -211,9 +211,11 @@ def test_time_travel_and_change_feed(spark, tmp_path):
     assert {r.id for r in t.read(0).collect()} == {1, 2}
     assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b2"), (3, "c")}
     feed = t.change_feed(0).collect()
-    by_id = {r.id: r for r in feed}
-    assert by_id[2]._change_type == "update_postimage"
-    assert by_id[3]._change_type == "insert"
+    types = {(r.id, r._change_type, r.v) for r in feed if r._commit_version == 1}
+    # Delta-CDF shape: post-image with new values, pre-image with old
+    assert (2, "update_postimage", "b2") in types
+    assert (2, "update_preimage", "b") in types
+    assert (3, "insert", "c") in types
     assert t.change_feed(t.latest_version()).count() == 0
 
 
@@ -510,3 +512,69 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     # idempotent no-op refresh
     r = roll.refresh()
     assert r["refreshed"] is False
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["append", "upsert", "delete"]),
+            st.lists(
+                st.tuples(st.integers(0, 20), st.integers(0, 4), st.integers(0, 50)),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_rollup_property_random_op_sequences(spark_global, tmp_path_factory, ops):
+    """Property: after ANY sequence of append/upsert/delete commits, an
+    IncrementalRollup refresh equals the full groupBy recompute of the
+    snapshot (including groups that vanish and reappear)."""
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.pipeline.rollup import IncrementalRollup
+
+    spark = spark_global
+    tmp = tmp_path_factory.mktemp("rollprop")
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(6)]
+    base = VersionedTable.create(
+        spark,
+        str(tmp / "base"),
+        spark.createDataFrame(rows, "id long, grp string, v double"),
+    )
+    roll = IncrementalRollup(
+        spark,
+        base,
+        str(tmp / "roll"),
+        ["grp"],
+        {
+            "n": lambda: F.count(F.lit(1)),
+            "mx": lambda: F.max("v"),
+        },
+    )
+    roll.refresh()
+
+    for kind, triples in ops:
+        batch = [
+            (id_, f"g{g}", float(v), "D" if kind == "delete" else "U")
+            for id_, g, v in triples
+        ]
+        df = spark.createDataFrame(batch, "id long, grp string, v double, op string")
+        if kind == "append":
+            base.append(df.drop("op"))
+        else:
+            base.merge(df, keys=["id"], delete_condition="op = 'D'",
+                       exclude_cols=["op"])
+        roll.refresh()
+        got = sorted(tuple(r) for r in roll.read().collect())
+        want = sorted(
+            tuple(r)
+            for r in base.read()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+            .collect()
+        )
+        assert got == want, (kind, got, want)

@@ -265,7 +265,12 @@ def test_cdf_stream_end_to_end_nrt(spark, tmp_path):
     )
     bronze = VersionedTable.create(spark, bronze_path, df0)
 
-    stream = nrt.stream_change_feed(spark, bronze_path).drop("_change_type")
+    stream = (
+        nrt.stream_change_feed(spark, bronze_path)
+        # CDC consumers replicating state take new-state rows only
+        .filter(F.col("_change_type") != "update_preimage")
+        .drop("_change_type")
+    )
 
     def sink(batch_df, epoch_id):
         if not batch_df.take(1):
