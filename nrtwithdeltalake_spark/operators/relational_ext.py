@@ -772,6 +772,104 @@ FROM agg
 """
 
 
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation of quantity vs extended
+    price per return flag, decimal-exact: all five power sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in decimal (the columns are
+    exact 2-dp decimals), finalized in double — deterministic under any
+    partitioning, unlike the built-in covar_samp/corr over doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(15,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(30,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(28,4)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(34,4)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+ORACLE_AGG_CORR = """
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(cast(l_quantity as decimal(12,2))) AS sx,
+         sum(cast(l_extendedprice as decimal(15,2))) AS sy,
+         sum(cast(cast(l_quantity as decimal(12,2))
+                  * cast(l_extendedprice as decimal(15,2)) as decimal(30,4)))
+             AS sxy,
+         sum(cast(cast(l_quantity as decimal(12,2))
+                  * cast(l_quantity as decimal(12,2)) as decimal(28,4))) AS sxx,
+         sum(cast(cast(l_extendedprice as decimal(15,2))
+                  * cast(l_extendedprice as decimal(15,2)) as decimal(34,4)))
+             AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((cast(sxy as double) - cast(sx as double) * cast(sy as double)
+              / cast(n as double)) / (cast(n as double) - 1.0), 4)
+           AS covar_qty_price,
+       round((cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+             / (sqrt(cast(n as double) * cast(sxx as double)
+                     - cast(sx as double) * cast(sx as double))
+                * sqrt(cast(n as double) * cast(syy as double)
+                       - cast(sy as double) * cast(sy as double))), 6)
+           AS corr_qty_price
+FROM agg
+"""
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10 buckets over the global
+    [min, max]): bounds from a broadcast scalar aggregate, bucketing a
+    row-level floor — two tiny jobs, both partial-aggregatable; the
+    histogram exchange carries ≤ 10 rows per map partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(10.0))
+            ),
+        ).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_AGG_HISTOGRAM = """
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT least(9, cast(floor((o_totalprice - lo) / ((hi - lo) / 10.0))
+                     as bigint)) AS bucket,
+       count(*) AS n
+FROM orders, bounds
+GROUP BY 1
+"""
+
+
 def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/boolean aggregates per group: count_if, bool_and/bool_or,
     and a FILTER-clause-style conditional sum — the aggregate modifiers
@@ -802,6 +900,8 @@ FROM lineitem GROUP BY l_returnflag
 
 
 QUERIES = {
+    "q_agg_corr": q_agg_corr,
+    "q_agg_histogram": q_agg_histogram,
     "q_setops_all": q_setops_all,
     "q_window_nav_values": q_window_nav_values,
     "q_agg_stddev": q_agg_stddev,
@@ -829,6 +929,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_agg_corr": ORACLE_AGG_CORR,
+    "q_agg_histogram": ORACLE_AGG_HISTOGRAM,
     "q_setops_all": ORACLE_SETOPS_ALL,
     "q_window_nav_values": ORACLE_WINDOW_NAV_VALUES,
     "q_agg_stddev": ORACLE_AGG_STDDEV,
