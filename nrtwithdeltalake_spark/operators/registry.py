@@ -12,9 +12,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import behavior, corpus, flagship, relational, relational_ext, scalars, tpch
+from . import (
+    behavior,
+    corpus,
+    flagship,
+    relational,
+    relational_ext,
+    scalars,
+    tpch,
+    tpch_full,
+)
 
-_MODULES = [flagship, relational, relational_ext, scalars, tpch, corpus, behavior]
+_MODULES = [
+    flagship,
+    relational,
+    relational_ext,
+    scalars,
+    tpch,
+    tpch_full,
+    corpus,
+    behavior,
+]
 
 
 def _extend() -> tuple[dict, dict]:

@@ -23,6 +23,10 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+only = sys.argv[1:]  # optional name-prefix filters for quick iteration
+if only:
+    qs = {k: v for k, v in qs.items() if any(k.startswith(p) for p in only)}
+
 fails = []
 for name in sorted(qs):
     df = qs[name](spark, sf)
