@@ -16,8 +16,11 @@ from . import (
     behavior,
     corpus,
     flagship,
+    joins_ext,
+    lateral,
     relational,
     relational_ext,
+    robust,
     scalars,
     tpch,
     tpch_full,
@@ -32,6 +35,9 @@ _MODULES = [
     tpch_full,
     corpus,
     behavior,
+    lateral,
+    joins_ext,
+    robust,
 ]
 
 

@@ -1,0 +1,186 @@
+"""Robust / order-statistic aggregation shapes.
+
+Three operators that show up in every data-quality pipeline and whose
+*plan shape* is the point:
+
+* ``q_agg_argmax`` — "value of the row that maximizes X" without a
+  window: ``max(struct(ordering..., payload...))`` is partial-
+  aggregatable (each map task keeps one struct, the reduce merges),
+  so there is no sort and the exchange carries one row per group per
+  partition. The window formulation (ROW_NUMBER rn=1) shuffles every
+  row; this one shuffles one row per (group × partition). Ties are
+  impossible by construction: the ordering struct ends in a unique
+  key, which also makes the result deterministic — the property
+  ``max_by``/``arg_max`` alone do not give you.
+* ``q_winsorize`` — two-pass outlier clipping: pass 1 computes
+  per-group p05/p95 (group-count-sized result), pass 2 broadcasts the
+  bounds back and aggregates the clipped column. The standard
+  "aggregate → broadcast → re-aggregate" decomposition for any
+  statistic that needs a corpus constant (same skeleton as
+  q_agg_histogram's bounds and q_tfidf_topk's IDF).
+* ``q_sample_per_group`` — deterministic K-per-group sample ranked by
+  a content hash (md5): reproducible across runs, engines and retries
+  — unlike ``TABLESAMPLE``/``rand()`` — which is what makes sampled
+  QA checks on a 100 TB table re-runnable and diffable. Hash ranking
+  costs one window over each group; for huge groups swap in the
+  rank-pushdown (WindowGroupLimit prunes per-partition) that
+  q_topk_per_group's plan guardrail pins.
+
+Numeric policy per helpers.py: clip bounds are interpolated
+percentiles rounded to 4 dp; the clipped sum runs in decimal so the
+result is partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return-flag: the order/line that carries the maximum
+    extended price (and the price itself), via max(struct) — no window,
+    no sort, fully partial-aggregatable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = F.max(
+        F.struct(
+            F.col("l_extendedprice").alias("p"),
+            F.col("l_orderkey").alias("k"),
+            F.col("l_linenumber").alias("n"),
+        )
+    ).alias("top")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(top)
+        .select(
+            "l_returnflag",
+            F.col("top.p").alias("max_price"),
+            F.col("top.k").alias("max_orderkey"),
+            F.col("top.n").alias("max_linenumber"),
+        )
+    )
+
+
+# Oracle states the same deterministic semantics as the lexicographic
+# struct max: price desc, then orderkey desc, then linenumber desc.
+ORACLE_AGG_ARGMAX = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC
+         ) AS rn
+  FROM lineitem
+)
+SELECT l_returnflag, l_extendedprice AS max_price,
+       l_orderkey AS max_orderkey, l_linenumber AS max_linenumber
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group price stats: clip l_extendedprice to the
+    group's [p05, p95], then count clipped rows and sum the clipped
+    column (decimal-exact). Bounds are a 3-row aggregate broadcast back
+    onto the fact scan — the fact side shuffles once (for its own
+    aggregation), never for the bounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+        .cast("decimal(21,6)")
+        .alias("w_price"),
+        (
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi"))
+        )
+        .cast("int")
+        .alias("is_clipped"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_clipped").alias("n_clipped"),
+        F.round(F.sum("w_price"), 2).cast("double").alias("winsorized_sum"),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+  FROM lineitem GROUP BY l_returnflag
+), clipped AS (
+  SELECT li.l_returnflag,
+         cast(least(greatest(l_extendedprice, lo), hi) AS decimal(21,6))
+           AS w_price,
+         cast(l_extendedprice < lo OR l_extendedprice > hi AS int)
+           AS is_clipped
+  FROM lineitem li JOIN bounds b ON li.l_returnflag = b.l_returnflag
+)
+SELECT l_returnflag, count(*) AS n_rows, sum(is_clipped) AS n_clipped,
+       cast(round(sum(w_price), 2) AS double) AS winsorized_sum
+FROM clipped GROUP BY l_returnflag
+"""
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-group sample: rank rows inside each group by
+    the md5 of their primary key and keep the first three. Same rows on
+    every run, every engine, every retry — the reproducibility contract
+    a sampled data-quality audit needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(h.asc())
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "rk",
+        )
+    )
+
+
+ORACLE_SAMPLE_PER_GROUP = """
+WITH ranked AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY md5(cast(l_orderkey AS varchar) || '|'
+                        || cast(l_linenumber AS varchar))
+         ) AS rk
+  FROM lineitem
+)
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+QUERIES = {
+    "q_agg_argmax": q_agg_argmax,
+    "q_winsorize": q_winsorize,
+    "q_sample_per_group": q_sample_per_group,
+}
+
+ORACLES = {
+    "q_agg_argmax": ORACLE_AGG_ARGMAX,
+    "q_winsorize": ORACLE_WINSORIZE,
+    "q_sample_per_group": ORACLE_SAMPLE_PER_GROUP,
+}

@@ -141,6 +141,22 @@ def stream_stream_join(
     )
 
 
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a batch
+    dimension table. Stream-static joins are stateless — each micro-batch
+    joins against the dimension as of that batch, nothing is buffered —
+    and with the dimension broadcast the stream side never shuffles. The
+    streaming twin of the reference's config-table lookup per load
+    (COPY_MSQL_TO_SILVER.py:223-249): entity metadata resolved against
+    every micro-batch instead of once per scheduled run."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

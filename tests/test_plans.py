@@ -158,3 +158,52 @@ def test_latest_per_key_uses_window_group_limit(spark, sf_dir):
         relational.q_window_latest_per_key(spark, sf_dir)
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_interval_binned_join_is_hash_join(spark, sf_dir):
+    """The bin-bucketed interval join's whole reason to exist: the plan
+    must be a hash equi-join on the bin key — never a nested-loop or
+    cartesian product, which is what a raw interval predicate plans as
+    and what dies at 100 TB."""
+    from nrtwithdeltalake_spark.operators import joins_ext
+
+    strategies = inspect.join_strategies(
+        joins_ext.q_join_interval_binned(spark, sf_dir)
+    )
+    assert strategies, "no join found"
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
+
+
+def test_argmax_has_no_window(spark, sf_dir):
+    """max(struct) argmax must stay a partial-aggregatable hash
+    aggregate — one shuffle of (group × partition) rows, no Window, no
+    sort of the fact table."""
+    from nrtwithdeltalake_spark.operators import robust
+
+    df = robust.q_agg_argmax(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert inspect.num_shuffles(df) == 1, plan
+    assert inspect.has_partial_agg(df)
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """Pass-2 of the winsorize must join the 3-row bounds via broadcast;
+    the fact side must not shuffle for the join."""
+    from nrtwithdeltalake_spark.operators import robust
+
+    strategies = inspect.join_strategies(robust.q_winsorize(spark, sf_dir))
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_tfidf_idf_broadcasts_onto_tf(spark, sf_dir):
+    """The distinct-term IDF table must broadcast back onto the (doc,
+    term) TF side — re-shuffling the TF side on term would dwarf the
+    query at corpus scale."""
+    from nrtwithdeltalake_spark.operators import lateral
+
+    strategies = inspect.join_strategies(lateral.q_tfidf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies

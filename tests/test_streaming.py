@@ -391,3 +391,25 @@ def test_rollup_stream_refreshes_on_commits(spark, tmp_path):
     nrt.run_rollup_stream(roll, str(tmp_path / "rckpt"))
     got = {r.grp: r.n for r in roll.read().collect()}
     assert got == {"a": 2}, got
+
+
+def test_stream_enrich_matches_batch_join(spark, sf_dir):
+    """Stream-static broadcast enrichment ≡ the same batch join, and the
+    stream side is stateless (append mode, no watermark needed)."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    enriched = nrt.stream_enrich(
+        nrt.stream_events(spark, sf_dir), dim, on="user_id"
+    ).select("event_id", "user_id", "user_total")
+    got = _run_to_memory(spark, enriched, "t_enrich", output_mode="append")
+    want = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .select("event_id", "user_id", "user_total")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
