@@ -44,6 +44,55 @@ def _strip_scheme(p: str) -> str:
     return p[len("file:") :] if p.startswith("file:") else p
 
 
+_MORTON_BITS = 16
+
+
+def _morton_code(df: DataFrame, cols: list[str]) -> F.Column:
+    """Z-order (Morton) key over ``cols``: each column is min-max
+    quantized to 16 bits, then the bits are interleaved so sorting by
+    the code clusters rows that are close in EVERY dimension — parquet
+    min/max footers then prune scans on any of the columns, not just a
+    sort prefix. Quantization bounds come from one tiny global aggregate;
+    the interleave itself is a pure Catalyst fold (shift/mask inside
+    whole-stage codegen). Numeric / date / timestamp columns only —
+    the quantization needs a total order with a metric.
+
+    Spark's own OPTIMIZE ZORDER (Databricks) and Iceberg's z-ordered
+    rewrite use the same construction; public description in the Delta
+    Lake VLDB'20 paper §4.2 (data skipping + Z-order clustering)."""
+    numeric = [F.col(c).cast("double").alias(c) for c in cols]
+    bounds = df.select(numeric).agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    code = F.lit(0).cast("long")
+    n = len(cols)
+    top = (1 << _MORTON_BITS) - 1
+    for j, c in enumerate(cols):
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is None:  # empty table / all-null column
+            lo, hi = 0.0, 1.0
+        span = (hi - lo) or 1.0  # constant column → all rows bucket 0
+        q = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(top)
+                ),
+            ),
+        ).cast("long")
+        # spread bit i of q to position (i*n + j) of the code; the
+        # static 16-term shift/mask sum stays inside whole-stage codegen
+        for i in range(_MORTON_BITS):
+            code = code + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+            ).cast("long")
+    return code
+
+
 @dataclass
 class Commit:
     version: int
@@ -200,6 +249,46 @@ class VersionedTable:
         )
         self._write_commit(
             Commit(v, "overwrite", files, cdf, df.schema.json(), time.time(), {})
+        )
+        return v
+
+    def restore(self, version: int) -> int:
+        """RESTORE a previous snapshot as the new latest version (the
+        lakehouse rollback op; Delta's RESTORE TABLE ... TO VERSION).
+        Metadata-cheap: the new commit references the old version's
+        data files — nothing is rewritten — but the change feed stays
+        truthful: the commit emits the full diff (delete events for the
+        current snapshot, insert events for the restored one), so a CDC
+        consumer crossing the restore converges to the restored state
+        instead of silently keeping rolled-back rows (the same
+        correctness rule the overwrite CDF follows). Fails if the target
+        version's files were vacuumed."""
+        prev = self.get_commit()
+        target = self.get_commit(version)
+        gone = [f for f in target.files if not os.path.exists(f)]
+        if gone:
+            raise ValueError(
+                f"cannot restore version {version}: {len(gone)} data "
+                "file(s) were vacuumed"
+            )
+        v = prev.version + 1
+        cur = self._read_files(prev.files, prev.schema_json)
+        tgt = self._read_files(target.files, target.schema_json)
+        cdf = self._write_files(
+            cur.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
+        ) + self._write_files(
+            tgt.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
+        )
+        self._write_commit(
+            Commit(
+                v,
+                "restore",
+                list(target.files),
+                cdf,
+                target.schema_json,
+                time.time(),
+                {"restored_version": version, **self._carry_stats(target, target.files)},
+            )
         )
         return v
 
@@ -457,6 +546,7 @@ class VersionedTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Bin-pack small files into ~``target_file_bytes`` files — the
         engine's OPTIMIZE (the reference's Delta tables rely on
@@ -470,9 +560,19 @@ class VersionedTable:
         (repartitionByRange + sortWithinPartitions) so each output file
         covers a narrow key range — parquet min/max footer stats then
         prune scans on those columns, the OSS analog of Z-ordering (for
-        one key prefix). Data content is unchanged: no CDF rows are
+        one key prefix).
+
+        ``zorder_by`` (mutually exclusive with ``cluster_by``) clusters
+        by a Morton-interleaved key over SEVERAL columns: with linear
+        clustering only the leading sort column prunes; the interleaved
+        code gives every listed column locality, so ``read_between`` on
+        ANY of them skips files — multi-dimensional data skipping, the
+        OSS restatement of Databricks OPTIMIZE ZORDER (Delta VLDB'20
+        §4.2). Data content is unchanged either way: no CDF rows are
         emitted, and prior versions remain readable (time travel keeps
         the old file set alive)."""
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
         prev = self.get_commit()
         df = self._read_files(prev.files, prev.schema_json)
         total = sum(os.path.getsize(f) for f in prev.files)
@@ -480,6 +580,14 @@ class VersionedTable:
         if cluster_by:
             df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
                 *cluster_by
+            )
+        elif zorder_by:
+            zkey = _morton_code(df, zorder_by)
+            df = (
+                df.withColumn("__z", zkey)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
             )
         else:
             df = df.coalesce(n_out) if n_out < len(prev.files) else df
@@ -489,9 +597,10 @@ class VersionedTable:
             "files_after": len(new_files),
             "bytes": total,
         }
-        if cluster_by:
+        stat_cols = cluster_by or zorder_by
+        if stat_cols:
             stats["file_stats"] = self._collect_file_stats(
-                new_files, prev.schema_json, cluster_by
+                new_files, prev.schema_json, stat_cols
             )
         v = prev.version + 1
         self._write_commit(

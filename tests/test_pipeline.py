@@ -578,3 +578,65 @@ def test_rollup_property_random_op_sequences(spark_global, tmp_path_factory, ops
             .collect()
         )
         assert got == want, (kind, got, want)
+
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order contract: after compact(zorder_by=[a, b]) a narrow range
+    read on EITHER column must skip files — linear clustering only gives
+    that for the leading sort column. Uses two independent dimensions so
+    neither can piggyback on the other's ordering."""
+    path = str(tmp_path / "t_zorder")
+    n = 20000
+    df0 = spark.range(0, n).select(
+        F.col("id").alias("a"),
+        # decorrelated second dimension (bit-reversed-ish permutation)
+        ((F.col("id") * 7919) % n).alias("b"),
+    )
+    t = VersionedTable.create(spark, path, df0.repartition(16))
+    t.compact(target_file_bytes=16 * 1024, zorder_by=["a", "b"])
+    n_files = len(t.get_commit().files)
+    assert n_files >= 8, f"need enough files to observe pruning: {n_files}"
+    for col in ("a", "b"):
+        pruned = t.read_between(col, 0, n // 16)
+        n_scanned = len(pruned.inputFiles())
+        assert n_scanned < n_files, f"no pruning on {col}"
+        got = sorted(r[col] for r in pruned.collect())
+        assert got == list(range(0, n // 16 + 1)), f"wrong rows on {col}"
+
+
+def test_restore_rolls_back_and_feeds_cdc(spark, tmp_path):
+    """RESTORE returns the table to an old snapshot without rewriting
+    data files, and the change feed carries the full diff so a CDC
+    consumer crossing the restore converges to the restored state."""
+    path = str(tmp_path / "t_restore")
+    t = VersionedTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+    )
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.merge(spark.createDataFrame([(1, "a2")], "id long, v string"), ["id"])
+    pre_restore_version = t.latest_version()
+    data_files_before = set(t.get_commit(0).files)
+
+    v = t.restore(0)
+    assert v == pre_restore_version + 1
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+    # metadata-only: restored commit references version 0's files
+    assert set(t.get_commit().files) == data_files_before
+    assert t.get_commit().op == "restore"
+
+    # CDC consumer parked at the pre-restore head sees the full diff
+    feed = t.change_feed(pre_restore_version).collect()
+    deletes = {(r.id, r.v) for r in feed if r._change_type == "delete"}
+    inserts = {(r.id, r.v) for r in feed if r._change_type == "insert"}
+    assert deletes == {(1, "a2"), (2, "b"), (3, "c")}
+    assert inserts == {(1, "a"), (2, "b")}
+
+    # restoring a vacuumed version fails loudly
+    t.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
+    t.vacuum(retain_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuum"):
+        t.restore(1)
