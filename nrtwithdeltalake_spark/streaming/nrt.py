@@ -114,13 +114,21 @@ def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
     within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join (e.g. clicks ⋈ purchases per user within
-    a time bound). Both sides carry watermarks and the join condition
+    """Stream-stream join (e.g. clicks ⋈ purchases per user within a
+    time bound). Both sides carry watermarks and the join condition
     bounds event-time distance, so each side's buffered state is evicted
     once the other side's watermark passes — state stays
     O(rate × window), the requirement for unbounded streams. Attribution
-    joins (ad click → conversion) are exactly this shape."""
+    joins (ad click → conversion) are exactly this shape.
+
+    ``how='leftOuter'`` additionally emits unmatched left rows (with
+    null right columns) once the watermark proves no match can still
+    arrive — i.e. "clicks that never converted", which is only
+    well-defined BECAUSE the join bound + watermark close each row's
+    match window. Outer emission is therefore delayed by ``within`` +
+    watermark delay, the price of a correct negative."""
     l = left.withWatermark("ts", within).alias("l")
     r = right.withWatermark("ts", within).alias("r")
     return l.join(
@@ -132,6 +140,7 @@ def stream_stream_join(
             # or oversized state)
             f"r.ts BETWEEN l.ts AND l.ts + INTERVAL {within}"
         ),
+        how,
     ).select(
         F.col("l.user_id").alias("user_id"),
         F.col("l.event_id").alias("left_id"),

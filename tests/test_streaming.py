@@ -413,3 +413,53 @@ def test_stream_enrich_matches_batch_join(spark, sf_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """leftOuter stream-stream join: matched pairs equal the inner
+    batch join; unmatched clicks emit with null right columns once the
+    watermark closes their window, and every emitted unmatched click
+    truly has no purchase within the bound."""
+    clicks = nrt.stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purch = nrt.stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        spark,
+        nrt.stream_stream_join(clicks, purch, how="leftOuter"),
+        "t_ssj_lo",
+        output_mode="append",
+    ).collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").cast("timestamp").alias("lt"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").cast("timestamp").alias("rt"),
+    )
+    want_pairs = sorted(
+        (r.left_id, r.right_id)
+        for r in bc.join(bp, "u")
+        .filter(
+            (F.col("rt") >= F.col("lt"))
+            & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .collect()
+    )
+    matched = sorted(
+        (r.left_id, r.right_id) for r in got if r.right_id is not None
+    )
+    assert matched == want_pairs, "matched pairs must equal the inner join"
+
+    # every emitted null-right row is a true negative in the batch join
+    matched_left = {p[0] for p in want_pairs}
+    unmatched = [r.left_id for r in got if r.right_id is None]
+    assert unmatched, "outer join emitted no unmatched rows"
+    assert not (set(unmatched) & matched_left)
+    # and no click is emitted twice as unmatched
+    assert len(unmatched) == len(set(unmatched))
