@@ -132,6 +132,24 @@ FROM clipped GROUP BY l_returnflag
 """
 
 
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna via
+    ``percentile_approx``) next to the exact interpolated values. The
+    exact path (q_agg_percentile) materializes and sorts each group; the
+    sketch carries a bounded ~accuracy-sized state through partial
+    aggregation — at 100 TB the sketch is the only viable plan, and
+    unlike the exact percentile it is re-aggregatable across partitions,
+    days, and tables. Estimates are engine-specific → rows-only check;
+    tests assert the rank-error contract against the exact values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("exact_p95"),
+    )
+
+
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-per-group sample: rank rows inside each group by
     the md5 of their primary key and keep the first three. Same rows on
@@ -177,6 +195,7 @@ QUERIES = {
     "q_agg_argmax": q_agg_argmax,
     "q_winsorize": q_winsorize,
     "q_sample_per_group": q_sample_per_group,
+    "q_agg_approx_percentile": q_agg_approx_percentile,
 }
 
 ORACLES = {

@@ -55,3 +55,31 @@ def test_sketch_distinct_error_bounds(spark, sf_dir):
     for r in rx.q_agg_hll_union(spark, sf_dir).collect():
         e = exact[r.o_orderpriority]
         assert abs(r.approx_custs - e) <= max(2, 0.05 * e)
+
+
+def test_approx_percentile_error_bounds(spark, sf_dir):
+    """percentile_approx's contract is RANK error (≤ 1/accuracy), not
+    value error: assert each estimate falls between the exact values at
+    rank ±5 percentage points of the target — the correct translation
+    of the sketch guarantee to value space (value deltas can be large
+    wherever the distribution is locally flat-ranked but value-spread)."""
+    from nrtwithdeltalake_spark.operators import robust
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    bounds = {
+        r.o_orderpriority: r
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.45)").alias("p45"),
+            F.expr("percentile(o_totalprice, 0.55)").alias("p55"),
+            F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for r in robust.q_agg_approx_percentile(spark, sf_dir).collect():
+        b = bounds[r.o_orderpriority]
+        assert b.p45 <= r.approx_p50 <= b.p55, r
+        assert b.p90 <= r.approx_p95 <= b.p99, r
