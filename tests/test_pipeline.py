@@ -640,3 +640,65 @@ def test_restore_rolls_back_and_feeds_cdc(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="vacuum"):
         t.restore(1)
+
+
+def test_update_cdf_when_assignment_falsifies_condition(spark, tmp_path):
+    """ADVICE r1: update() CDF must come from PRE-update matching rows —
+    a status-transition update (condition on the column being assigned)
+    must still emit its postimage rows, not vanish from the feed."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t_upd_cdf"),
+        spark.createDataFrame(
+            [(1, "open"), (2, "open"), (3, "closed")], "id long, status string"
+        ),
+    )
+    t.update("status = 'open'", {"status": F.lit("closed")})
+    assert {(r.id, r.status) for r in t.read().collect()} == {
+        (1, "closed"),
+        (2, "closed"),
+        (3, "closed"),
+    }
+    feed = t.change_feed(0).collect()
+    post = {(r.id, r.status) for r in feed if r._change_type == "update_postimage"}
+    pre = {(r.id, r.status) for r in feed if r._change_type == "update_preimage"}
+    assert post == {(1, "closed"), (2, "closed")}
+    assert pre == {(1, "open"), (2, "open")}
+
+
+def test_overwrite_emits_delete_cdf(spark, tmp_path):
+    """ADVICE r1: a change-feed consumer resuming across an overwrite
+    must see delete events for the replaced snapshot, not retain stale
+    rows."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t_ow_cdf"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+    )
+    t.overwrite(spark.createDataFrame([(3, "c")], "id long, v string"))
+    feed = t.change_feed(0).collect()
+    deletes = {(r.id, r.v) for r in feed if r._change_type == "delete"}
+    inserts = {(r.id, r.v) for r in feed if r._change_type == "insert"}
+    assert deletes == {(1, "a"), (2, "b")}
+    assert inserts == {(3, "c")}
+
+
+def test_merge_null_key_is_updated_not_duplicated(spark, tmp_path):
+    """ADVICE r1: NULL-keyed target rows must be treated null-safely by
+    touched-file detection — merging a NULL-keyed source row updates the
+    existing NULL-keyed target row instead of carrying the original file
+    AND writing a new merged row (duplicate key)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t_null_merge"),
+        spark.createDataFrame([(None, "x"), (1, "a")], "id long, v string"),
+    )
+    t.merge(
+        spark.createDataFrame([(None, "x2"), (2, "b")], "id long, v string"),
+        ["id"],
+    )
+    rows = [(r.id, r.v) for r in t.read().collect()]
+    assert sorted(rows, key=str) == sorted(
+        [(None, "x2"), (1, "a"), (2, "b")], key=str
+    )
+    assert len(rows) == 3, f"duplicate produced: {rows}"

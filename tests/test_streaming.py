@@ -463,3 +463,46 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
     assert not (set(unmatched) & matched_left)
     # and no click is emitted twice as unmatched
     assert len(unmatched) == len(set(unmatched))
+
+
+def test_stream_stream_join_honors_within_parameter(spark, sf_dir):
+    """ADVICE r1: the join's time bound must track `within` (it was once
+    hardcoded to 30 minutes) — with a 5-minute bound the streamed result
+    must equal the 5-minute batch join, not the 30-minute one."""
+    clicks = nrt.stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purch = nrt.stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_to_memory(
+        spark,
+        nrt.stream_stream_join(clicks, purch, within="5 minutes"),
+        "t_ssj_5m",
+        output_mode="append",
+    ).collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").cast("timestamp").alias("lt"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").cast("timestamp").alias("rt"),
+    )
+
+    def pairs(bound):
+        return sorted(
+            (r.left_id, r.right_id)
+            for r in bc.join(bp, "u")
+            .filter(
+                (F.col("rt") >= F.col("lt"))
+                & (F.col("rt") <= F.col("lt") + F.expr(f"INTERVAL {bound}"))
+            )
+            .collect()
+        )
+
+    want5, want30 = pairs("5 MINUTES"), pairs("30 MINUTES")
+    assert want5 != want30, "fixture can't distinguish the bounds"
+    assert sorted((r.left_id, r.right_id) for r in got) == want5
