@@ -49,6 +49,9 @@ HEADLINE = [
     "q_tpch_q10",
     "q_ngram_topk",
     "q_embed_centroids",
+    "q_join_interval_binned",
+    "q_tfidf_topk",
+    "q_agg_argmax",
 ]
 
 
