@@ -227,8 +227,44 @@ FROM embeddings
 """
 
 
+def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing: ``from_json`` with an explicit
+    struct schema parses ``events.props`` ONCE into typed columns —
+    the scale-correct path when several fields are consumed (per-path
+    ``get_json_object``, exercised by q_scalar_json, re-parses the
+    string for every path). Malformed documents yield typed nulls
+    (PERMISSIVE), which the aggregation then counts — the data-quality
+    signal a 100 TB ingest wants for free."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k BIGINT").alias("p"),
+    ).select(F.col("p.k").alias("k"))
+    return (
+        parsed.groupBy((F.col("k") % 5).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+        .orderBy(F.asc_nulls_first("k_mod"))
+    )
+
+
+ORACLE_JSON_TYPED = """
+WITH parsed AS (
+  SELECT cast(json_extract_string(props, '$.k') as bigint) AS k FROM events
+)
+SELECT k % 5 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null
+FROM parsed GROUP BY k % 5
+ORDER BY k_mod NULLS FIRST
+"""
+
+
 QUERIES = {
     "q_array_ops": q_array_ops,
+    "q_json_typed": q_json_typed,
     "q_scalar_datetime": q_scalar_datetime,
     "q_scalar_string": q_scalar_string,
     "q_scalar_conditional": q_scalar_conditional,
@@ -239,6 +275,7 @@ QUERIES = {
 
 ORACLES = {
     "q_array_ops": ORACLE_ARRAY_OPS,
+    "q_json_typed": ORACLE_JSON_TYPED,
     "q_scalar_datetime": ORACLE_SCALAR_DATETIME,
     "q_scalar_string": ORACLE_SCALAR_STRING,
     "q_scalar_conditional": ORACLE_SCALAR_CONDITIONAL,
