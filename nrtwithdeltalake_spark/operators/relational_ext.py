@@ -899,10 +899,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation: carry the last non-null observation
+    forward per user over event time (the gap-fill idiom sensor/metric
+    pipelines run constantly — q_resample_ffill's core step exposed as
+    its own declared operator). Sparse column synthesized by nulling
+    non-purchase values; `last(..., ignorenulls=true)` over an
+    unbounded-preceding frame stays a single hash-partitioned sort —
+    one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        sparse.alias("purchase_value"),
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+ORACLE_WINDOW_IGNORE_NULLS = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+"""
+
+
 QUERIES = {
     "q_agg_corr": q_agg_corr,
     "q_agg_histogram": q_agg_histogram,
     "q_setops_all": q_setops_all,
+    "q_window_ignore_nulls": q_window_ignore_nulls,
     "q_window_nav_values": q_window_nav_values,
     "q_agg_stddev": q_agg_stddev,
     "q_agg_filtered": q_agg_filtered,
@@ -932,6 +967,7 @@ ORACLES = {
     "q_agg_corr": ORACLE_AGG_CORR,
     "q_agg_histogram": ORACLE_AGG_HISTOGRAM,
     "q_setops_all": ORACLE_SETOPS_ALL,
+    "q_window_ignore_nulls": ORACLE_WINDOW_IGNORE_NULLS,
     "q_window_nav_values": ORACLE_WINDOW_NAV_VALUES,
     "q_agg_stddev": ORACLE_AGG_STDDEV,
     "q_agg_filtered": ORACLE_AGG_FILTERED,

@@ -671,6 +671,43 @@ class VersionedTable:
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
 
+    def read_between_multi(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Conjunctive multi-column range read: a file survives only if
+        its committed [min, max] intersects EVERY requested range — the
+        consumer of z-ordered layout, where each dimension's stats are
+        tight, so the intersection prunes multiplicatively (a point-ish
+        query on two z-ordered columns touches ~√files, not all of
+        them). Semantics are exact regardless of layout: the residual
+        filter re-applies every range."""
+        c = self.get_commit(version)
+        fstats = c.stats.get("file_stats", {})
+
+        def survives(f: str) -> bool:
+            s = fstats.get(f)
+            if not s:
+                return True
+            for col, (lo, hi) in ranges.items():
+                if col not in s:
+                    continue
+                f_lo, f_hi = s[col]
+                try:
+                    t_lo, t_hi = type(lo)(f_lo), type(hi)(f_hi)
+                except (TypeError, ValueError):
+                    continue
+                if t_lo > hi or t_hi < lo:
+                    return False
+            return True
+
+        files = [f for f in c.files if survives(f)]
+        df = self._read_files(files, c.schema_json)
+        for col, (lo, hi) in ranges.items():
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        return df
+
     def vacuum(self, retain_last: int = 1) -> dict:
         """Delete data/CDF files referenced only by versions older than
         the newest ``retain_last`` — the storage-reclamation half of

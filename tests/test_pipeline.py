@@ -702,3 +702,31 @@ def test_merge_null_key_is_updated_not_duplicated(spark, tmp_path):
         [(None, "x2"), (1, "a"), (2, "b")], key=str
     )
     assert len(rows) == 3, f"duplicate produced: {rows}"
+
+
+def test_zorder_multi_range_prunes_multiplicatively(spark, tmp_path):
+    """The z-order payoff: a conjunctive range read on BOTH z-ordered
+    columns must scan fewer files than either single-column read, and
+    return exactly the rows the ranges select."""
+    path = str(tmp_path / "t_zorder_multi")
+    n = 20000
+    df0 = spark.range(0, n).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 7919) % n).alias("b"),
+    )
+    t = VersionedTable.create(spark, path, df0.repartition(16))
+    t.compact(target_file_bytes=16 * 1024, zorder_by=["a", "b"])
+    n_files = len(t.get_commit().files)
+    ranges = {"a": (0, n // 8), "b": (0, n // 8)}
+    multi = t.read_between_multi(ranges)
+    n_multi = len(multi.inputFiles())
+    n_single_a = len(t.read_between("a", 0, n // 8).inputFiles())
+    n_single_b = len(t.read_between("b", 0, n // 8).inputFiles())
+    assert n_multi <= min(n_single_a, n_single_b) < n_files
+    want = {
+        r.a
+        for r in df0.filter(
+            (F.col("a") <= n // 8) & (F.col("b") <= n // 8)
+        ).collect()
+    }
+    assert {r.a for r in multi.collect()} == want
