@@ -207,3 +207,23 @@ def test_tfidf_idf_broadcasts_onto_tf(spark, sf_dir):
     strategies = inspect.join_strategies(lateral.q_tfidf_topk(spark, sf_dir))
     assert "BroadcastHashJoin" in strategies, strategies
     assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_tpch_heavy_queries_never_nested_loop(spark, sf_dir):
+    """The multi-join TPC-H shapes (Q7/Q8/Q9/Q21) must stay hash/
+    broadcast joins with a small shuffle budget — a refactor that breaks
+    a join condition into a nested-loop/cartesian would be catastrophic
+    at scale and invisible at sf0.001."""
+    from nrtwithdeltalake_spark.operators.registry import all_queries
+
+    qs = all_queries()
+    for name in ("q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q21"):
+        df = qs[name](spark, sf_dir)
+        strategies = inspect.join_strategies(df)
+        assert strategies, f"{name}: no join found"
+        assert "BroadcastNestedLoopJoin" not in strategies, (name, strategies)
+        assert "CartesianProduct" not in strategies, (name, strategies)
+        assert inspect.num_shuffles(df) <= 4, (
+            name,
+            inspect.physical_plan(df),
+        )
