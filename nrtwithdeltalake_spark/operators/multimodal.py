@@ -173,8 +173,43 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-stub) per-payload feature extraction: byte-level
+    statistics (size, mean byte value, Shannon entropy of the byte
+    histogram) computed with numpy over Arrow batches in
+    ``mapInPandas``. No codec needed, so unlike the decode stub these
+    numbers are genuine — proving the multimodal plumbing end-to-end
+    with verifiable output (tests recompute them in pure Python).
+    Entropy is the standard compressibility / corruption signal a media
+    ingest pipeline screens on before spending decode cycles."""
+    import numpy as np
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "n_bytes": [], "mean_byte": [], "byte_entropy": []}
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / max(len(arr), 1)
+                out["n_bytes"].append(len(arr))
+                out["mean_byte"].append(round(float(arr.mean()) if len(arr) else 0.0, 6))
+                out["byte_entropy"].append(round(float(-(p * np.log2(p)).sum()), 6))
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(
+        feats,
+        "doc_id long, n_bytes long, mean_byte double, byte_entropy double",
+    )
+
+
 QUERIES = {
     "q_multimodal_bytes": q_multimodal_bytes,
+    "q_multimodal_features": q_multimodal_features,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frame_sample": q_multimodal_frame_sample,
     "q_multimodal_resize": q_multimodal_resize,

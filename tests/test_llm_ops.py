@@ -233,3 +233,31 @@ def test_kmeans_monotone_deterministic(spark, sf_dir):
     assert sorted((r.cluster, tuple(r.cv)) for r in rows) == sorted(
         (r.cluster, tuple(r.cv)) for r in cents2.collect()
     )
+
+
+def test_multimodal_features_match_pure_python(spark, sf_dir):
+    """The byte-statistics features are real numbers (not a stub):
+    recompute size/mean/entropy in pure Python for every document and
+    compare exactly (same rounding)."""
+    import math
+
+    from nrtwithdeltalake_spark.operators import multimodal
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    got = {
+        r.doc_id: r
+        for r in multimodal.q_multimodal_features(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        b = d.text.encode("utf-8")
+        counts = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        n = max(len(b), 1)
+        ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        r = got[d.doc_id]
+        assert r.n_bytes == len(b)
+        assert r.mean_byte == round(sum(b) / n if b else 0.0, 6)
+        assert abs(r.byte_entropy - round(ent, 6)) <= 1e-9
