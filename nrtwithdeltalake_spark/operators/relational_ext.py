@@ -899,6 +899,86 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (slope + intercept of extended price on
+    quantity) from the same decimal-exact power sums as q_agg_corr —
+    the single-pass, partial-aggregatable formulation of regr_slope/
+    regr_intercept, deterministic under any partitioning (the built-ins
+    accumulate doubles, whose sum order varies run to run)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(15,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(30,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(28,4)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )
+
+
+ORACLE_AGG_REGRESSION = """
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(cast(l_quantity as decimal(12,2))) AS sx,
+         sum(cast(l_extendedprice as decimal(15,2))) AS sy,
+         sum(cast(cast(l_quantity as decimal(12,2))
+                  * cast(l_extendedprice as decimal(15,2)) as decimal(30,4)))
+             AS sxy,
+         sum(cast(cast(l_quantity as decimal(12,2))
+                  * cast(l_quantity as decimal(12,2)) as decimal(28,4))) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+             / (cast(n as double) * cast(sxx as double)
+                - cast(sx as double) * cast(sx as double)), 6) AS slope,
+       round((cast(sy as double)
+              - ((cast(n as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                 / (cast(n as double) * cast(sxx as double)
+                    - cast(sx as double) * cast(sx as double)))
+                * cast(sx as double)) / cast(n as double), 4) AS intercept
+FROM agg
+"""
+
+
+def q_agg_rollup_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING flags: the marker that distinguishes a real
+    NULL group member from a subtotal row — without it rollup/cube
+    outputs are ambiguous the moment a grouping column is nullable.
+    Pure Expand-operator metadata; no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+ORACLE_AGG_ROLLUP_GID = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       cast(GROUPING(l_returnflag) as bigint) AS g_flag,
+       cast(GROUPING(l_linestatus) as bigint) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IGNORE NULLS navigation: carry the last non-null observation
     forward per user over event time (the gap-fill idiom sensor/metric
@@ -938,6 +1018,8 @@ QUERIES = {
     "q_agg_histogram": q_agg_histogram,
     "q_setops_all": q_setops_all,
     "q_window_ignore_nulls": q_window_ignore_nulls,
+    "q_agg_regression": q_agg_regression,
+    "q_agg_rollup_gid": q_agg_rollup_gid,
     "q_window_nav_values": q_window_nav_values,
     "q_agg_stddev": q_agg_stddev,
     "q_agg_filtered": q_agg_filtered,
@@ -968,6 +1050,8 @@ ORACLES = {
     "q_agg_histogram": ORACLE_AGG_HISTOGRAM,
     "q_setops_all": ORACLE_SETOPS_ALL,
     "q_window_ignore_nulls": ORACLE_WINDOW_IGNORE_NULLS,
+    "q_agg_regression": ORACLE_AGG_REGRESSION,
+    "q_agg_rollup_gid": ORACLE_AGG_ROLLUP_GID,
     "q_window_nav_values": ORACLE_WINDOW_NAV_VALUES,
     "q_agg_stddev": ORACLE_AGG_STDDEV,
     "q_agg_filtered": ORACLE_AGG_FILTERED,
