@@ -227,3 +227,40 @@ def test_tpch_heavy_queries_never_nested_loop(spark, sf_dir):
             name,
             inspect.physical_plan(df),
         )
+
+
+# Queries where a nested-loop join is the DESIGN, with a bounded small
+# side: 1-row scalar/bounds broadcasts (histogram edges, TPC-H Q11/Q22
+# scalar subqueries — O(n·1)) and deliberately-exhaustive similarity
+# baselines (brute-force cosine; IVF E-step against K broadcast
+# centroids — O(n·K), K fixed). Anything NOT listed here acquiring a
+# cartesian/nested-loop node is a scale regression.
+_NESTED_LOOP_BY_DESIGN = {
+    "q_agg_histogram",
+    "q_sim_topk",
+    "q_sim_ann_ivf",
+    "q_tpch_q11",
+    "q_tpch_q22",
+}
+
+
+def test_no_unplanned_cartesian_anywhere(spark, sf_dir):
+    """Global guardrail: no registered query may plan a CartesianProduct
+    or BroadcastNestedLoopJoin unless it is on the by-design allowlist —
+    the whole-inventory version of the per-query join checks, so a new
+    or refactored query can't silently ship an O(|L|·|R|) plan."""
+    from nrtwithdeltalake_spark.operators.registry import all_queries
+
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        if name in _NESTED_LOOP_BY_DESIGN:
+            continue
+        strategies = inspect.join_strategies(fn(spark, sf_dir))
+        cp = [
+            s
+            for s in strategies
+            if s in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        ]
+        if cp:
+            offenders[name] = cp
+    assert not offenders, offenders
