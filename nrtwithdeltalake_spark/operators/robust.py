@@ -152,14 +152,18 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-per-group sample: rank rows inside each group by
-    the md5 of their primary key and keep the first three. Same rows on
+    the md5 of their content and keep the first three. Same rows on
     every run, every engine, every retry — the reproducibility contract
-    a sampled data-quality audit needs."""
+    a sampled data-quality audit needs. The hash covers every output
+    column (the synthetic lineitem has duplicate (orderkey, linenumber)
+    pairs), so hash ties can only occur between rows identical in all
+    output columns — interchangeable by construction."""
     li = load_table(spark, sf_dir, "lineitem")
     h = F.md5(
         F.concat_ws(
             "|", F.col("l_orderkey").cast("string"),
             F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("string"),
         )
     )
     w = Window.partitionBy("l_returnflag").orderBy(h.asc())
@@ -182,7 +186,8 @@ WITH ranked AS (
          row_number() OVER (
            PARTITION BY l_returnflag
            ORDER BY md5(cast(l_orderkey AS varchar) || '|'
-                        || cast(l_linenumber AS varchar))
+                        || cast(l_linenumber AS varchar) || '|'
+                        || cast(l_quantity AS varchar))
          ) AS rk
   FROM lineitem
 )
