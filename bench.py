@@ -4,13 +4,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query executes to completion through the noop sink (full computation,
 no driver collect). Timing excludes session startup. Each query runs
-TWICE and the minimum is reported: run 1 absorbs one-time whole-stage-
-codegen compilation (janino) and any ambient scheduling hiccup, run 2
-measures steady-state throughput — the quantity that actually projects
-to a long-running cluster, where compiled classes are cached and a
-query's plan executes thousands of times. Using the min (not the mean)
-also makes round-over-round numbers robust to the ±3 s background-noise
-spikes observed on shared hardware.
+THREE times and the minimum is reported: run 1 absorbs one-time
+whole-stage-codegen compilation (janino) and any ambient scheduling
+hiccup, later runs measure steady-state throughput — the quantity that
+actually projects to a long-running cluster, where compiled classes are
+cached and a query's plan executes thousands of times. Using the min
+(not the mean) also makes round-over-round numbers robust to the
+multi-second background-noise spikes observed on this shared hardware
+(ambient load-average >6 has been observed with nothing of ours
+running).
 """
 
 from __future__ import annotations
@@ -67,7 +69,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
