@@ -223,7 +223,63 @@ WINDOW w AS (PARTITION BY event_type)
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging: per-event-type mean/std (decimal-exact
+    power sums, helpers.py policy) broadcast back onto the stream;
+    events with |z| > 2 surface with their score. The aggregate →
+    broadcast → per-row-score decomposition is the standard
+    observability shape: the fact side never re-shuffles for the
+    statistics, so it runs at scan speed on 100 TB of events."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum((v * v).cast("decimal(30,4)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    bounds = stats.select(
+        "event_type",
+        (s1 / n).alias("mu"),
+        F.greatest(F.sqrt(var), F.lit(1e-12)).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+        .filter(F.abs(F.col("z")) > 2)
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EVENTS_ANOMALY = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(cast(value as decimal(18,2))) AS s1,
+         sum(cast(cast(value as decimal(18,2))
+                  * cast(value as decimal(18,2)) as decimal(30,4))) AS s2
+  FROM events GROUP BY event_type
+), bounds AS (
+  SELECT event_type,
+         cast(s1 as double) / cast(n as double) AS mu,
+         greatest(sqrt((cast(s2 as double) - cast(s1 as double)
+                        * cast(s1 as double) / cast(n as double))
+                       / (cast(n as double) - 1.0)), 1e-12) AS sigma
+  FROM stats
+)
+SELECT event_id, e.event_type, value,
+       round((value - mu) / sigma, 4) AS z
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE abs(round((value - mu) / sigma, 4)) > 2
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "q_events_anomaly": q_events_anomaly,
     "q_group_minmax_norm": q_group_minmax_norm,
     "q_events_funnel": q_events_funnel,
     "q_retention_cohort": q_retention_cohort,
@@ -232,6 +288,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_group_minmax_norm": ORACLE_GROUP_MINMAX_NORM,
     "q_events_funnel": ORACLE_EVENTS_FUNNEL,
     "q_retention_cohort": ORACLE_RETENTION_COHORT,

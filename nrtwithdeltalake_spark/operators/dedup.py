@@ -52,6 +52,42 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a QUALITY policy: per content hash keep the
+    best surviving document — max(struct(n_chars, doc_id)), i.e.
+    longest text, ties to the newest id. In a real corpus the ordering
+    struct is the quality score (q_quality_score's output); the plan is
+    the same partial-aggregatable argmax as q_agg_argmax, so choosing
+    the survivor costs no more than counting the copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), F.col("doc_id").alias("id"))
+    ).alias("best")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .agg(best, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "content_md5",
+            F.col("best.id").alias("best_id"),
+            F.col("best.nc").alias("best_n_chars"),
+            "n_copies",
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = """
+WITH ranked AS (
+  SELECT md5(text) AS content_md5, doc_id, n_chars,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents
+)
+SELECT content_md5, doc_id AS best_id, n_chars AS best_n_chars, n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
@@ -427,6 +463,7 @@ FROM reach GROUP BY node
 
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -436,6 +473,7 @@ QUERIES = {
 
 ORACLES = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "q_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "q_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "q_decontaminate": ORACLE_DECONTAMINATE,

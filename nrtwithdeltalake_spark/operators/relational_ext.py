@@ -899,6 +899,83 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: each purchase matched to the
+    same user's latest click at-or-before it, but only if that click is
+    within 2 hours — older matches are nulled (attribution windows,
+    sensor-reading freshness). Same single-shuffle union+carry-forward
+    plan as q_join_asof; the tolerance is a post-window conditional, so
+    bounding staleness costs nothing extra. Ties broken by max ref id."""
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("ref_id"),
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(1).alias("side"),
+    )
+    ref = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("ref_id"),
+        F.col("ts").cast("timestamp").alias("ref_ts"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "ref_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        probe.unionByName(ref)
+        .select(
+            "*",
+            F.last("ref_id", ignorenulls=True).over(w).alias("last_ref"),
+            F.last("ref_ts", ignorenulls=True).over(w).alias("last_ref_ts"),
+        )
+        .filter(F.col("side") == 1)
+    )
+    fresh = F.col("last_ref_ts") >= F.col("t") - F.expr("INTERVAL 2 HOURS")
+    return carried.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(fresh, F.col("last_ref")).alias("click_id"),
+        F.when(fresh, F.date_format("last_ref_ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("click_ts_s"),
+    )
+
+
+# Oracle restates the identical union+carry-forward computation (DuckDB
+# has native ASOF JOIN, but its equal-timestamp tie choice is
+# unspecified; this formulation pins the same max-ref-id tie-break).
+ORACLE_JOIN_ASOF_TOLERANCE = """
+WITH u AS (
+  SELECT user_id AS k, ts AS t, event_id, NULL::BIGINT AS ref_id,
+         NULL::TIMESTAMP AS ref_ts, 1 AS side
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, NULL, event_id, ts, 0
+  FROM events WHERE event_type = 'click'
+), carried AS (
+  SELECT *,
+         last_value(ref_id IGNORE NULLS) OVER w AS last_ref,
+         last_value(ref_ts IGNORE NULLS) OVER w AS last_ref_ts
+  FROM u
+  WINDOW w AS (PARTITION BY k ORDER BY t, side, ref_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id,
+       CASE WHEN last_ref_ts >= t - INTERVAL 2 HOUR THEN last_ref END
+         AS click_id,
+       CASE WHEN last_ref_ts >= t - INTERVAL 2 HOUR
+            THEN strftime(last_ref_ts, '%Y-%m-%d %H:%M:%S') END
+         AS click_ts_s
+FROM carried WHERE side = 1
+"""
+
+
 def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS fit (slope + intercept of extended price on
     quantity) from the same decimal-exact power sums as q_agg_corr —
@@ -1020,6 +1097,7 @@ QUERIES = {
     "q_window_ignore_nulls": q_window_ignore_nulls,
     "q_agg_regression": q_agg_regression,
     "q_agg_rollup_gid": q_agg_rollup_gid,
+    "q_join_asof_tolerance": q_join_asof_tolerance,
     "q_window_nav_values": q_window_nav_values,
     "q_agg_stddev": q_agg_stddev,
     "q_agg_filtered": q_agg_filtered,
@@ -1052,6 +1130,7 @@ ORACLES = {
     "q_window_ignore_nulls": ORACLE_WINDOW_IGNORE_NULLS,
     "q_agg_regression": ORACLE_AGG_REGRESSION,
     "q_agg_rollup_gid": ORACLE_AGG_ROLLUP_GID,
+    "q_join_asof_tolerance": ORACLE_JOIN_ASOF_TOLERANCE,
     "q_window_nav_values": ORACLE_WINDOW_NAV_VALUES,
     "q_agg_stddev": ORACLE_AGG_STDDEV,
     "q_agg_filtered": ORACLE_AGG_FILTERED,
