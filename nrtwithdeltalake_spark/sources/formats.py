@@ -98,6 +98,19 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar interchange format (Hive/Trino
+    ecosystems). Spark's vectorized ORC reader gives the same pushdown/
+    pruning properties as parquet; schema comes from the file footer
+    (self-describing, unlike CSV/JSONL)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (snappy by default; splittable stripes)."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:

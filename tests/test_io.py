@@ -138,3 +138,23 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves values and types exactly, and the
+    vectorized ORC reader accepts predicate pushdown like parquet."""
+    from nrtwithdeltalake_spark.sources import formats
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+    from nrtwithdeltalake_spark.plans import inspect
+
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    formats.write_orc(src, path)
+    back = formats.read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+    filtered = back.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    pushed = " ".join(inspect.pushed_filters(filtered))
+    assert "o_orderkey" in pushed, pushed
