@@ -278,8 +278,85 @@ ORDER BY event_id
 """
 
 
+def q_events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigram counts):
+    lag() over (user, time) pairs each event with its predecessor, then
+    a hash aggregate counts (prev_type, event_type) cells. The window
+    shuffles once on user_id with in-partition sort — the same exchange
+    a sessionization pass uses, so at scale this piggybacks on an
+    existing user-partitioned layout. Ordering ties broken by event_id
+    (unique), keeping the lag deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        pairs.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+ORACLE_EVENTS_TRANSITION = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type,
+         event_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*) AS n
+FROM pairs WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, event_type
+"""
+
+
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: events per (ISO weekday × 4 six-hour bins) as a
+    wide conditional aggregation — one map-side-combinable hash agg over
+    7 rows × 4 counter columns, no pivot machinery and no second shuffle
+    (contrast q_pivot, which exercises the pivot operator itself).
+    Weekday via Spark ``weekday()+1`` ≡ DuckDB ``isodow`` (1=Monday) —
+    the engine-portable day numbering."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    binned = ev.select(
+        (F.weekday("ts") + F.lit(1)).alias("isodow"), hr.alias("hr")
+    )
+    aggs = [
+        F.sum(
+            F.when((F.col("hr") >= lo) & (F.col("hr") < lo + 6), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"h{lo:02d}")
+        for lo in (0, 6, 12, 18)
+    ]
+    return binned.groupBy("isodow").agg(*aggs).orderBy("isodow")
+
+
+ORACLE_EVENTS_HEATMAP = """
+SELECT isodow(ts) AS isodow,
+       cast(sum(CASE WHEN hour(ts) >= 0  AND hour(ts) < 6  THEN 1 ELSE 0 END)
+            AS bigint) AS h00,
+       cast(sum(CASE WHEN hour(ts) >= 6  AND hour(ts) < 12 THEN 1 ELSE 0 END)
+            AS bigint) AS h06,
+       cast(sum(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 1 ELSE 0 END)
+            AS bigint) AS h12,
+       cast(sum(CASE WHEN hour(ts) >= 18 AND hour(ts) < 24 THEN 1 ELSE 0 END)
+            AS bigint) AS h18
+FROM events
+GROUP BY isodow(ts)
+ORDER BY isodow
+"""
+
+
 QUERIES = {
     "q_events_anomaly": q_events_anomaly,
+    "q_events_transition": q_events_transition,
+    "q_events_heatmap": q_events_heatmap,
     "q_group_minmax_norm": q_group_minmax_norm,
     "q_events_funnel": q_events_funnel,
     "q_retention_cohort": q_retention_cohort,
@@ -289,6 +366,8 @@ QUERIES = {
 
 ORACLES = {
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
+    "q_events_transition": ORACLE_EVENTS_TRANSITION,
+    "q_events_heatmap": ORACLE_EVENTS_HEATMAP,
     "q_group_minmax_norm": ORACLE_GROUP_MINMAX_NORM,
     "q_events_funnel": ORACLE_EVENTS_FUNNEL,
     "q_retention_cohort": ORACLE_RETENTION_COHORT,

@@ -20,6 +20,7 @@ from . import (
     lateral,
     relational,
     relational_ext,
+    retrieval,
     robust,
     scalars,
     tpch,
@@ -38,6 +39,7 @@ _MODULES = [
     lateral,
     joins_ext,
     robust,
+    retrieval,
 ]
 
 

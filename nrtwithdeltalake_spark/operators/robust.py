@@ -196,15 +196,115 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag from
+    EXACT integer power sums — the third/fourth-moment extension of
+    q_agg_stddev's policy.
+
+    l_quantity is an exact 2-dp value, so ``qi = int(q*100)`` is lossless
+    and skewness/kurtosis are scale-invariant (x → 100x changes
+    neither), letting all four power sums accumulate in integer space:
+    Σqi fits bigint at any realistic cardinality; Σqi²..Σqi⁴ accumulate
+    as decimal(38,0) (per-row qi⁴ ≤ 6.25e14 fits bigint, but bigint
+    SUMs of the higher powers overflow — silently, in non-ANSI mode —
+    past ~10⁸ rows; the decimal accumulator is exact to 1e38, i.e.
+    ~1e23 rows). Finalization is a handful of double ops
+    on one row per group, mirrored operation-for-operation in the
+    oracle; the only non-basic op is sqrt (IEEE correctly-rounded, so
+    still bit-identical — no libm pow).
+
+    Scale: a single map-side-combinable hash aggregate; the exchange
+    carries 4 numbers per (group × partition). Compare Spark's builtin
+    ``skewness``/``kurtosis``, which accumulate central moments in
+    double and drift with partition count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qi = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    agg = (
+        li.select(F.col("l_returnflag"), qi.alias("qi"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qi").alias("s1"),
+            F.sum((F.col("qi") * F.col("qi")).cast("decimal(38,0)")).alias("s2"),
+            F.sum(
+                (F.col("qi") * F.col("qi") * F.col("qi")).cast("decimal(38,0)")
+            ).alias("s3"),
+            F.sum(
+                (F.col("qi") * F.col("qi") * F.col("qi") * F.col("qi")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - F.lit(3.0) * m1 * (s2 / n) + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * m1 * (s3 / n)
+        + F.lit(6.0) * (m1 * m1) * (s2 / n)
+        - F.lit(3.0) * (m1 * m1) * (m1 * m1)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurt_excess"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_AGG_SKEW_KURT = """
+WITH q AS (
+  SELECT l_returnflag,
+         cast(cast(l_quantity AS decimal(12,2)) * 100 AS bigint) AS qi
+  FROM lineitem
+), sums AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(qi) AS s1,
+         sum(cast(qi * qi AS decimal(38,0))) AS s2,
+         sum(cast(qi * qi * qi AS decimal(38,0))) AS s3,
+         sum(cast(qi * qi * qi * qi AS decimal(38,0))) AS s4
+  FROM q GROUP BY l_returnflag
+), fin AS (
+  SELECT l_returnflag, n,
+         cast(n AS double) AS nd, cast(s1 AS double) AS d1,
+         cast(s2 AS double) AS d2, cast(s3 AS double) AS d3,
+         cast(s4 AS double) AS d4
+  FROM sums
+), mom AS (
+  SELECT l_returnflag, n,
+         d1 / nd AS m1,
+         d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+         d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+           + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+         d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+           + 6.0 * ((d1 / nd) * (d1 / nd)) * (d2 / nd)
+           - 3.0 * ((d1 / nd) * (d1 / nd)) * ((d1 / nd) * (d1 / nd)) AS m4
+  FROM fin
+)
+SELECT l_returnflag, n,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skew_pop,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
+FROM mom ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_agg_argmax": q_agg_argmax,
     "q_winsorize": q_winsorize,
     "q_sample_per_group": q_sample_per_group,
     "q_agg_approx_percentile": q_agg_approx_percentile,
+    "q_agg_skew_kurt": q_agg_skew_kurt,
 }
 
 ORACLES = {
     "q_agg_argmax": ORACLE_AGG_ARGMAX,
     "q_winsorize": ORACLE_WINSORIZE,
     "q_sample_per_group": ORACLE_SAMPLE_PER_GROUP,
+    "q_agg_skew_kurt": ORACLE_AGG_SKEW_KURT,
 }

@@ -302,8 +302,54 @@ def q_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the strongest single
+    cheap repetition/boilerplate signal in web-corpus filtering
+    (near-duplicate boilerplate compresses far below prose; CCNet/
+    RefinedWeb-style pipelines cut on exactly this). zlib is not
+    expressible in SQL, so this is an Arrow-batched pandas UDF
+    (vectorized transfer, ~independent of row width) and a declared
+    rows-only query; tests/test_llm_ops.py recomputes the ratio in
+    plain Python per row and asserts exact equality — a stronger check
+    than the SQL oracle gives float queries. Level is pinned (6) so the
+    byte stream, and therefore the ratio, is deterministic across runs
+    and platforms (zlib's output is fully determined by input+level).
+
+    Scale: stateless scan→project with one Python stage; no shuffle.
+    The UDF ships ~batch_size texts per Arrow batch; compression is
+    CPU-bound and embarrassingly parallel."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringizes them, breaking pandas_udf eval-type inference → SCALAR
+    @pandas_udf("double")
+    def zratio(texts):
+        import zlib
+
+        def ratio(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(ratio)
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.round(zratio(F.col("text")), 6).alias("zlib_ratio"),
+    )
+    return base.select(
+        "*", (F.col("zlib_ratio") < 0.35).alias("high_repetition")
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q_text_stats": q_text_stats,
+    "q_compression_ratio": q_compression_ratio,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,

@@ -261,3 +261,28 @@ def test_multimodal_features_match_pure_python(spark, sf_dir):
         assert r.n_bytes == len(b)
         assert r.mean_byte == round(sum(b) / n if b else 0.0, 6)
         assert abs(r.byte_entropy - round(ent, 6)) <= 1e-9
+
+
+def test_compression_ratio_matches_pure_python(spark, sf_dir):
+    """The zlib ratio is a real computation, exactly reproducible:
+    recompute compress(level=6) per document in plain Python and compare
+    with the same rounding; the repetition flag must agree with the
+    recomputed ratio too."""
+    import zlib
+
+    from nrtwithdeltalake_spark.operators import textstats
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    got = {
+        r.doc_id: r
+        for r in textstats.q_compression_ratio(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        r = got[d.doc_id]
+        assert r.n_chars == len(d.text)
+        assert r.zlib_ratio == want
+        assert r.high_repetition == (want < 0.35)
