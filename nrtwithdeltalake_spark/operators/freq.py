@@ -1,0 +1,198 @@
+"""Frequency-shape operators: exact mode and a bloom-prefiltered join.
+
+Two plan families the rest of the registry doesn't cover (north-star
+additions; the reference computes only MAX-watermark aggregates, see
+/root/reference/COPY_MSQL_TO_SILVER.py:119-131 and SURVEY.md §2.1 O9):
+
+* ``q_agg_mode`` — exact per-group mode as TWO stacked hash
+  aggregations, both partial-aggregatable: (group, value) counts, then
+  argmax-by-count via ``max(struct)`` with a total tie order (higher
+  count wins, then smaller value). No window, no sort; the second
+  shuffle carries one row per (group × value) — at 100 TB on a
+  low-cardinality value domain that is kilobytes. This is the shape
+  ``F.mode`` cannot give you portably: Spark's ``mode()`` breaks count
+  ties arbitrarily, so two runs (or two engines) can disagree; the
+  explicit struct order makes the result engine-portable and
+  retry-deterministic.
+* ``q_join_bloom_prefilter`` — a semi join where the probe side is
+  pre-filtered by a bloom filter built from the build side, entirely in
+  DataFrame ops: the filter is ~2 KB of bigint words aggregated from
+  the build keys (``xxhash64`` → ``bit_or`` of shifted bits), carried
+  to every probe row as a broadcast map, and consulted with pure
+  bitwise expressions inside whole-stage codegen. False positives are
+  removed by the exact semi join that follows, so the result is
+  EXACTLY the plain semi join (the oracle states it that way); false
+  negatives are impossible (every build key set its bits). At 100 TB
+  the win is shuffle volume: the probe side drops non-matching rows at
+  the scan stage — before the exchange — so the exact join shuffles
+  only (matches + ε·non-matches) instead of everything. Spark can
+  inject this itself (``spark.sql.optimizer.runtime.bloomFilter.enabled``)
+  but only under size/selectivity heuristics and never across stages
+  you compose manually; the explicit operator makes the contract
+  testable (``tests/test_freq.py`` asserts zero lost rows and that the
+  prefilter prunes).
+
+Numeric policy (helpers.py): mode returns raw column values (no float
+arithmetic); the bloom query's revenue sum runs in decimal and is
+rounded once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .helpers import DEC_PRICE
+
+# Bloom geometry: m = 2^17 bits (2048 bigint words ≈ 16 KB), k = 4
+# hashes. For the ~15k build keys at sf0.01 that is ~11% fill → false
+# positive rate (fill)^k ≈ 1.6e-4. On a cluster, size m from the build
+# side's approx_count_distinct before building.
+_BLOOM_BITS = 1 << 17
+_BLOOM_WORDS = _BLOOM_BITS >> 6
+_BLOOM_SEEDS = [101, 211, 307, 401]
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return-flag: the most frequent l_quantity (ties → smallest
+    quantity) and its count. Two hash aggregations, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = F.max(
+        F.struct(
+            F.col("cnt").alias("c"),
+            (-F.col("l_quantity")).alias("negq"),
+        )
+    ).alias("top")
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(top)
+        .select(
+            "l_returnflag",
+            (-F.col("top.negq")).alias("mode_qty"),
+            F.col("top.c").alias("mode_cnt"),
+        )
+    )
+
+
+ORACLE_AGG_MODE = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), ranked AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY cnt DESC, l_quantity ASC
+         ) AS rn
+  FROM counts
+)
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+FROM ranked WHERE rn = 1
+"""
+
+
+# The shift amounts are data-dependent, which the PySpark wrappers for
+# shiftleft/shiftright don't accept (they require Python ints) — the SQL
+# forms do, so the bit expressions below are built as expr() strings.
+
+
+def _positions_sql(key: str) -> list[str]:
+    """k bit-position exprs for a bigint key: pmod(xxhash64(key, seed), m)."""
+    return [
+        f"pmod(xxhash64({key}, {s}), {_BLOOM_BITS}L)" for s in _BLOOM_SEEDS
+    ]
+
+
+def build_bloom(df: DataFrame, key: str) -> DataFrame:
+    """Aggregate a one-row DataFrame holding the bloom filter for
+    ``df[key]`` as a map<int, bigint> of non-zero 64-bit words.
+
+    Plan: project k positions per row → explode → bit_or per word →
+    map_from_entries under a single-group aggregate. The whole build is
+    one tiny shuffle keyed by word index (≤ 2048 groups)."""
+    pos = F.explode(
+        F.array(*[F.expr(p) for p in _positions_sql(key)])
+    ).alias("p")
+    words = (
+        df.select(pos)
+        .select(
+            F.expr("cast(shiftright(p, 6) as int)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom")
+    )
+
+
+def bloom_might_contain(bloom: str, key: str) -> Column:
+    """Membership test on named columns: all k bits set (missing word →
+    bit unset)."""
+    tests = []
+    for p in _positions_sql(key):
+        tests.append(
+            f"(shiftright(coalesce(element_at({bloom}, cast(shiftright({p}, 6) as int)),"
+            f" cast(0 as bigint)), cast(({p}) % 64 as int)) & 1) = 1"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems whose order is 1-URGENT, as a
+    bloom-prefiltered exact semi join: the probe scan consults a
+    broadcast 16 KB bloom of urgent orderkeys before anything shuffles;
+    the exact semi join then removes false positives, so the result
+    equals the plain semi join (which is what the oracle computes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bloom = build_bloom(orders, "o_orderkey")
+    prefiltered = li.crossJoin(F.broadcast(bloom)).filter(
+        bloom_might_contain("bloom", "l_orderkey")
+    )
+    exact = prefiltered.join(
+        orders.select("o_orderkey"),
+        prefiltered["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    revenue = F.sum(
+        (
+            F.col("l_extendedprice").cast(DEC_PRICE)
+            * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+        )
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(revenue, 2).cast("double").alias("urgent_revenue"),
+    )
+
+
+ORACLE_JOIN_BLOOM_PREFILTER = """
+SELECT l_returnflag, count(*) AS n_items,
+       cast(round(sum(cast(l_extendedprice AS decimal(15,2))
+                 * (cast(1 AS decimal(5,4)) - cast(l_discount AS decimal(5,4)))), 2)
+         AS double) AS urgent_revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q_agg_mode": q_agg_mode,
+    "q_join_bloom_prefilter": q_join_bloom_prefilter,
+}
+
+ORACLES = {
+    "q_agg_mode": ORACLE_AGG_MODE,
+    "q_join_bloom_prefilter": ORACLE_JOIN_BLOOM_PREFILTER,
+}

