@@ -187,12 +187,124 @@ GROUP BY l_returnflag
 """
 
 
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per order priority via bitmap words:
+    each (priority, custkey>>6) group ORs a 64-bit word, then bit_count
+    sums per priority.
+
+    Why not count_distinct: at 100 TB, COUNT(DISTINCT) over a dense
+    integer key either shuffles every (group, key) pair (Expand) or
+    holds per-group hash sets. The bitmap state is one bigint per 64
+    key-slots, fully partial-aggregatable at BOTH levels (bit_or and
+    sum merge associatively), and — unlike HLL (`q_agg_approx_distinct`)
+    — exact and re-aggregatable across rollup grains: daily bitmaps OR
+    into monthly bitmaps with no error. The roaring-bitmap pattern of
+    every web-scale analytics store, in two hash aggregations of
+    built-ins."""
+    orders = load_table(spark, sf_dir, "orders")
+    words = (
+        orders.select(
+            "o_orderpriority",
+            F.expr("cast(shiftright(o_custkey, 6) as bigint)").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(o_custkey % 64 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("o_orderpriority", "w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return (
+        words.groupBy("o_orderpriority")
+        .agg(F.sum(F.bit_count("word")).alias("n_distinct_cust"))
+    )
+
+
+ORACLE_AGG_BITMAP_DISTINCT = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_cust
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (top 20 users):
+    gaps-and-islands via the anchor trick — distinct (user, day), then
+    ``day − row_number() days`` is constant within an island of
+    consecutive days, so one window plus two hash aggs finds every
+    streak. No self-join, no iteration; the window partitions by user
+    so at scale the shuffle is one pass keyed by user_id.
+
+    Ties (same streak length) resolve by user_id ascending — total
+    order, deterministic page."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("len").alias("l"),
+            F.col("streak_start").alias("s"),
+        )
+    ).alias("b")
+    return (
+        streaks.groupBy("user_id")
+        .agg(best)
+        .select(
+            "user_id",
+            F.col("b.l").alias("best_streak_days"),
+            F.date_format(F.col("b.s"), "yyyy-MM-dd").alias("streak_start"),
+        )
+        .orderBy(F.col("best_streak_days").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_USER_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events
+), anchored AS (
+  SELECT user_id, day,
+         day - cast(row_number() OVER (
+           PARTITION BY user_id ORDER BY day) AS int) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, count(*) AS len, min(day) AS streak_start
+  FROM anchored GROUP BY user_id, anchor
+), best AS (
+  SELECT user_id, len, streak_start,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY len DESC, streak_start DESC) AS rn
+  FROM streaks
+)
+SELECT user_id, len AS best_streak_days,
+       strftime(streak_start, '%Y-%m-%d') AS streak_start
+FROM best WHERE rn = 1
+ORDER BY best_streak_days DESC, user_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q_agg_mode": q_agg_mode,
     "q_join_bloom_prefilter": q_join_bloom_prefilter,
+    "q_agg_bitmap_distinct": q_agg_bitmap_distinct,
+    "q_user_streaks": q_user_streaks,
 }
 
 ORACLES = {
     "q_agg_mode": ORACLE_AGG_MODE,
     "q_join_bloom_prefilter": ORACLE_JOIN_BLOOM_PREFILTER,
+    "q_agg_bitmap_distinct": ORACLE_AGG_BITMAP_DISTINCT,
+    "q_user_streaks": ORACLE_USER_STREAKS,
 }
