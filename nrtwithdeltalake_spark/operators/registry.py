@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     behavior,
     corpus,
+    decision,
     flagship,
     freq,
     joins_ext,
@@ -42,6 +43,7 @@ _MODULES = [
     robust,
     retrieval,
     freq,
+    decision,
 ]
 
 
