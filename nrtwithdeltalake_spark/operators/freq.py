@@ -17,9 +17,9 @@ additions; the reference computes only MAX-watermark aggregates, see
 * ``q_join_bloom_prefilter`` — a semi join where the probe side is
   pre-filtered by a bloom filter built from the build side, entirely in
   DataFrame ops: the filter is ~2 KB of bigint words aggregated from
-  the build keys (``xxhash64`` → ``bit_or`` of shifted bits), carried
-  to every probe row as a broadcast map, and consulted with pure
-  bitwise expressions inside whole-stage codegen. False positives are
+  the build keys (``xxhash64`` → ``bit_or`` of shifted bits),
+  delivered to the probe filter as a scalar subquery, and consulted
+  with pure bitwise expressions inside whole-stage codegen. False positives are
   removed by the exact semi join that follows, so the result is
   EXACTLY the plain semi join (the oracle states it that way); false
   negatives are impossible (every build key set its bits). At 100 TB
@@ -133,11 +133,17 @@ def build_bloom(df: DataFrame, key: str) -> DataFrame:
 
 
 def bloom_might_contain(bloom: str, key: str) -> Column:
-    """Membership test on named columns: all k bits set (missing word →
-    bit unset). A flat AND chain of bitwise exprs — codegen-friendly
-    (a higher-order ``forall`` variant measured 4× slower: lambda
-    functions run interpreted); the repeated xxhash64 subtrees are
-    collapsed by whole-stage codegen subexpression elimination."""
+    """Membership test: all k bits set (missing word → bit unset).
+
+    ``bloom`` is any SQL expression yielding the word map — a column
+    name, or a scalar subquery like ``(SELECT bloom FROM v)`` (the
+    form q_join_bloom_prefilter uses: a subquery keeps the test a plain
+    Filter on the probe scan, which no join-reordering rule can hoist;
+    identical subqueries are deduplicated by ReuseSubquery). A flat AND
+    chain of bitwise exprs — codegen-friendly (a higher-order
+    ``forall`` variant measured 4× slower: lambda functions run
+    interpreted); repeated xxhash64 subtrees are collapsed by
+    whole-stage codegen subexpression elimination."""
     tests = []
     for p in _positions_sql(key):
         tests.append(
@@ -157,9 +163,19 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    bloom = build_bloom(orders, "o_orderkey")
-    prefiltered = li.crossJoin(F.broadcast(bloom)).filter(
-        bloom_might_contain("bloom", "l_orderkey")
+    # The bloom reaches the probe as a SCALAR SUBQUERY, not a join:
+    # a broadcast cross-join formulation measured here gets reordered
+    # by Catalyst (PushDownLeftSemiAntiJoin / join commutation) so the
+    # membership test ran AFTER the exact join it exists to protect.
+    # As a subquery the test is a plain Filter on the probe scan —
+    # below every exchange, exactly where Spark's own runtime bloom
+    # injection puts it.
+    freq_bloom = build_bloom(orders, "o_orderkey")
+    freq_bloom.createOrReplaceTempView("nrt_bloom_urgent_orders")
+    prefiltered = li.filter(
+        bloom_might_contain(
+            "(SELECT bloom FROM nrt_bloom_urgent_orders)", "l_orderkey"
+        )
     )
     exact = prefiltered.join(
         orders.select("o_orderkey"),

@@ -48,6 +48,24 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_dir):
         assert (n_pre - n_exact) / n_nonmatch < 0.05
 
 
+def test_bloom_filter_probe_is_scan_filter_below_join(spark, sf_dir):
+    """Plan guardrail: the membership test must reach the probe side as
+    a Filter containing the bloom scalar subqueries BELOW the exact semi
+    join — a join-based formulation gets reordered by Catalyst so the
+    prefilter runs after the join (observed; see q_join_bloom_prefilter
+    docstring)."""
+    from nrtwithdeltalake_spark.plans import inspect
+
+    df = freq.q_join_bloom_prefilter(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    join_at = plan.index("LeftSemi")
+    probe_filter_at = plan.index("element_at(Subquery")
+    # physical tree prints children after the parent: the probe filter
+    # must be a descendant of (printed after) the semi join
+    assert probe_filter_at > join_at, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bloom_filter_is_tiny(spark, sf_dir):
     """The broadcast state is bounded by the geometry (≤ 2048 words),
     not by the build-side row count."""
