@@ -26,6 +26,10 @@ def main() -> None:
         f"`python tools/plan_report.py` over `{SF_DIR}`. The plan",
         "properties asserted in tests/test_plans.py are summarized per",
         "query; full `explain('formatted')` output follows for audit.",
+        "Shuffle counts are textual `Exchange` occurrences in the",
+        "pre-execution plan: scalar-subquery trees print once per",
+        "referencing conjunct but execute once (ReuseSubquery), so",
+        "subquery-heavy plans (q_join_bloom_prefilter) overcount here.",
         "",
     ]
     for name in HEADLINE:
