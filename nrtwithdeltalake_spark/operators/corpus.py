@@ -305,8 +305,50 @@ FROM norms GROUP BY label
 """
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis): rank documents by ln(u)/w where u is an
+    md5-derived uniform in (0,1] and w = n_chars, take the top 100 —
+    longer documents are proportionally likelier, yet the draw is
+    reproducible across runs, engines and partitionings (the property
+    ``sample()``/``rand()`` cannot give a 100 TB curation pipeline).
+
+    Plan shape: scan → project (hash, one libm ln) →
+    TakeOrderedAndProject(100) — no shuffle at all beyond the top-k
+    reduction; at scale each partition ships only its local top-100.
+
+    The key is quantized to 6 dp so the one libm call can't produce a
+    cross-engine last-ulp rank flip (ties resolve by doc_id — total
+    order, exact result either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    lkey = F.round(F.log(u) / F.col("n_chars").cast("double"), 6)
+    return (
+        docs.select("doc_id", "source", "n_chars", lkey.alias("samp_key"))
+        .orderBy(F.desc("samp_key"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = """
+SELECT doc_id, source, n_chars,
+       round(ln((CAST(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8))
+                      AS BIGINT) + 1) / 4294967296.0)
+             / cast(n_chars AS double), 6) AS samp_key
+FROM documents
+ORDER BY samp_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q_ngram_topk": q_ngram_topk,
+    "q_sample_weighted": q_sample_weighted,
     "q_repetition_ratio": q_repetition_ratio,
     "q_source_stats": q_source_stats,
     "q_sample_stratified": q_sample_stratified,
@@ -317,6 +359,7 @@ QUERIES = {
 
 ORACLES = {
     "q_ngram_topk": ORACLE_NGRAM_TOPK,
+    "q_sample_weighted": ORACLE_SAMPLE_WEIGHTED,
     "q_repetition_ratio": ORACLE_REPETITION_RATIO,
     "q_source_stats": ORACLE_SOURCE_STATS,
     "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,

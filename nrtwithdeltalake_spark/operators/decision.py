@@ -299,14 +299,90 @@ LIMIT 15
 """
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source: contingency cells from ONE hash agg over the fact grain;
+    margins and the total are re-aggregations of the tiny cell table
+    (never the facts); expected counts and the statistic assemble on
+    ≤ |lang|×|source| rows. Per-cell contributions are quantized to
+    micro-units and summed as integers, so the statistic is independent
+    of cell visit order (the bm25/centroid trick)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    row_m = cells.groupBy("lang").agg(F.sum("obs").alias("row_n"))
+    col_m = cells.groupBy("source").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_source"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_m), "lang")
+        .join(F.broadcast(col_m), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp
+    )
+    micro = F.floor(contrib * F.lit(1000000.0)).cast("bigint")
+    return joined.select(
+        micro.alias("micro"), "n", "n_lang", "n_source"
+    ).groupBy("n", "n_lang", "n_source").agg(
+        (F.sum("micro").cast("double") / F.lit(1000000.0)).alias("chi2")
+    ).select(
+        "n",
+        "chi2",
+        ((F.col("n_lang") - 1) * (F.col("n_source") - 1)).alias("dof"),
+    )
+
+
+ORACLE_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS obs FROM documents GROUP BY lang, source
+), row_m AS (
+  SELECT lang, sum(obs) AS row_n FROM cells GROUP BY lang
+), col_m AS (
+  SELECT source, sum(obs) AS col_n FROM cells GROUP BY source
+), tot AS (
+  SELECT sum(obs) AS n, count(DISTINCT lang) AS n_lang,
+         count(DISTINCT source) AS n_source
+  FROM cells
+), scored AS (
+  SELECT cast(floor(
+           (cast(obs AS double)
+            - cast(row_n AS double) * cast(col_n AS double) / cast(n AS double))
+           * (cast(obs AS double)
+              - cast(row_n AS double) * cast(col_n AS double) / cast(n AS double))
+           / (cast(row_n AS double) * cast(col_n AS double) / cast(n AS double))
+           * 1000000.0) AS bigint) AS micro,
+         cast(n AS bigint) AS n,
+         n_lang, n_source
+  FROM cells
+  JOIN row_m USING (lang)
+  JOIN col_m USING (source)
+  CROSS JOIN tot
+)
+SELECT n, cast(sum(micro) AS double) / 1000000.0 AS chi2,
+       (n_lang - 1) * (n_source - 1) AS dof
+FROM scored GROUP BY n, n_lang, n_source
+"""
+
+
 QUERIES = {
     "q_ab_test_welch": q_ab_test_welch,
+    "q_chi2_independence": q_chi2_independence,
     "q_pareto_share": q_pareto_share,
     "q_rfm_segments": q_rfm_segments,
 }
 
 ORACLES = {
     "q_ab_test_welch": ORACLE_AB_TEST_WELCH,
+    "q_chi2_independence": ORACLE_CHI2_INDEPENDENCE,
     "q_pareto_share": ORACLE_PARETO_SHARE,
     "q_rfm_segments": ORACLE_RFM_SEGMENTS,
 }
