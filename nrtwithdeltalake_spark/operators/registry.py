@@ -20,6 +20,7 @@ from . import (
     freq,
     joins_ext,
     lateral,
+    llm_ext,
     relational,
     relational_ext,
     retrieval,
@@ -44,6 +45,7 @@ _MODULES = [
     retrieval,
     freq,
     decision,
+    llm_ext,
 ]
 
 

@@ -241,6 +241,11 @@ _NESTED_LOOP_BY_DESIGN = {
     "q_sim_ann_ivf",
     "q_tpch_q11",
     "q_tpch_q22",
+    # 1-row corpus-stats / percentile-cutoff broadcasts delivered via
+    # crossJoin(broadcast(stats)) — same O(n·1) shape as q_agg_histogram.
+    "q_bm25_topk",
+    "q_chi2_independence",
+    "q_rfm_segments",
 }
 
 
