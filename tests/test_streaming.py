@@ -506,3 +506,114 @@ def test_stream_stream_join_honors_within_parameter(spark, sf_dir):
     want5, want30 = pairs("5 MINUTES"), pairs("30 MINUTES")
     assert want5 != want30, "fixture can't distinguish the bounds"
     assert sorted((r.left_id, r.right_id) for r in got) == want5
+
+
+def test_transform_with_state_running_profiles(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): per-user
+    profiles accumulate across micro-batches; the last emission per key
+    must equal a batch recomputation over all batches.
+
+    The TWS python worker talks to the JVM state server over protobuf;
+    environments without the protobuf package can't execute it (the
+    module still imports — the plan/schema surface stays checkable), so
+    this end-to-end test is gated on the dependency."""
+    import datetime as dt
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas worker requires protobuf",
+    )
+
+    from nrtwithdeltalake_spark.streaming import tws
+
+    def d(s):
+        return dt.datetime.fromisoformat(s)
+
+    sdir = str(tmp_path / "src")
+    os.makedirs(sdir, exist_ok=True)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, d("2024-01-01 10:00:00"), 1, "click", 2.0, "{}"),
+            (2, d("2024-01-01 10:10:00"), 1, "view", 3.0, "{}"),
+            (3, d("2024-01-01 10:05:00"), 2, "click", 5.0, "{}"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (4, d("2024-01-01 11:00:00"), 1, "buy", 7.0, "{}"),
+            (5, d("2024-01-01 09:00:00"), 3, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+
+    stream = spark.readStream.schema(batch1.schema).parquet(f"{sdir}/*.parquet")
+    q = (
+        tws.running_profiles(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws_prof")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    q.processAllAvailable()
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM t_tws_prof").collect()
+    # latest emission per user = final profile
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events >= cur.n_events:
+            final[r.user_id] = r
+    want = {
+        u: (n, t, last)
+        for u, n, t, last in batch1.unionAll(batch2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("t"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u, r in final.items():
+        n, t, last = want[u]
+        assert (r.n_events, r.total_value, r.last_seen) == (n, t, last), u
+
+
+def test_transform_with_state_plan_builds(spark, tmp_path):
+    """TWS plan construction needs no protobuf (worker-only dependency):
+    the streaming plan must analyze with the declared output schema."""
+    import os as _os
+
+    from nrtwithdeltalake_spark.streaming import tws
+
+    sdir = str(tmp_path / "src_plan")
+    _os.makedirs(sdir, exist_ok=True)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame([], schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{sdir}/b0.parquet"
+    )
+    stream = spark.readStream.schema(schema).parquet(f"{sdir}/*.parquet")
+    df = tws.running_profiles(stream, ttl_ms=3600_000)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "last_seen",
+    ]
