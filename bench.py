@@ -56,6 +56,9 @@ HEADLINE = [
     "q_agg_argmax",
     "q_bm25_topk",
     "q_join_bloom_prefilter",
+    "q_json_variant",
+    "q_seq_packing",
+    "q_pii_detect",
 ]
 
 

@@ -461,6 +461,152 @@ FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: batch vs an already-deduped corpus
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_index(docs: DataFrame) -> dict[str, DataFrame]:
+    """Build the persistent dedup index for a corpus: the three small
+    tables a continuously-ingesting pipeline keeps INSTEAD of re-reading
+    corpus text — exact content hashes, minhash signatures, and LSH band
+    buckets. At 100 TB the index is ~1% the corpus size (32-byte md5 +
+    N_PERM longs + N_BANDS band keys per doc); after each batch, the
+    novel docs' rows are appended (``VersionedTable.append`` /
+    ``merge``), so dedup cost tracks batch size, never corpus size."""
+    r = N_PERM // N_BANDS
+    exact = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.col("doc_id").alias("corpus_id"),
+    )
+    sigs = (
+        docs.select("doc_id", _shingle_hashes().alias("__sh"))
+        .withColumn("__hb", _mod_hashes("__sh"))
+        .select("doc_id", _minhash_sig("__hb").alias("sig"))
+    )
+    bands = sigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', "
+                f"slice(sig, b * {r} + 1, {r}))) AS bkey))"
+            )
+        ).alias("bk"),
+    ).select("corpus_id", "bk.band", "bk.bkey")
+    return {
+        "exact": exact,
+        "sigs": sigs.select(F.col("doc_id").alias("corpus_id"), "sig"),
+        "bands": bands,
+    }
+
+
+def incremental_dedup(
+    batch: DataFrame, index: dict[str, DataFrame], threshold: float = 0.5
+) -> DataFrame:
+    """Classify each batch document against the corpus index:
+    ``exact_dup`` (content hash already present), ``near_dup``
+    (signature-estimated Jaccard ≥ threshold with some corpus doc found
+    via LSH band collision), else ``novel``.
+
+    Near-dup verification uses the SIGNATURE estimate
+    (fraction of agreeing minhash positions — unbiased for Jaccard), not
+    exact shingle intersection: the index stores N_PERM longs per corpus
+    doc, never corpus text/shingles, which is what bounds index size and
+    batch cost at scale. All joins key on (band, bkey) or content_md5 —
+    shuffles carry batch-sized and collision-sized row sets only.
+    Intra-batch duplicates are the existing ``q_dedup_*`` operators' job
+    before this runs."""
+    r = N_PERM // N_BANDS
+    bsigs = (
+        batch.select("doc_id", _shingle_hashes().alias("__sh"))
+        .withColumn("__hb", _mod_hashes("__sh"))
+        .select("doc_id", _minhash_sig("__hb").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bbands = bsigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', "
+                f"slice(sig, b * {r} + 1, {r}))) AS bkey))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+
+    exact = (
+        batch.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("content_md5")
+        )
+        .join(index["exact"], "content_md5")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("exact_match"))
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig", "csig", lambda x, y: x == y), lambda b: b
+            )
+        ).cast("double")
+        / N_PERM
+    )
+    near = (
+        bbands.join(index["bands"], ["band", "bkey"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+        .join(bsigs, "doc_id")
+        .join(
+            index["sigs"].select("corpus_id", F.col("sig").alias("csig")),
+            "corpus_id",
+        )
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        # best match per batch doc: highest estimate, ties to lowest id
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("est_jaccard"), (-F.col("corpus_id")).alias("nid"))
+            ).alias("best")
+        )
+        .select(
+            "doc_id",
+            (-F.col("best.nid")).alias("near_match"),
+            F.col("best.est_jaccard"),
+        )
+    )
+
+    return (
+        batch.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(F.col("exact_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("est_jaccard"))
+            .alias("similarity"),
+        )
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible shape: docs with doc_id % 5 == 0 arrive as the new
+    batch; the rest are the already-ingested corpus. Classification is
+    deterministic (fixed permutations, md5), so the rows-only check is
+    stable across runs."""
+    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_dedup(batch, build_dedup_index(corpus))
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_keep_best": q_dedup_keep_best,
@@ -469,6 +615,7 @@ QUERIES = {
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
     "q_decontaminate": q_decontaminate,
+    "q_dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {

@@ -286,3 +286,46 @@ def test_compression_ratio_matches_pure_python(spark, sf_dir):
         assert r.n_chars == len(d.text)
         assert r.zlib_ratio == want
         assert r.high_repetition == (want < 0.35)
+
+
+def test_incremental_dedup_classification(spark, sf_dir):
+    """q_dedup_incremental: exact_dups are text-identical to their match;
+    near_dup estimates agree with a direct signature recompute over the
+    full cross-pair space; novel docs truly have no qualifying match."""
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.q_dedup_incremental(spark, sf_dir)
+    rows = out.collect()
+    assert {r.status for r in rows} <= {"exact_dup", "near_dup", "novel"}
+    batch_ids = {r.doc_id for r in docs.filter(F.col("doc_id") % 5 == 0).collect()}
+    assert {r.doc_id for r in rows} == batch_ids  # total over the batch
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # exact dups: identical text, match from the corpus side
+    for r in rows:
+        if r.status == "exact_dup":
+            assert texts[r.doc_id] == texts[r.match_id]
+            assert r.match_id % 5 != 0 and r.similarity == 1.0
+
+    # near dups: recompute the signature-estimated jaccard directly
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = dedup.build_dedup_index(corpus)
+    bsig = {
+        r.corpus_id: r.sig
+        for r in dedup.build_dedup_index(batch)["sigs"].collect()
+    }
+    csig = {r.corpus_id: r.sig for r in idx["sigs"].collect()}
+    for r in rows:
+        if r.status == "near_dup":
+            a, b = bsig[r.doc_id], csig[r.match_id]
+            est = sum(x == y for x, y in zip(a, b)) / len(a)
+            assert round(est, 6) == r.similarity >= 0.5
+
+    # determinism: a second run yields the identical classification
+    again = sorted(
+        (r.doc_id, r.status, r.match_id)
+        for r in dedup.q_dedup_incremental(spark, sf_dir).collect()
+    )
+    assert again == sorted((r.doc_id, r.status, r.match_id) for r in rows)
