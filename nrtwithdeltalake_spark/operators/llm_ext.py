@@ -286,14 +286,88 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# URL analytics (web-corpus provenance)
+# --------------------------------------------------------------------------
+
+# Deterministic synthetic URL per document (the fixture corpus carries no
+# provenance URLs): host varies by doc_id across 3 TLDs and 50 site names,
+# path/query carry the doc id. Mirrored 1:1 in the oracle.
+_SPARK_URL = (
+    "concat('https://www.site', cast(doc_id % 50 as string), '.',"
+    " element_at(array('com','org','net'), cast(doc_id % 3 as int) + 1),"
+    " '/docs/', cast(doc_id as string), '?lang=', lang, '&page=',"
+    " cast(doc_id % 7 as string))"
+)
+_DUCK_URL = (
+    "concat('https://www.site', cast(doc_id % 50 as varchar), '.',"
+    " ['com','org','net'][(doc_id % 3) + 1],"
+    " '/docs/', cast(doc_id as varchar), '?lang=', lang, '&page=',"
+    " cast(doc_id % 7 as varchar))"
+)
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus provenance analytics: ``parse_url`` host/path/query-param
+    extraction, registrable-domain + TLD rollup — the source-mix audit a
+    crawl-derived corpus runs before sampling. All codegen (`ParseUrl` is
+    a JVM expression); one partial-aggregated shuffle on the TLD grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.expr(_SPARK_URL)
+    host = F.parse_url(url, F.lit("HOST"))
+    tld = F.substring_index(host, ".", -1)
+    domain = F.substring_index(host, ".", -2)
+    page = F.parse_url(url, F.lit("QUERY"), F.lit("page")).cast("long")
+    path = F.parse_url(url, F.lit("PATH"))
+    return (
+        docs.select(
+            tld.alias("tld"),
+            domain.alias("domain"),
+            page.alias("page"),
+            F.length(path).cast("long").alias("path_len"),
+        )
+        .groupBy("tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("domain").alias("n_domains"),
+            F.sum("page").alias("sum_page"),
+            F.sum("path_len").alias("sum_path_len"),
+        )
+    )
+
+
+ORACLE_URL_STATS = f"""
+WITH parsed AS (
+  SELECT regexp_extract({_DUCK_URL}, 'https://([^/]+)/', 1) AS host,
+         doc_id % 7 AS page,
+         length(concat('/docs/', cast(doc_id as varchar))) AS path_len
+  FROM documents
+), parts AS (
+  SELECT regexp_extract(host, '([^.]+)$', 1) AS tld,
+         regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain,
+         page, path_len
+  FROM parsed
+)
+SELECT tld,
+       count(*) AS n_urls,
+       count(DISTINCT domain) AS n_domains,
+       sum(page) AS sum_page,
+       cast(sum(path_len) as bigint) AS sum_path_len
+FROM parts
+GROUP BY tld
+"""
+
+
 QUERIES = {
     "q_json_variant": q_json_variant,
     "q_seq_packing": q_seq_packing,
     "q_pii_detect": q_pii_detect,
+    "q_url_stats": q_url_stats,
 }
 
 ORACLES = {
     "q_json_variant": ORACLE_JSON_VARIANT,
     "q_seq_packing": ORACLE_SEQ_PACKING,
     "q_pii_detect": ORACLE_PII_DETECT,
+    "q_url_stats": ORACLE_URL_STATS,
 }

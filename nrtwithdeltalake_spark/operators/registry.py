@@ -28,6 +28,7 @@ from . import (
     scalars,
     tpch,
     tpch_full,
+    udtf_ops,
 )
 
 _MODULES = [
@@ -46,6 +47,7 @@ _MODULES = [
     freq,
     decision,
     llm_ext,
+    udtf_ops,
 ]
 
 
