@@ -110,16 +110,23 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) aggregation, carrying map-side-combined partials."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar corpus constant (metadata-sized action)
-    toks = fan_out(docs, spark).select(
-        "doc_id", F.explode(F.expr(_TOKENS)).alias("term")
-    )
+    # TF branch: the doc sample filter sits BELOW the explode (codegen
+    # filters rows before generating tokens); DF branch: per-doc
+    # array_distinct dedups terms inside the scan projection, so document
+    # frequency is a plain map-side-combined count — no countDistinct
+    # two-level aggregate, and the exchange carries (term, partial count)
+    # rows bounded by the vocabulary, not the token stream.
     tf = (
-        toks.filter(F.col("doc_id") % 20 == 0)
+        fan_out(docs.filter(F.col("doc_id") % 20 == 0), spark)
+        .select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    df_ = (
+        fan_out(docs, spark)
+        .select(F.explode(F.array_distinct(F.expr(_TOKENS))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     idf = df_.select(
         "term",
