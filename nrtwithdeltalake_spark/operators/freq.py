@@ -41,9 +41,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
 from .helpers import DEC_PRICE
+from .helpers import fan_out as _fan_out
 
 # Bloom geometry: m = 2^17 bits (2048 bigint words ≈ 16 KB), k = 4
 # hashes. For the ~15k build keys at sf0.01 that is ~11% fill → false
@@ -315,11 +317,106 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch: re-aggregatable frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 1024  # buckets per row
+# independent seeds per row — xxhash64's seed argument gives the d hashes
+_CMS_SEEDS = [11, 23, 47, 89]
+
+
+def cms_build(tokens: DataFrame, term_col: str = "term") -> DataFrame:
+    """Build a count-min sketch over a token stream as a (row, bucket,
+    cnt) table — ``CMS_DEPTH × CMS_WIDTH`` rows regardless of corpus
+    size, each token updating one bucket per row.
+
+    Why a table, not a binary blob: the sketch stays re-aggregatable in
+    plain SQL — daily sketches merge into monthly ones by summing ``cnt``
+    on (row, bucket), exactly like the bitmap-distinct and HLL-union
+    patterns. The exchange carries map-side-combined partials bounded by
+    d × w, never the token stream."""
+    rows = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(F.xxhash64(F.col(term_col), F.lit(seed)), F.lit(CMS_WIDTH))
+            .cast("int")
+            .alias("bucket"),
+        )
+        for i, seed in enumerate(_CMS_SEEDS)
+    ]
+    return (
+        tokens.select(F.explode(F.array(*rows)).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, terms: DataFrame, term_col: str = "term") -> DataFrame:
+    """Point-query the sketch for each term: min over the d rows of the
+    term's bucket count. Overestimates only (collisions add, never
+    subtract): est ≥ true, and E[est - true] ≤ (e/w)·N. The probe joins
+    d × |terms| rows against the broadcast sketch — constant-sized work
+    per term."""
+    probes = terms.select(
+        term_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(term_col), F.lit(seed)),
+                            F.lit(CMS_WIDTH),
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i, seed in enumerate(_CMS_SEEDS)
+                ]
+            )
+        ).alias("rb"),
+    ).select(term_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(term_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the corpus's exact top-25 tokens,
+    side by side with the exact counts. Deterministic (fixed seeds);
+    declared rows-only (xxhash64 has no DuckDB twin) — the
+    overestimate-only and error-bound contracts are pinned in
+    ``tests/test_freq.py``."""
+    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
+    tokens = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
+    sketch = cms_build(tokens)
+    exact = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(25)
+    )
+    return (
+        cms_estimate(sketch, exact.select("term"))
+        .join(exact, "term")
+        .select("term", "exact_count", "est_count")
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+    )
+
+
 QUERIES = {
     "q_agg_mode": q_agg_mode,
     "q_join_bloom_prefilter": q_join_bloom_prefilter,
     "q_agg_bitmap_distinct": q_agg_bitmap_distinct,
     "q_user_streaks": q_user_streaks,
+    "q_agg_cms_topk": q_agg_cms_topk,
 }
 
 ORACLES = {

@@ -93,3 +93,42 @@ def test_mode_tie_breaks_to_smallest_value(spark, tmp_path):
         .collect()
     )
     assert top == [("A", 2.0, 2)] or [tuple(r) for r in top] == [("A", 2.0, 2)]
+
+
+def test_cms_overestimates_only_and_bounded(spark, sf_dir):
+    """Count-min contract: est ≥ exact for every probed term (collisions
+    only add), and for the heavy hitters the overestimate is bounded by
+    the CMS guarantee's scale — (e/width) × stream size, with slack for
+    the small width. Also: summing two half-corpus sketches equals the
+    full-corpus sketch (re-aggregatability)."""
+    import math
+
+    from nrtwithdeltalake_spark.operators import freq
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    rows = freq.q_agg_cms_topk(spark, sf_dir).collect()
+    assert len(rows) == 25
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    bound = math.e / freq.CMS_WIDTH * n_tokens
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+        assert r.est_count - r.exact_count <= 2 * bound, (r, bound)
+
+    # re-aggregatable: sketch(half A) + sketch(half B) == sketch(all)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    full = {
+        (r.row, r.bucket): r.cnt for r in freq.cms_build(toks).collect()
+    }
+    a = freq.cms_build(toks.filter(F.col("doc_id") % 2 == 0)).collect()
+    b = freq.cms_build(toks.filter(F.col("doc_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.cnt
+    assert merged == full
