@@ -593,6 +593,108 @@ FROM grid g LEFT JOIN sums s ON g.user_id = s.user_id AND g.b = s.b
 """
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation: like
+    ``q_resample_ffill`` but gap buckets take the line between the
+    nearest observed buckets (edges clamp to the nearest value) — the
+    densify step sequence models want when carry-forward bias matters.
+    Both directions come from ONE window (same partition+order, a
+    preceding and a following frame share the WindowExec), so the cost
+    stays two shuffles: bucket agg + user window. Interpolation is
+    row-level IEEE double arithmetic — deterministic cross-engine.
+    Quantization to 6 dp uses ``floor(x*1e6 + 0.5)/1e6`` (pure IEEE ops,
+    bit-identical on both engines) instead of ``round``: Spark's round
+    goes through the double's SHORTEST decimal string (BigDecimal
+    HALF_UP) while DuckDB rounds the full binary expansion, and the two
+    disagree when the product lands on an exact .5 at the target
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    b = (epoch - (epoch % 3600)).alias("b")
+    sums = (
+        ev.select("user_id", b, F.col("value").cast("decimal(12,2)").alias("v"))
+        .groupBy("user_id", "b")
+        .agg(F.round(F.sum("v"), 2).cast("double").alias("v"))
+    )
+    span = sums.groupBy("user_id").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, 3600)")).alias("b")
+    )
+    joined = grid.join(sums, ["user_id", "b"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("v").isNotNull(), F.col("b"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_b = F.last(ob, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_b = F.first(ob, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("b") - prev_b).cast("double")
+            / (next_b - prev_b).cast("double")
+        )
+    )
+    return joined.select(
+        "user_id",
+        "b",
+        (F.floor(interp * 1e6 + F.lit(0.5)) / 1e6).alias("v_interp"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias("gap"),
+    )
+
+
+ORACLE_RESAMPLE_INTERP = """
+WITH sums AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS b,
+         cast(round(sum(cast(value as decimal(12,2))), 2) as double) AS v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM sums GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS b FROM span
+), j AS (
+  SELECT g.user_id, g.b, s.v,
+         last_value(s.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+             ORDER BY g.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS prev_v,
+         last_value(CASE WHEN s.v IS NOT NULL THEN g.b END IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         first_value(s.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+             ORDER BY g.b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_v,
+         first_value(CASE WHEN s.v IS NOT NULL THEN g.b END IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM grid g LEFT JOIN sums s ON g.user_id = s.user_id AND g.b = s.b
+)
+SELECT user_id, b,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * cast(b - prev_b as double)
+                       / cast(next_b - prev_b as double) END) * 1e6 + 0.5)
+           / 1e6 AS v_interp,
+       cast(CASE WHEN v IS NULL THEN 1 ELSE 0 END as bigint) AS gap
+FROM j
+"""
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead navigation: per-user previous/next event ids and the
     inter-event gap in seconds — the building block of funnel and
@@ -1106,6 +1208,7 @@ QUERIES = {
     "q_agg_mad": q_agg_mad,
     "q_agg_string": q_agg_string,
     "q_resample_ffill": q_resample_ffill,
+    "q_resample_interp": q_resample_interp,
     "q_window_lag_lead": q_window_lag_lead,
     "q_window_ntile": q_window_ntile,
     "q_agg_array": q_agg_array,
@@ -1139,6 +1242,7 @@ ORACLES = {
     "q_agg_mad": ORACLE_AGG_MAD,
     "q_agg_string": ORACLE_AGG_STRING,
     "q_resample_ffill": ORACLE_RESAMPLE_FFILL,
+    "q_resample_interp": ORACLE_RESAMPLE_INTERP,
     "q_window_lag_lead": ORACLE_WINDOW_LAG_LEAD,
     "q_window_ntile": ORACLE_WINDOW_NTILE,
     "q_agg_array": ORACLE_AGG_ARRAY,
