@@ -59,6 +59,11 @@ HEADLINE = [
     "q_json_variant",
     "q_seq_packing",
     "q_pii_detect",
+    "q_url_stats",
+    "q_agg_cms_topk",
+    "q_dedup_incremental",
+    "q_resample_interp",
+    "q_agg_twap",
 ]
 
 

@@ -353,8 +353,66 @@ ORDER BY isodow
 """
 
 
+def q_agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value holds
+    until the user's next event; TWAP = Σ(v·Δt)/Σ(Δt) over the user's
+    active span. The duration weighting is one ``lead`` window (user-
+    keyed shuffle) feeding a hash aggregate; v·Δt accumulates in decimal
+    (2 dp value × integer seconds — exact, order-independent partials),
+    and only the final division runs in floating point. The sensor/
+    telemetry aggregation shape — plain AVG over-weights burst periods."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_l = F.col("ts").cast("timestamp").cast("long")
+    stepped = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        (F.lead(ts_l).over(w) - ts_l).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum("dt").alias("active_seconds"),
+            # floor-quantization, not round: tie-free cross-engine (see
+            # q_resample_interp docstring)
+            (
+                F.floor(
+                    F.sum(F.col("v") * F.col("dt")).cast("double")
+                    / F.sum("dt")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("twap"),
+        )
+    )
+
+
+ORACLE_AGG_TWAP = """
+WITH stepped AS (
+  SELECT user_id,
+         cast(value as decimal(12,2)) AS v,
+         lead(cast(floor(epoch(ts)) as bigint))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - cast(floor(epoch(ts)) as bigint) AS dt
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_steps,
+       cast(sum(dt) as bigint) AS active_seconds,
+       floor(cast(sum(v * dt) as double) / cast(sum(dt) as bigint)
+             * 1e6 + 0.5) / 1e6 AS twap
+FROM stepped WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_events_anomaly": q_events_anomaly,
+    "q_agg_twap": q_agg_twap,
     "q_events_transition": q_events_transition,
     "q_events_heatmap": q_events_heatmap,
     "q_group_minmax_norm": q_group_minmax_norm,
@@ -366,6 +424,7 @@ QUERIES = {
 
 ORACLES = {
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
+    "q_agg_twap": ORACLE_AGG_TWAP,
     "q_events_transition": ORACLE_EVENTS_TRANSITION,
     "q_events_heatmap": ORACLE_EVENTS_HEATMAP,
     "q_group_minmax_norm": ORACLE_GROUP_MINMAX_NORM,
