@@ -358,11 +358,71 @@ GROUP BY tld
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical 90/5/5 train/val/test split by content-independent key
+    hash (md5(doc_id) bucket out of 100) — reproducible across runs,
+    engines, partitionings, and corpus growth (a doc's split never
+    changes when other docs arrive, unlike ``randomSplit``). Emits per
+    (lang, split) counts + token totals so proportions are auditable;
+    disjointness/stability are structural (a doc hashes to exactly one
+    bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_SAMPLE_SPLIT = """
+WITH b AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+              AS bigint) % 100 AS bucket,
+         cast(len(string_split(text, ' ')) as bigint) AS toks
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(toks) AS n_tokens
+FROM b
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_json_variant": q_json_variant,
     "q_seq_packing": q_seq_packing,
     "q_pii_detect": q_pii_detect,
     "q_url_stats": q_url_stats,
+    "q_sample_split": q_sample_split,
 }
 
 ORACLES = {
@@ -370,4 +430,5 @@ ORACLES = {
     "q_seq_packing": ORACLE_SEQ_PACKING,
     "q_pii_detect": ORACLE_PII_DETECT,
     "q_url_stats": ORACLE_URL_STATS,
+    "q_sample_split": ORACLE_SAMPLE_SPLIT,
 }
