@@ -232,23 +232,87 @@ class VersionedTable:
         )
         return t
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Full replace. The change feed gets a ``delete`` row for every
-        row of the previous snapshot plus an ``insert`` row per new row
-        (Delta CDF does the same for overwritten data) — a consumer
-        resuming across the overwrite drops stale rows instead of
-        retaining them."""
+    def overwrite(self, df: DataFrame, replace_where: str | None = None) -> int:
+        """Full or predicate-scoped replace.
+
+        ``replace_where=None``: full replace. The change feed gets a
+        ``delete`` row for every row of the previous snapshot plus an
+        ``insert`` row per new row (Delta CDF does the same for
+        overwritten data) — a consumer resuming across the overwrite
+        drops stale rows instead of retaining them.
+
+        ``replace_where='<predicate>'``: Delta's ``replaceWhere`` — the
+        idempotent partition/date-scoped reload (the scale form of the
+        reference's full-overwrite branch, ``COPY_MSQL_TO_SILVER.py:193``:
+        re-running one day's extract replaces exactly that day). Rows
+        matching the predicate are deleted, ``df``'s rows (validated to
+        ALL satisfy the predicate, as Delta enforces) are inserted, and —
+        the scale property — only files physically containing matching
+        rows are rewritten; everything else carries over by reference
+        with its data-skipping stats intact. Rows where the predicate is
+        NULL are kept (not matched), mirroring SQL filter semantics."""
         prev = self.get_commit()
         v = prev.version + 1
-        files = self._write_files(df, self.data_dir)
+        if replace_where is None:
+            files = self._write_files(df, self.data_dir)
+            old = self._read_files(prev.files, prev.schema_json)
+            cdf = self._write_files(
+                old.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
+            ) + self._write_files(
+                df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
+            )
+            self._write_commit(
+                Commit(v, "overwrite", files, cdf, df.schema.json(), time.time(), {})
+            )
+            return v
+
+        pred = F.coalesce(F.expr(replace_where), F.lit(False))
+        if df.filter(~F.coalesce(F.expr(replace_where), F.lit(False))).take(1):
+            raise ValueError(
+                f"replace_where source contains rows not matching "
+                f"{replace_where!r}"
+            )
+        schema = self._merged_schema(prev, df)
+        df = _align_to(df, schema)
         old = self._read_files(prev.files, prev.schema_json)
+        touched = sorted(
+            _strip_scheme(r[0])
+            for r in old.withColumn("__file", F.col("_metadata.file_path"))
+            .filter(pred)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        carryover = [f for f in prev.files if f not in set(touched)]
+        new_files = self._write_files(df, self.data_dir)
+        files = carryover + new_files
+        if touched:
+            touched_df = self._read_files(touched, prev.schema_json)
+            kept = touched_df.filter(~pred)
+            if kept.take(1):
+                files = files + self._write_files(kept, self.data_dir)
+            removed = touched_df.filter(pred)
+        else:
+            removed = self.spark.createDataFrame([], self.schema())
+        removed = _align_to(removed, schema)
         cdf = self._write_files(
-            old.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
+            removed.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
         ) + self._write_files(
             df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
         )
         self._write_commit(
-            Commit(v, "overwrite", files, cdf, df.schema.json(), time.time(), {})
+            Commit(
+                v,
+                "overwrite_where",
+                files,
+                cdf,
+                schema.json(),
+                time.time(),
+                {
+                    "replace_where": replace_where,
+                    **self._carry_stats(prev, carryover),
+                },
+            )
         )
         return v
 

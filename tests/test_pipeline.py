@@ -730,3 +730,55 @@ def test_zorder_multi_range_prunes_multiplicatively(spark, tmp_path):
         ).collect()
     }
     assert {r.a for r in multi.collect()} == want
+
+
+def test_replace_where_scoped_overwrite(spark, tmp_path):
+    """replaceWhere: the matching day's rows are replaced, other days'
+    FILES carry over by reference (never rewritten), the change feed
+    emits deletes only for replaced rows, and a source row outside the
+    predicate is rejected."""
+    path = str(tmp_path / "rw_tbl")
+    day1 = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0)],
+        "id long, day string, v double",
+    )
+    day2 = spark.createDataFrame(
+        [(3, "2024-01-02", 30.0), (4, "2024-01-02", 40.0)],
+        "id long, day string, v double",
+    )
+    VersionedTable.create(spark, path, day1)
+    t = VersionedTable(spark, path)
+    t.append(day2)
+    files_before = set(t.get_commit().files)
+
+    day2_fixed = spark.createDataFrame(
+        [(3, "2024-01-02", 99.0), (5, "2024-01-02", 50.0)],
+        "id long, day string, v double",
+    )
+    v = t.overwrite(day2_fixed, replace_where="day = '2024-01-02'")
+
+    got = {(r.id, r.day, r.v) for r in t.read().collect()}
+    assert got == {
+        (1, "2024-01-01", 10.0),
+        (2, "2024-01-01", 20.0),
+        (3, "2024-01-02", 99.0),
+        (5, "2024-01-02", 50.0),
+    }
+    # day1's physical files survive untouched (carryover by reference)
+    files_after = set(t.get_commit().files)
+    day1_files = {
+        f for f in files_before
+        if {r.day for r in spark.read.parquet(f).collect()} == {"2024-01-01"}
+    }
+    assert day1_files and day1_files <= files_after
+
+    # CDF of the replace commit: deletes = old day2 rows, inserts = new
+    feed = t.change_feed(starting_version=v - 1).collect()
+    dels = {(r.id, r.v) for r in feed if r._change_type == "delete"}
+    ins = {(r.id, r.v) for r in feed if r._change_type == "insert"}
+    assert dels == {(3, 30.0), (4, 40.0)}
+    assert ins == {(3, 99.0), (5, 50.0)}
+
+    # source rows outside the predicate are rejected (Delta semantics)
+    with pytest.raises(ValueError, match="replace_where"):
+        t.overwrite(day1, replace_where="day = '2024-01-02'")
