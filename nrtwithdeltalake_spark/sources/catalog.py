@@ -32,10 +32,12 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
-# Columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
-# (spark.sql.legacy.parquet.nanosAsLong=true) and we convert to TimestampType
-# by integer-dividing to microseconds — the same ns→µs truncation DuckDB does,
-# keeping oracle comparisons exact.
+# Columns the fixture generator has stored as parquet TIMESTAMP(NANOS) in
+# some generations (plain TIMESTAMP_NTZ in others). When NANOS, Spark reads
+# them as long (spark.sql.legacy.parquet.nanosAsLong=true) and we convert to
+# timestamp by integer-dividing to microseconds — the same ns→µs truncation
+# DuckDB does, keeping oracle comparisons exact; the LongType check below
+# makes the handling a no-op for the plain-timestamp generations.
 NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 

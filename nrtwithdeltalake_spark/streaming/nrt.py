@@ -28,31 +28,29 @@ from pyspark.sql import types as T
 
 from ..pipeline.tables import VersionedTable
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file per micro-batch;
-    in production: Kafka / CDF tail — same downstream code)."""
+    in production: Kafka / CDF tail — same downstream code).
+
+    The read schema is taken from the parquet footer (one metadata-only
+    batch read), so the stream adapts to however the fixture encodes
+    ``ts`` — TIMESTAMP(NANOS) (read as long under ``nanosAsLong``, then
+    ns→µs converted) or plain TIMESTAMP/NTZ — the same both-encodings
+    contract as the batch path (``sources.catalog.load_table``); fixture
+    generations have used each."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # withWatermark requires TIMESTAMP (ltz), not ntz; the session tz is
     # pinned UTC above so wall-clock values match the batch (ntz) path.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
