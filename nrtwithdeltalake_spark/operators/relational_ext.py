@@ -598,9 +598,12 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_resample_ffill`` but gap buckets take the line between the
     nearest observed buckets (edges clamp to the nearest value) — the
     densify step sequence models want when carry-forward bias matters.
-    Both directions come from ONE window (same partition+order, a
-    preceding and a following frame share the WindowExec), so the cost
-    stays two shuffles: bucket agg + user window. Interpolation is
+    The backward pass is a running frame; the forward pass is the SAME
+    running-frame shape over a DESCENDING ordering — never a
+    ``[CURRENT ROW, UNBOUNDED FOLLOWING]`` frame, which WindowExec
+    evaluates by rescanning the remainder of the partition per row
+    (O(n²) per key: measured 39 s vs 0.6 s at sf0.1). Two window sorts,
+    but both O(n log n) on the same single user-keyed exchange. Interpolation is
     row-level IEEE double arithmetic — deterministic cross-engine.
     Quantization to 6 dp uses ``floor(x*1e6 + 0.5)/1e6`` (pure IEEE ops,
     bit-identical on both engines) instead of ``round``: Spark's round
@@ -628,14 +631,14 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fwd = (
         Window.partitionBy("user_id")
-        .orderBy("b")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ob = F.when(F.col("v").isNotNull(), F.col("b"))
     prev_v = F.last("v", ignorenulls=True).over(back)
     prev_b = F.last(ob, ignorenulls=True).over(back)
-    next_v = F.first("v", ignorenulls=True).over(fwd)
-    next_b = F.first(ob, ignorenulls=True).over(fwd)
+    next_v = F.last("v", ignorenulls=True).over(fwd)
+    next_b = F.last(ob, ignorenulls=True).over(fwd)
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(prev_v.isNull(), next_v)
