@@ -269,3 +269,48 @@ def test_no_unplanned_cartesian_anywhere(spark, sf_dir):
         if cp:
             offenders[name] = cp
     assert not offenders, offenders
+
+
+def test_resample_interp_no_unbounded_following_frame(spark, sf_dir):
+    """Regression pin for the O(n²) WindowExec shape: the forward pass
+    must run as a DESC running frame, never [CURRENT ROW, UNBOUNDED
+    FOLLOWING] (39 s vs 1.7 s at sf0.1)."""
+    from nrtwithdeltalake_spark.operators.relational_ext import q_resample_interp
+
+    plan = inspect.physical_plan(q_resample_interp(spark, sf_dir)).lower()
+    assert "unboundedfollowing" not in plan, "quadratic window frame reintroduced"
+
+
+def test_seq_packing_single_exchange(spark, sf_dir):
+    """Packing's groupBy keys are a superset of the window partition
+    keys, so the aggregation must reuse the window's exchange: exactly
+    one shuffle (plus the fan-out-free scan)."""
+    from nrtwithdeltalake_spark.operators.llm_ext import q_seq_packing
+
+    assert inspect.num_shuffles(q_seq_packing(spark, sf_dir)) <= 1
+
+
+def test_tfidf_df_branch_has_no_expand(spark, sf_dir):
+    """DF is a plain count over per-doc array_distinct terms — neither a
+    countDistinct Expand nor a two-level distinct aggregate may appear."""
+    from nrtwithdeltalake_spark.operators.lateral import q_tfidf_topk
+
+    plan = inspect.physical_plan(q_tfidf_topk(spark, sf_dir))
+    assert "Expand" not in plan
+    assert "distinct" not in plan.lower().replace("array_distinct", "")
+
+
+def test_cms_partial_aggregated(spark, sf_dir):
+    """The sketch build must map-side combine: the exchange carries
+    (row, bucket) partials bounded by d × w, not the token stream."""
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.operators import freq
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    plan = inspect.physical_plan(freq.cms_build(toks))
+    assert plan.count("HashAggregate") >= 2  # partial + final
