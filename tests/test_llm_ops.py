@@ -329,3 +329,49 @@ def test_incremental_dedup_classification(spark, sf_dir):
         for r in dedup.q_dedup_incremental(spark, sf_dir).collect()
     )
     assert again == sorted((r.doc_id, r.status, r.match_id) for r in rows)
+
+
+def test_incremental_dedup_loop_with_persisted_index(spark, sf_dir, tmp_path):
+    """The production loop: the signature index lives in VersionedTables;
+    each batch classifies against it and appends its NOVEL docs' rows, so
+    a later batch's duplicate of an earlier batch's novel doc is caught —
+    corpus text is never re-read."""
+    from pyspark.sql import functions as FX
+
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(FX.col("doc_id") % 2 == 0)
+    b2 = docs.filter(FX.col("doc_id") % 2 == 1)
+
+    paths = {k: str(tmp_path / f"idx_{k}") for k in ("exact", "sigs", "bands")}
+    idx1 = dedup.build_dedup_index(b1)
+    for k, p in paths.items():
+        VersionedTable.create(spark, p, idx1[k])
+
+    index = {k: VersionedTable(spark, p).read() for k, p in paths.items()}
+    out2 = dedup.incremental_dedup(b2, index).collect()
+    novel_ids = [r.doc_id for r in out2 if r.status == "novel"]
+    assert novel_ids, "fixture batch should contain novel docs"
+
+    novel_docs = b2.filter(FX.col("doc_id").isin(novel_ids))
+    idx2 = dedup.build_dedup_index(novel_docs)
+    for k, p in paths.items():
+        VersionedTable(spark, p).append(idx2[k])
+
+    # batch 3: a verbatim copy of a batch-2 NOVEL doc + a genuinely new doc
+    src = novel_docs.orderBy("doc_id").limit(1).collect()[0]
+    b3 = spark.createDataFrame(
+        [
+            (900001, src.text, src.lang, src.source, len(src.text)),
+            (900002, "entirely fresh text never seen before xyzzy", "en",
+             "srcX", 43),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    index = {k: VersionedTable(spark, p).read() for k, p in paths.items()}
+    got = {r.doc_id: r for r in dedup.incremental_dedup(b3, index).collect()}
+    assert got[900001].status == "exact_dup"
+    assert got[900001].match_id == src.doc_id  # caught via the APPENDED rows
+    assert got[900002].status == "novel"
