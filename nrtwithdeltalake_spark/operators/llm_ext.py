@@ -82,19 +82,15 @@ _PACK_BUDGET = 512  # tokens per training sequence
 _PACK_BUCKETS = 8  # independent packing streams per language
 
 
-def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy contiguous packing of documents into fixed-token-budget
-    training sequences, the step between dedup/filtering and the
-    tokenizer in an LLM data pipeline.
-
-    Semantics (deterministic, engine-portable): within each
-    (lang, md5-bucket) stream ordered by doc_id, a document joins pack
-    ``floor(tokens_before_it / budget)`` — contiguous fill where a pack
-    closes once the running total crosses the budget. Output is the pack
-    manifest: documents and token total per pack."""
+def seq_pack(
+    docs: DataFrame, budget: int = _PACK_BUDGET, buckets: int = _PACK_BUCKETS
+) -> DataFrame:
+    """Pack a documents frame (``doc_id``, ``lang``, ``text``) into
+    fixed-token-budget sequences; see ``q_seq_packing`` for semantics.
+    Exposed separately so the packing law is property-testable against a
+    pure-Python greedy recompute."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     tok = F.size(F.split("text", " ")).cast("long")
     bucket = (
         F.conv(
@@ -103,7 +99,7 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         )
         .cast("long")
-        % _PACK_BUCKETS
+        % buckets
     )
     w = (
         Window.partitionBy("lang", "bucket")
@@ -114,7 +110,7 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", bucket.alias("bucket"), "doc_id", tok.alias("tokens")
     ).withColumn(
         "pack_id",
-        F.floor(F.coalesce(F.sum("tokens").over(w), F.lit(0)) / _PACK_BUDGET),
+        F.floor(F.coalesce(F.sum("tokens").over(w), F.lit(0)) / budget),
     )
     return (
         with_pack.groupBy("lang", "bucket", "pack_id")
@@ -125,6 +121,19 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into fixed-token-budget
+    training sequences, the step between dedup/filtering and the
+    tokenizer in an LLM data pipeline.
+
+    Semantics (deterministic, engine-portable): within each
+    (lang, md5-bucket) stream ordered by doc_id, a document joins pack
+    ``floor(tokens_before_it / budget)`` — contiguous fill where a pack
+    closes once the running total crosses the budget. Output is the pack
+    manifest: documents and token total per pack."""
+    return seq_pack(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE_SEQ_PACKING = f"""

@@ -375,3 +375,47 @@ def test_incremental_dedup_loop_with_persisted_index(spark, sf_dir, tmp_path):
     assert got[900001].status == "exact_dup"
     assert got[900001].match_id == src.doc_id  # caught via the APPENDED rows
     assert got[900002].status == "novel"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 99), st.integers(1, 40)),  # (doc_id, tokens)
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_seq_packing_matches_python_greedy(spark_global, rows):
+    """Property: the window-cumsum pack law ≡ a pure-Python greedy fill
+    per (lang, bucket) stream, for arbitrary token distributions."""
+    import hashlib
+
+    from nrtwithdeltalake_spark.operators.llm_ext import seq_pack
+
+    budget, buckets = 50, 4
+    docs = spark_global.createDataFrame(
+        [(i, " ".join(["w"] * t), "xx") for i, t in rows],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r.lang, r.bucket, r.pack_id): (r.n_docs, r.pack_tokens, r.first_doc, r.last_doc)
+        for r in seq_pack(docs, budget=budget, buckets=buckets).collect()
+    }
+
+    def bkt(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % buckets
+
+    streams: dict = {}
+    for i, t in sorted(rows):
+        streams.setdefault(("xx", bkt(i)), []).append((i, t))
+    want: dict = {}
+    for key, docs_in in streams.items():
+        cum = 0
+        for i, t in docs_in:
+            pack = cum // budget
+            k = (*key, pack)
+            n, tot, first, last = want.get(k, (0, 0, i, i))
+            want[k] = (n + 1, tot + t, min(first, i), max(last, i))
+            cum += t
+    assert got == want
