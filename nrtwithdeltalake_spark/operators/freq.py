@@ -411,8 +411,58 @@ def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs (market-basket mining).
+
+    Formulation: collapse lineitem to one sorted distinct part-array per
+    order (hash agg on the order key), generate the C(n,2) pairs INSIDE
+    the projection with array lambdas, then count pairs. Versus the
+    naive self-join (which the oracle runs): the fact table shuffles
+    once on orderkey instead of twice, and no join materializes the
+    per-order row blowup — pair fan-out happens in codegen where n is
+    the per-order basket size (~7 here, bounded in practice). Second
+    exchange carries (pair, partial count) — distinct-pair bounded.
+    Ties broken by part ids for a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+ORACLE_COPURCHASE_PAIRS = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q_agg_mode": q_agg_mode,
+    "q_copurchase_pairs": q_copurchase_pairs,
     "q_join_bloom_prefilter": q_join_bloom_prefilter,
     "q_agg_bitmap_distinct": q_agg_bitmap_distinct,
     "q_user_streaks": q_user_streaks,
@@ -424,4 +474,5 @@ ORACLES = {
     "q_join_bloom_prefilter": ORACLE_JOIN_BLOOM_PREFILTER,
     "q_agg_bitmap_distinct": ORACLE_AGG_BITMAP_DISTINCT,
     "q_user_streaks": ORACLE_USER_STREAKS,
+    "q_copurchase_pairs": ORACLE_COPURCHASE_PAIRS,
 }
