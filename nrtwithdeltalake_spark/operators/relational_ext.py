@@ -1195,7 +1195,63 @@ FROM events
 """
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the ANALYZE/data-quality pass every
+    ingest runs): per numeric column — row count, nulls, exact distinct,
+    min/max, decimal-exact mean. All columns profile in a SINGLE scan
+    and a single 1-row-per-partition partial aggregate; the wide result
+    unpivots to (column, stats) rows via ``stack`` in the projection.
+    At 100 TB swap the exact count_distinct for approx_count_distinct
+    (the only non-partial-friendly stat here — Expand-based, one extra
+    pass per column set); everything else is a plain partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nnull"),
+            F.countDistinct(c).alias(f"{c}__ndist"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.round(
+                F.sum(F.col(c).cast("decimal(20,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nnull, {c}__ndist, {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+        )
+    )
+
+
+ORACLE_PROFILE_COLUMNS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       cast(min({c}) as double) AS min_v,
+       cast(max({c}) as double) AS max_v,
+       round(cast(sum(cast({c} as decimal(20,4))) as double) / count(*), 4)
+           AS mean_v
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
+    "q_profile_columns": q_profile_columns,
     "q_agg_corr": q_agg_corr,
     "q_agg_histogram": q_agg_histogram,
     "q_setops_all": q_setops_all,
@@ -1230,6 +1286,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_profile_columns": ORACLE_PROFILE_COLUMNS,
     "q_agg_corr": ORACLE_AGG_CORR,
     "q_agg_histogram": ORACLE_AGG_HISTOGRAM,
     "q_setops_all": ORACLE_SETOPS_ALL,
