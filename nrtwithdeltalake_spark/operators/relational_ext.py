@@ -1004,6 +1004,76 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event matched to that user's EARLIEST
+    order at or after the event time (ties on date → min orderkey) —
+    the attribution complement of ``q_join_asof`` ("what did this click
+    lead to"). Same single-shuffle union+window formulation, with time
+    order reversed: within each key the timeline is sorted by t DESC
+    (orders first at equal t so >= matches), and the running
+    last-non-null carries the nearest following order back. One
+    user-keyed exchange; no per-probe subquery."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("timestamp").alias("ot"),
+        F.lit(1).alias("side"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("timestamp").alias("ot"),
+        F.lit(0).alias("side"),
+    )
+    # t DESC: later rows first; orders before events at equal t (side
+    # ASC) so an order exactly at the event time matches; okey DESC so
+    # the LAST order row seen for the minimal date is the MIN orderkey.
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.desc("t"), F.asc("side"), F.desc("okey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(orders)
+        .select(
+            "*",
+            F.last("okey", ignorenulls=True).over(w).alias("next_orderkey"),
+            F.last("ot", ignorenulls=True).over(w).alias("next_ot"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.date_format("t", _TS_FMT).alias("ts_s"),
+            "next_orderkey",
+            F.date_format("next_ot", _TS_FMT).alias("next_odate"),
+        )
+    )
+
+
+ORACLE_JOIN_ASOF_FORWARD = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, min(o.o_orderdate) AS next_ot
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+  GROUP BY 1, 2, 3
+)
+SELECT j.event_id, j.user_id,
+       strftime(j.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       min(o2.o_orderkey) AS next_orderkey,
+       strftime(j.next_ot, '%Y-%m-%d %H:%M:%S') AS next_odate
+FROM j
+LEFT JOIN orders o2
+  ON o2.o_custkey = j.user_id AND o2.o_orderdate = j.next_ot
+GROUP BY j.event_id, j.user_id, j.ts, j.next_ot
+"""
+
+
 def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a staleness bound: each purchase matched to the
     same user's latest click at-or-before it, but only if that click is
@@ -1259,6 +1329,7 @@ QUERIES = {
     "q_agg_regression": q_agg_regression,
     "q_agg_rollup_gid": q_agg_rollup_gid,
     "q_join_asof_tolerance": q_join_asof_tolerance,
+    "q_join_asof_forward": q_join_asof_forward,
     "q_window_nav_values": q_window_nav_values,
     "q_agg_stddev": q_agg_stddev,
     "q_agg_filtered": q_agg_filtered,
@@ -1294,6 +1365,7 @@ ORACLES = {
     "q_agg_regression": ORACLE_AGG_REGRESSION,
     "q_agg_rollup_gid": ORACLE_AGG_ROLLUP_GID,
     "q_join_asof_tolerance": ORACLE_JOIN_ASOF_TOLERANCE,
+    "q_join_asof_forward": ORACLE_JOIN_ASOF_FORWARD,
     "q_window_nav_values": ORACLE_WINDOW_NAV_VALUES,
     "q_agg_stddev": ORACLE_AGG_STDDEV,
     "q_agg_filtered": ORACLE_AGG_FILTERED,
