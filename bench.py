@@ -64,6 +64,9 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_resample_interp",
     "q_agg_twap",
+    "q_copurchase_pairs",
+    "q_profile_columns",
+    "q_join_asof_forward",
 ]
 
 
