@@ -617,3 +617,58 @@ def test_transform_with_state_plan_builds(spark, tmp_path):
         "total_value",
         "last_seen",
     ]
+
+
+def test_dedup_ingest_stream_gate(spark, tmp_path):
+    """Dedup-at-ingest: micro-batch 1 bootstraps corpus + index
+    (intra-batch exact dup dropped); batch 2's duplicate of a batch-1
+    doc is rejected while its novel doc lands; the final corpus has no
+    duplicate texts."""
+    from nrtwithdeltalake_spark.streaming import dedup_stream
+
+    sdir = str(tmp_path / "docs_src")
+    os.makedirs(sdir, exist_ok=True)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s1", 35),
+            (2, "one two three four five six seven", "en", "s1", 33),
+            (3, "alpha beta gamma delta epsilon zeta", "en", "s2", 35),  # dup of 1
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "one two three four five six seven", "en", "s3", 33),  # dup of 2
+            (11, "totally novel content words here now", "en", "s3", 36),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+
+    corpus = str(tmp_path / "corpus")
+    idx_root = str(tmp_path / "dedup_index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sdir}/*.parquet")
+    )
+    dedup_stream.run_dedup_ingest(
+        stream, corpus, idx_root, str(tmp_path / "ckpt_dedup")
+    )
+    got1 = {r.doc_id for r in VersionedTable(spark, corpus).read().collect()}
+    assert got1 == {1, 2}  # intra-batch dup 3 dropped at bootstrap
+
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sdir}/*.parquet")
+    )
+    dedup_stream.run_dedup_ingest(
+        stream, corpus, idx_root, str(tmp_path / "ckpt_dedup")
+    )
+    rows = VersionedTable(spark, corpus).read().collect()
+    assert {r.doc_id for r in rows} == {1, 2, 11}  # 10 rejected as dup of 2
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts))  # invariant: no duplicate text
