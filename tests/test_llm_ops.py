@@ -419,3 +419,27 @@ def test_seq_packing_matches_python_greedy(spark_global, rows):
             want[k] = (n + 1, tot + t, min(first, i), max(last, i))
             cum += t
     assert got == want
+
+
+def test_incremental_dedup_replay_idempotent(spark, sf_dir):
+    """The replay-safety claim of the ingest gate: once a batch's novel
+    docs are in the index, re-classifying the SAME batch yields zero
+    novel docs (everything is its own exact duplicate), so reprocessing
+    after a crash writes nothing."""
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.build_dedup_index(corpus)
+    first = dedup.incremental_dedup(batch, index)
+    novel_ids = [r.doc_id for r in first.collect() if r.status == "novel"]
+    novel = batch.filter(F.col("doc_id").isin(novel_ids))
+
+    updated = dedup.build_dedup_index(corpus.unionByName(novel))
+    replay = dedup.incremental_dedup(batch, updated).collect()
+    assert all(r.status != "novel" for r in replay)
+    # previously-novel docs now match themselves exactly
+    for r in replay:
+        if r.doc_id in set(novel_ids):
+            assert r.status == "exact_dup" and r.match_id == r.doc_id
