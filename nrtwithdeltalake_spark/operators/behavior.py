@@ -410,9 +410,66 @@ GROUP BY user_id
 """
 
 
+def q_agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α = 0.5) — a RECURSIVE per-key
+    statistic no window frame can express (each step depends on the
+    previous result). Formulation: collect the user's (t, id, value)
+    structs, total-order them with ``array_sort``, and fold with an
+    ``aggregate`` lambda — sequential inside codegen, deterministic at
+    any partitioning because the fold order is total. State per key is
+    the event array: bounded per-user grains only (telemetry sessions);
+    for unbounded keys use the applyInPandas path instead. α = 0.5 keeps
+    every weight a power of two, so the float fold is exact-stepwise and
+    engine-identical; output floor-quantized at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts").cast("timestamp").cast("long").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").cast("double").alias("v"),
+            )
+        )
+    )
+    fold = F.aggregate(
+        F.col("arr"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+            x["v"] * F.lit(0.5) + acc * F.lit(0.5)
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("arr"))
+        .select(
+            "user_id",
+            F.size("arr").cast("long").alias("n_events"),
+            (F.floor(fold * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
+        )
+    )
+
+
+ORACLE_AGG_EWMA = """
+WITH g AS (
+  SELECT user_id,
+         list_sort(list({'t': cast(floor(epoch(ts)) as bigint),
+                         'e': event_id,
+                         'v': cast(value as double)})) AS arr
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       cast(len(arr) as bigint) AS n_events,
+       floor(list_reduce(list_transform(arr, s -> s.v),
+                         (acc, x) -> acc * 0.5 + x * 0.5) * 1e6 + 0.5)
+           / 1e6 AS ewma
+FROM g
+"""
+
+
 QUERIES = {
     "q_events_anomaly": q_events_anomaly,
     "q_agg_twap": q_agg_twap,
+    "q_agg_ewma": q_agg_ewma,
     "q_events_transition": q_events_transition,
     "q_events_heatmap": q_events_heatmap,
     "q_group_minmax_norm": q_group_minmax_norm,
@@ -425,6 +482,7 @@ QUERIES = {
 ORACLES = {
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_agg_twap": ORACLE_AGG_TWAP,
+    "q_agg_ewma": ORACLE_AGG_EWMA,
     "q_events_transition": ORACLE_EVENTS_TRANSITION,
     "q_events_heatmap": ORACLE_EVENTS_HEATMAP,
     "q_group_minmax_norm": ORACLE_GROUP_MINMAX_NORM,
