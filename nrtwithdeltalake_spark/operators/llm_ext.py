@@ -426,8 +426,76 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# End-to-end corpus pipeline (the LLM-side flagship)
+# --------------------------------------------------------------------------
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole cleaning pipeline as ONE declarative plan — quality
+    filter → exact-dedup survivors → fixed-budget sequence packing —
+    returning the training-shard manifest. Because every stage is a
+    DataFrame transformation, Catalyst fuses them: the filter reaches
+    the scan, dedup is one hash-agg on the content hash, and packing
+    reuses its own window exchange; no intermediate materialization.
+    This is the LLM-side counterpart of ``q_flagship``."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    quality = docs.filter(
+        (toks >= F.lit(20)) & (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    )
+    survivors = (
+        quality.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            # min, not first: identical texts may carry different langs
+            # across copies and first() is partition-order-dependent
+            F.min("lang").alias("lang"),
+            F.first("text").alias("text"),  # identical within the group
+        )
+        .select("doc_id", "lang", "text")
+    )
+    return seq_pack(survivors)
+
+
+ORACLE_CORPUS_PIPELINE = f"""
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND n_chars BETWEEN 100 AND 2000
+), survivors AS (
+  SELECT min(doc_id) AS doc_id,
+         min(lang) AS lang,   -- identical text => identical stats; any rep
+         text
+  FROM quality GROUP BY md5(text), text
+), toks AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+              AS bigint) % {_PACK_BUCKETS} AS bucket,
+         doc_id,
+         cast(len(string_split(text, ' ')) as bigint) AS tokens
+  FROM survivors
+), packed AS (
+  SELECT lang, bucket, doc_id, tokens,
+         CAST(floor(coalesce(sum(tokens) OVER (
+             PARTITION BY lang, bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {_PACK_BUDGET}) AS bigint) AS pack_id
+  FROM toks
+)
+SELECT lang, bucket, pack_id,
+       count(*) AS n_docs,
+       sum(tokens) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, bucket, pack_id
+"""
+
+
 QUERIES = {
     "q_json_variant": q_json_variant,
+    "q_corpus_pipeline": q_corpus_pipeline,
     "q_seq_packing": q_seq_packing,
     "q_pii_detect": q_pii_detect,
     "q_url_stats": q_url_stats,
@@ -436,6 +504,7 @@ QUERIES = {
 
 ORACLES = {
     "q_json_variant": ORACLE_JSON_VARIANT,
+    "q_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "q_seq_packing": ORACLE_SEQ_PACKING,
     "q_pii_detect": ORACLE_PII_DETECT,
     "q_url_stats": ORACLE_URL_STATS,
