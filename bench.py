@@ -67,6 +67,8 @@ HEADLINE = [
     "q_copurchase_pairs",
     "q_profile_columns",
     "q_join_asof_forward",
+    "q_agg_ewma",
+    "q_corpus_pipeline",
 ]
 
 
