@@ -142,12 +142,102 @@ ORDER BY left_id, right_id
 """
 
 
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — the generalization of
+    ``q_join_interval_binned`` where BOTH sides are windows: error
+    incident windows (10 min) against purchase activity windows (5 min,
+    even-user cohort); emit per incident the overlapping-window count
+    and total overlap seconds.
+
+    Both interval sets explode onto the fixed bins they cover and meet
+    in a hash join on the bin id; unlike the point case a pair can meet
+    in SEVERAL shared bins, so candidate pairs are deduped on
+    (incident, window) before aggregating — the extra ``distinct`` (one
+    pair-keyed exchange) is the price of interval×interval. Candidate
+    work is O(Σ bins-per-interval × per-bin density + matches), never
+    the nested-loop O(|A|·|B|) a raw overlap predicate plans as."""
+    events = load_table(spark, sf_dir, "events")
+
+    def windows(evt_filter, minutes, id_alias):
+        return events.filter(evt_filter).select(
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(f"{id_alias}_start"),
+            (F.col("ts") + F.expr(f"INTERVAL {minutes} MINUTES")).alias(
+                f"{id_alias}_end"
+            ),
+        )
+
+    a = windows(
+        (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0), 10, "a_id"
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("a_id_start") / _BIN_S),
+                F.floor(F.unix_timestamp("a_id_end") / _BIN_S),
+            )
+        ),
+    )
+    b = windows(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 0), 5, "b_id"
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("b_id_start") / _BIN_S),
+                F.floor(F.unix_timestamp("b_id_end") / _BIN_S),
+            )
+        ),
+    )
+    pairs = (
+        a.join(b, "bin")
+        .filter(
+            (F.col("a_id_start") < F.col("b_id_end"))
+            & (F.col("b_id_start") < F.col("a_id_end"))
+        )
+        .select("a_id", "b_id", "a_id_start", "a_id_end", "b_id_start", "b_id_end")
+        .distinct()
+    )
+    overlap_s = F.least(
+        F.unix_timestamp("a_id_end"), F.unix_timestamp("b_id_end")
+    ) - F.greatest(F.unix_timestamp("a_id_start"), F.unix_timestamp("b_id_start"))
+    return (
+        pairs.groupBy("a_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping"),
+            F.sum(overlap_s).alias("total_overlap_s"),
+        )
+        .orderBy("a_id")
+    )
+
+
+ORACLE_JOIN_INTERVAL_OVERLAP = """
+WITH a AS (
+  SELECT event_id AS a_id, ts AS a_start, ts + INTERVAL 10 MINUTE AS a_end
+  FROM events WHERE event_type = 'error' AND user_id % 7 = 0
+), b AS (
+  SELECT event_id AS b_id, ts AS b_start, ts + INTERVAL 5 MINUTE AS b_end
+  FROM events WHERE event_type = 'purchase' AND user_id % 2 = 0
+)
+SELECT a.a_id,
+       count(*) AS n_overlapping,
+       cast(sum(cast(floor(epoch(least(a.a_end, b.b_end))) as bigint)
+                - cast(floor(epoch(greatest(a.a_start, b.b_start))) as bigint))
+            as bigint) AS total_overlap_s
+FROM a JOIN b ON a.a_start < b.b_end AND b.b_start < a.a_end
+GROUP BY a.a_id
+ORDER BY a.a_id
+"""
+
+
 QUERIES = {
     "q_join_interval_binned": q_join_interval_binned,
+    "q_join_interval_overlap": q_join_interval_overlap,
     "q_fuzzy_join": q_fuzzy_join,
 }
 
 ORACLES = {
     "q_join_interval_binned": ORACLE_JOIN_INTERVAL_BINNED,
+    "q_join_interval_overlap": ORACLE_JOIN_INTERVAL_OVERLAP,
     "q_fuzzy_join": ORACLE_FUZZY_JOIN,
 }
