@@ -460,8 +460,77 @@ LIMIT 20
 """
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day distinct users per day — the windowed form of
+    ``q_agg_bitmap_distinct``, and the query shape where re-aggregatable
+    exact-distinct state pays off: a windowed ``COUNT(DISTINCT)`` can't
+    merge partials, but bitmap words OR associatively, so each day's
+    (word, bits) rows are built ONCE and contributed to the ≤7 window
+    ends they belong to (a 7-way explode of day-grain rows — tiny),
+    then OR-merged per (end-day, word) and popcounted. Shuffles carry
+    day×word rows, never user-grain rows, and daily state rolls into
+    any wider window with zero error — the property HLL can't give.
+    Emits same-day distinct beside the rolling figure."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    day_user = ev.select(day, "user_id").distinct()
+    words = day_user.select(
+        "day",
+        (F.col("user_id") / 64).cast("long").alias("word"),
+        # expr: the DSL shiftleft only takes a literal shift amount
+        F.expr("shiftleft(1L, cast(pmod(user_id, 64) as int))").alias("bits"),
+    ).groupBy("day", "word").agg(F.bit_or("bits").alias("wbits"))
+    contrib = words.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        F.col("day"),
+        "word",
+        "wbits",
+    ).select(
+        F.date_add(F.col("day"), F.col("k")).cast("timestamp").alias("end_day"),
+        "word",
+        "wbits",
+    )
+    rolled = (
+        contrib.groupBy("end_day", "word")
+        .agg(F.bit_or("wbits").alias("wbits"))
+        .groupBy("end_day")
+        .agg(F.sum(F.bit_count("wbits")).alias("n_active_7d"))
+    )
+    daily = words.groupBy("day").agg(
+        F.sum(F.bit_count("wbits")).alias("n_active_1d")
+    )
+    # keep only end-days that are observed days (the 7-way explode also
+    # lands on days past the data's edge)
+    return (
+        daily.join(rolled, daily["day"] == rolled["end_day"])
+        .select("day", "n_active_1d", "n_active_7d")
+        .orderBy("day")
+    )
+
+
+ORACLE_ROLLING_DISTINCT = """
+WITH du AS (
+  SELECT DISTINCT cast(date_trunc('day', ts) as timestamp) AS day, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+)
+SELECT d.day,
+       (SELECT count(DISTINCT u1.user_id) FROM du u1
+         WHERE u1.day = d.day) AS n_active_1d,
+       (SELECT count(DISTINCT u7.user_id) FROM du u7
+         WHERE u7.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+           AS n_active_7d
+FROM days d
+ORDER BY d.day
+"""
+
+
 QUERIES = {
     "q_agg_mode": q_agg_mode,
+    "q_rolling_distinct": q_rolling_distinct,
     "q_copurchase_pairs": q_copurchase_pairs,
     "q_join_bloom_prefilter": q_join_bloom_prefilter,
     "q_agg_bitmap_distinct": q_agg_bitmap_distinct,
@@ -475,4 +544,5 @@ ORACLES = {
     "q_agg_bitmap_distinct": ORACLE_AGG_BITMAP_DISTINCT,
     "q_user_streaks": ORACLE_USER_STREAKS,
     "q_copurchase_pairs": ORACLE_COPURCHASE_PAIRS,
+    "q_rolling_distinct": ORACLE_ROLLING_DISTINCT,
 }
