@@ -69,6 +69,8 @@ HEADLINE = [
     "q_join_asof_forward",
     "q_agg_ewma",
     "q_corpus_pipeline",
+    "q_join_interval_overlap",
+    "q_rolling_distinct",
 ]
 
 
