@@ -73,6 +73,11 @@ HEADLINE = [
     "q_rolling_distinct",
 ]
 
+# Era-40 is FROZEN (BASELINE.md): rounds 5+ compare against the same
+# 40-query set — accidental additions/removals would silently reset the
+# baseline, so the count is asserted.
+assert len(HEADLINE) == 40, f"era-40 frozen; got {len(HEADLINE)} queries"
+
 
 def main() -> None:
     spark = build_spark(app_name="nrt_bench")

@@ -1268,31 +1268,39 @@ FROM events
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
-def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_profile_columns(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """One-pass column profiling (the ANALYZE/data-quality pass every
-    ingest runs): per numeric column — row count, nulls, exact distinct,
+    ingest runs): per numeric column — row count, nulls, distinct,
     min/max, decimal-exact mean. All columns profile in a SINGLE scan
     and a single 1-row-per-partition partial aggregate; the wide result
     unpivots to (column, stats) rows via ``stack`` in the projection.
-    At 100 TB swap the exact count_distinct for approx_count_distinct
-    (the only non-partial-friendly stat here — Expand-based, one extra
-    pass per column set); everything else is a plain partial agg."""
+
+    ``exact=True`` (the oracle/bench path) uses exact count_distinct —
+    N columns plan an N-way Expand that multiplies the scan before the
+    partial agg. ``exact=False`` is the 100 TB path: HLL++
+    ``approx_count_distinct`` is a plain partial-aggregatable stat, so
+    the Expand disappears entirely (guarded in tests/test_plans.py).
+    Mean is quantized tie-free (``floor(x*1e4 + 0.5)/1e4``, pure IEEE
+    ops) on both engines — Spark's HALF_UP round diverges from DuckDB's
+    binary rounding on .5 ties (same rationale as q_resample_interp)."""
     li = load_table(spark, sf_dir, "lineitem")
+    ndist = F.countDistinct if exact else F.approx_count_distinct
     aggs = []
     for c in _PROFILE_COLS:
+        mean = F.sum(F.col(c).cast("decimal(20,4)")).cast("double") / F.count(
+            F.lit(1)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"{c}__nnull"),
-            F.countDistinct(c).alias(f"{c}__ndist"),
+            ndist(c).alias(f"{c}__ndist"),
             F.min(c).cast("double").alias(f"{c}__min"),
             F.max(c).cast("double").alias(f"{c}__max"),
-            F.round(
-                F.sum(F.col(c).cast("decimal(20,4)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias(f"{c}__mean"),
+            (F.floor(mean * 1e4 + F.lit(0.5)) / 1e4).alias(f"{c}__mean"),
         ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
@@ -1313,8 +1321,8 @@ ORACLE_PROFILE_COLUMNS = "\nUNION ALL\n".join(
        count(DISTINCT {c}) AS n_distinct,
        cast(min({c}) as double) AS min_v,
        cast(max({c}) as double) AS max_v,
-       round(cast(sum(cast({c} as decimal(20,4))) as double) / count(*), 4)
-           AS mean_v
+       floor(cast(sum(cast({c} as decimal(20,4))) as double) / count(*)
+             * 1e4 + 0.5) / 1e4 AS mean_v
 FROM lineitem"""
     for c in _PROFILE_COLS
 )

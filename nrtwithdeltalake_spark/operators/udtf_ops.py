@@ -31,6 +31,10 @@ class ChunkerUdtf:
 
     def eval(self, text: str):
         if text is None:
+            # mirror the Catalyst twin: greatest(length(NULL),1)=1 keeps
+            # one row whose substring/length are NULL — the UDTF must
+            # agree so the shared oracle holds on NULL-text corpora
+            yield 0, None, None
             return
         for idx, start in enumerate(range(0, max(len(text), 1), CHUNK_STRIDE)):
             chunk = text[start : start + CHUNK_LEN]

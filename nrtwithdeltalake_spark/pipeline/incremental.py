@@ -73,8 +73,15 @@ def load_entity(
     source_root: str,
     target_root: str,
     apply_deletes: bool = True,
+    register_db: str | None = None,
 ) -> LoadResult:
-    """One entity's incremental load (E3 in SURVEY.md §3)."""
+    """One entity's incremental load (E3 in SURVEY.md §3).
+
+    ``register_db``: when set, the bootstrap branch also registers the
+    new silver table in the metastore under ``register_db.<ToEntityName>``
+    — the reference's CREATE DATABASE/CREATE TABLE step
+    (``COPY_MSQL_TO_SILVER.py:187-196``); later merges keep the catalog
+    entry current via the commit hook (``tables.VersionedTable.register``)."""
     eid = entity_row["EntityId"]
     keys = list(entity_row["PrimaryKeys"])
     wm_type = entity_row["WatermarkType"]
@@ -143,7 +150,9 @@ def load_entity(
     # -- sink (E3 step 5, :185-209) ----------------------------------------
     n = batch.count()  # reference caches + counts the batch (:180-183)
     if first_load:
-        VersionedTable.create(spark, tgt_path, batch)
+        t = VersionedTable.create(spark, tgt_path, batch)
+        if register_db is not None:
+            t.register(register_db, entity_row["ToEntityName"])
     else:
         VersionedTable(spark, tgt_path).merge(
             batch,
@@ -171,6 +180,7 @@ def run_pipeline(
     target_root: str,
     max_parallel: int = 4,
     apply_deletes: bool = True,
+    register_db: str | None = None,
 ) -> list[LoadResult]:
     """E1, the control plane (:223-260) — but entities load concurrently:
     Spark job scheduling is thread-safe, so a thread pool turns the
@@ -180,7 +190,14 @@ def run_pipeline(
     with ThreadPoolExecutor(max_workers=max_parallel) as pool:
         futures = [
             pool.submit(
-                load_entity, spark, store, e, source_root, target_root, apply_deletes
+                load_entity,
+                spark,
+                store,
+                e,
+                source_root,
+                target_root,
+                apply_deletes,
+                register_db,
             )
             for e in entities
         ]

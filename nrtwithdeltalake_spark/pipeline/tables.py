@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 import uuid
@@ -169,6 +170,95 @@ class VersionedTable:
         with os.fdopen(fd, "w") as f:
             f.write(commit.to_json())
         os.rename(tmp, target)
+        reg = self._read_registration()
+        if reg is not None:
+            self._sync_registration(commit, reg)
+
+    # -- metastore registration (O5) ---------------------------------------
+
+    def _registration_path(self) -> str:
+        return os.path.join(self.path, "_registration.json")
+
+    def _current_dir(self) -> str:
+        return os.path.join(self.path, "_current")
+
+    def _read_registration(self) -> dict | None:
+        try:
+            with open(self._registration_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def register(self, db: str, table: str) -> "VersionedTable":
+        """Persistent-catalog registration — completes O5, the analog of
+        the reference's ``CREATE DATABASE IF NOT EXISTS`` + ``CREATE
+        TABLE ... USING DELTA LOCATION`` (``COPY_MSQL_TO_SILVER.py:
+        187-196``): after this, the table is name-addressable as
+        ``db.table`` via ``spark.table`` / ``spark.sql`` from ANY
+        session sharing the catalog (``spark.newSession()``; with a Hive
+        metastore, any later process).
+
+        Mechanism: Delta registers its log-bearing directory and its
+        datasource resolves the snapshot; vanilla parquet has no such
+        hook, so the engine maintains ``_current/`` — hardlinks to
+        exactly the live data files (the symlink-manifest design Delta
+        generates for external engines) — and registers an EXTERNAL
+        parquet table with the commit's explicit schema over it. Every
+        subsequent commit atomically re-links ``_current`` and refreshes
+        (or, on schema evolution, re-creates) the catalog entry; cost is
+        one metadata op per live file, same order as the commit's own
+        log write. Vacuum is safe: hardlinked inodes outlive deletion of
+        the original path. Standard Spark external-table semantics apply:
+        the writer session's relation cache is refreshed by the commit
+        hook; OTHER sessions that already resolved the relation issue
+        ``REFRESH TABLE db.table`` to see later commits (exactly as with
+        any Hive-metastore parquet table)."""
+        commit = self.get_commit()
+        self._sync_registration(
+            commit, {"db": db, "table": table, "schema_json": None}
+        )
+        return self
+
+    def _sync_registration(self, commit: Commit, reg: dict) -> None:
+        cur = self._current_dir()
+        tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp)
+        for i, fpath in enumerate(commit.files):
+            dst = os.path.join(tmp, f"{i:06d}_{os.path.basename(fpath)}")
+            try:
+                os.link(fpath, dst)
+            except OSError:  # cross-device / fs without hardlinks
+                shutil.copy2(fpath, dst)
+        old = f"{cur}.old.{uuid.uuid4().hex}"
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+        fq = f"`{reg['db']}`.`{reg['table']}`"
+        if reg.get("schema_json") != commit.schema_json:
+            schema = T.StructType.fromJson(json.loads(commit.schema_json))
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{reg['db']}`")
+            self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            self.spark.sql(
+                f"CREATE TABLE {fq} ({ddl}) USING parquet LOCATION '{cur}'"
+            )
+        else:
+            self.spark.sql(f"REFRESH TABLE {fq}")
+        fd, mtmp = tempfile.mkstemp(dir=self.path, suffix=".regtmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "db": reg["db"],
+                    "table": reg["table"],
+                    "schema_json": commit.schema_json,
+                },
+                f,
+            )
+        os.rename(mtmp, self._registration_path())
 
     # -- IO ----------------------------------------------------------------
 

@@ -9,18 +9,41 @@ This is the NRT form of the reference's bronze→silver loop
 (``/root/reference/COPY_MSQL_TO_SILVER.py:259-260``) applied to
 training-data hygiene: the "silver" invariant here is "no exact or
 near duplicate ever enters the corpus". State is the signature index
-(~1% of corpus bytes, see SCALING.md), NOT engine streaming state — so
-restarts are trivially safe: re-processing a batch re-classifies
-against the already-updated index and its duplicates simply drop
-(classification is idempotent by content).
+(~1% of corpus bytes, see SCALING.md), NOT engine streaming state.
+
+Scale + crash posture (both previously flagged, both fixed here):
+
+* Novel-row selection is a ``left_semi`` join on ``doc_id`` — never a
+  driver-side ``collect()`` + ``isin(...)`` literal, so driver memory
+  and plan size are independent of batch novelty (a bootstrap-scale
+  batch with millions of novel docs stays fully distributed).
+* Every batch is intra-batch deduped (exact md5 + minhash near-dup)
+  before anything is appended, so two copies of the same new text in
+  ONE micro-batch still yield one corpus row.
+* Appends are ordered exact-index FIRST, corpus LAST. On checkpoint
+  replay after a mid-append crash, re-processed rows classify as
+  ``exact_dup`` with ``match_id == doc_id`` (they matched *their own*
+  interrupted index entry); the batch function detects these
+  self-matches and completes only the missing appends (anti-joined per
+  table), making replay idempotent for every crash point — not just
+  the all-appends-completed case.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..operators.dedup import build_dedup_index, incremental_dedup
+from ..operators.dedup import (
+    N_BANDS,
+    N_PERM,
+    _minhash_sig,
+    _mod_hashes,
+    _shingle_hashes,
+    build_dedup_index,
+    incremental_dedup,
+)
 from ..pipeline.tables import VersionedTable
 
 _INDEX_PARTS = ("exact", "sigs", "bands")
@@ -28,6 +51,93 @@ _INDEX_PARTS = ("exact", "sigs", "bands")
 
 def index_paths(root: str) -> dict[str, str]:
     return {k: f"{root}/idx_{k}" for k in _INDEX_PARTS}
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys for a (doc_id, sig) frame —
+    same banding as ``build_dedup_index`` so intra-batch candidates use
+    the index's collision structure."""
+    r = N_PERM // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', "
+                f"slice(sig, b * {r} + 1, {r}))) AS bkey))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+
+
+def intra_batch_dedup(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Drop exact and near duplicates WITHIN one micro-batch, keeping
+    the lowest doc_id of each duplicate group.
+
+    Exact: row_number over md5(text). Near: minhash band self-join →
+    candidate pairs → signature-estimated Jaccard ≥ threshold → the
+    higher doc_id of every verified pair is dropped (greedy,
+    deterministic — survivors contain no near-dup pair). All joins key
+    on (band, bkey); the pair space is confined to bucket collisions,
+    so the pass is batch-bounded at any corpus size."""
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    surv = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sigs = (
+        surv.select("doc_id", _shingle_hashes().alias("__sh"))
+        .withColumn("__hb", _mod_hashes("__sh"))
+        .select("doc_id", _minhash_sig("__hb").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = _band_keys(sigs)
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
+        ).cast("double")
+        / N_PERM
+    )
+    drop = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .filter(est >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return surv.join(drop, "doc_id", "left_anti")
+
+
+def select_novel(batch_df: DataFrame, classified: DataFrame) -> DataFrame:
+    """Batch rows classified novel — a distributed ``left_semi`` join,
+    NEVER ``collect()`` + ``isin(...)`` (a literal ``In`` over novel ids
+    would grow driver memory and plan size with batch novelty; see the
+    plan guardrail in ``tests/test_plans.py``)."""
+    return batch_df.join(
+        classified.filter(F.col("status") == "novel").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
 
 
 def dedup_ingest_batch(
@@ -38,42 +148,77 @@ def dedup_ingest_batch(
 ) -> None:
     """One micro-batch through the dedup gate (the foreachBatch body).
 
-    Bootstrap: first batch creates corpus + index. Steady state: novel
-    docs append to the corpus, their signatures to the index. Only
-    novel-doc data is written — duplicate-heavy batches cost their scan
-    plus index joins, nothing more."""
+    Bootstrap: first batch creates index (exact first) + corpus.
+    Steady state: novel docs' signatures append to the index, then the
+    docs to the corpus. Only novel-doc data is written — duplicate-heavy
+    batches cost their scan plus index joins, nothing more. Append order
+    exact → sigs → bands → corpus plus the self-match recovery below
+    makes checkpoint replay idempotent at every crash point."""
     if not batch_df.take(1):
         return
     spark = batch_df.sparkSession
     paths = index_paths(index_root)
     if not VersionedTable.exists(paths["exact"]):
-        # intra-batch exact dedup before bootstrap (keep lowest doc_id)
-        first = batch_df.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
-                    "doc_id"
-                )
-            ),
-        )
-        novel = first.filter(F.col("__rn") == 1).drop("__rn")
-        VersionedTable.create(spark, corpus_path, novel)
+        novel = intra_batch_dedup(batch_df, threshold)
         idx = build_dedup_index(novel)
-        for k, p in paths.items():
-            VersionedTable.create(spark, p, idx[k])
+        for k in _INDEX_PARTS:
+            VersionedTable.create(spark, paths[k], idx[k])
+        VersionedTable.create(spark, corpus_path, novel)
         return
     index = {k: VersionedTable(spark, p).read() for k, p in paths.items()}
-    classified = incremental_dedup(batch_df, index, threshold=threshold)
-    novel_ids = [
-        r.doc_id for r in classified.filter(F.col("status") == "novel").collect()
-    ]
-    if not novel_ids:
-        return
-    novel = batch_df.filter(F.col("doc_id").isin(novel_ids))
-    VersionedTable(spark, corpus_path).append(novel)
+    classified = incremental_dedup(batch_df, index, threshold=threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    novel = intra_batch_dedup(select_novel(batch_df, classified), threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     idx = build_dedup_index(novel)
-    for k, p in paths.items():
-        VersionedTable(spark, p).append(idx[k])
+
+    # Crash recovery: a row whose exact match is ITSELF was indexed by an
+    # interrupted earlier attempt of this same (replayed) batch — finish
+    # whatever appends it is missing. Empty in the happy path (one take(1)
+    # probe); anti-joins are recovery-row-bounded.
+    recov = batch_df.join(
+        classified.filter(
+            (F.col("status") == "exact_dup")
+            & (F.col("match_id") == F.col("doc_id"))
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    has_recov = bool(recov.take(1))
+    if not has_recov and not novel.take(1):
+        classified.unpersist()
+        novel.unpersist()
+        return
+    sigs_add = idx["sigs"]
+    bands_add = idx["bands"]
+    corpus_add = novel
+    if has_recov:
+        ridx = build_dedup_index(recov)
+        sigs_add = sigs_add.unionByName(
+            ridx["sigs"].join(index["sigs"], "corpus_id", "left_anti")
+        )
+        bands_add = bands_add.unionByName(
+            ridx["bands"].join(
+                index["bands"].select("corpus_id").distinct(),
+                "corpus_id",
+                "left_anti",
+            )
+        )
+        corpus_add = corpus_add.unionByName(
+            recov.join(
+                VersionedTable(spark, corpus_path).read().select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        )
+    VersionedTable(spark, paths["exact"]).append(idx["exact"])
+    VersionedTable(spark, paths["sigs"]).append(sigs_add)
+    VersionedTable(spark, paths["bands"]).append(bands_add)
+    VersionedTable(spark, corpus_path).append(corpus_add)
+    classified.unpersist()
+    novel.unpersist()
 
 
 def run_dedup_ingest(

@@ -443,3 +443,533 @@ def test_incremental_dedup_replay_idempotent(spark, sf_dir):
     for r in replay:
         if r.doc_id in set(novel_ids):
             assert r.status == "exact_dup" and r.match_id == r.doc_id
+
+
+def test_chunker_udtf_null_text_matches_catalyst(spark):
+    """NULL text: the Catalyst chunker keeps one (0, NULL, NULL) row
+    (greatest(length(NULL),1)=1); the UDTF twin must agree — the shared
+    oracle otherwise silently depends on the fixture never holding NULL."""
+    from nrtwithdeltalake_spark.operators.udtf_ops import ChunkerUdtf
+    from nrtwithdeltalake_spark.operators.textstats import CHUNK_LEN, CHUNK_STRIDE
+
+    spark.udtf.register("engine_chunker_nulltest", ChunkerUdtf)
+    docs = spark.createDataFrame(
+        [(1, None), (2, "short text")], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("__null_docs")
+    udtf_rows = sorted(
+        spark.sql(
+            "SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_chars "
+            "FROM __null_docs d, LATERAL engine_chunker_nulltest(d.text) c"
+        ).collect()
+    )
+    catalyst_rows = sorted(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text), 1), "
+                    f"{CHUNK_STRIDE}), i -> substring(text, i, {CHUNK_LEN}))"
+                )
+            ).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long"),
+            "chunk_text",
+            F.length("chunk_text").cast("long").alias("n_chars"),
+        )
+        .collect()
+    )
+    assert [tuple(r) for r in udtf_rows] == [tuple(r) for r in catalyst_rows]
+    assert (1, 0, None, None) in [tuple(r) for r in udtf_rows]
+
+
+def _spark_round6(x: float) -> float:
+    """Spark's round(x, 6) twin: HALF_UP on the shortest decimal string
+    (BigDecimal.valueOf), NOT python's banker's round."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def test_ann_lsh_matches_pure_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_sim_ann_lsh: the hyperplanes are a
+    pure function (similarity._plane_component), so the ENTIRE operator —
+    bucket signs, candidate generation, left-to-right-fold cosine, top-k
+    tie-break — is recomputed in plain python on the sf0.001 fixture and
+    compared row-for-row (not just row counts)."""
+    from nrtwithdeltalake_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        N_QUERIES,
+        N_TABLES,
+        TOP_K,
+        _plane_component,
+        q_sim_ann_lsh,
+    )
+
+    got = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in q_sim_ann_lsh(spark, sf_dir).collect()
+    }
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    planes = [
+        [[_plane_component(t, p, c) for c in range(DIM)] for p in range(N_PLANES)]
+        for t in range(N_TABLES)
+    ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):  # same left-to-right IEEE fold as the
+            acc += x * y  # Catalyst aggregate() expression
+        return acc
+
+    def bkeys(v):
+        out = []
+        for t in range(N_TABLES):
+            key = 0
+            for p in range(N_PLANES):
+                if fold_dot(v, planes[t][p]) > 0:
+                    key += 1 << p
+            out.append((t, key))
+        return out
+
+    buckets = {vid: set(bkeys(v)) for vid, v in vecs.items()}
+    import math
+
+    want = {}
+    r6 = _spark_round6
+    for q in range(N_QUERIES):
+        cands = [
+            vid
+            for vid in vecs
+            if vid != q and buckets[vid] & buckets[q]
+        ]
+        scored = []
+        for vid in cands:
+            c = fold_dot(vecs[q], vecs[vid]) / (
+                math.sqrt(fold_dot(vecs[q], vecs[q]))
+                * math.sqrt(fold_dot(vecs[vid], vecs[vid]))
+            )
+            scored.append((r6(c), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for c, vid in scored[:TOP_K]:
+            want[(q, vid)] = c
+    assert got == want
+
+
+def test_dedup_minhash_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_dedup_minhash: taking Spark's
+    xxhash64 shingle hashes as input data, the permutation math, banding,
+    candidate generation and exact-Jaccard verify are recomputed in plain
+    python and the verified pair set compared exactly. (Band keys hash the
+    signature slice; python buckets on the slice TUPLE itself — identical
+    partitioning, xxhash64 being injective on these inputs.)"""
+    from nrtwithdeltalake_spark.operators import dedup as dd
+
+    docs = dd.load_table(spark, sf_dir, "documents")
+    sh = {
+        r.doc_id: list(r.sh)
+        for r in docs.select(
+            "doc_id", dd._shingle_hashes().alias("sh")
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.q_dedup_minhash(spark, sf_dir).collect()
+    }
+
+    p = dd._MERSENNE
+    r_rows = dd.N_PERM // dd.N_BANDS
+    sigs = {}
+    for did, hashes in sh.items():
+        mods = [h % p for h in hashes]
+        sigs[did] = [
+            min((a * h + b) % p for h in mods) if mods else None
+            for a, b in zip(dd._PERM_A, dd._PERM_B)
+        ]
+    buckets = {}
+    for did, sig in sigs.items():
+        if sig[0] is None:
+            continue
+        for b in range(dd.N_BANDS):
+            buckets.setdefault(
+                (b, tuple(sig[b * r_rows : (b + 1) * r_rows])), []
+            ).append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    want = {}
+    for a, b in cand:
+        sa, sb = set(sh[a]), set(sh[b])
+        jac = _spark_round6(len(sa & sb) / len(sa | sb)) if sa | sb else 0.0
+        if jac >= 0.5:
+            want[(a, b)] = jac
+    assert got == want
+    assert want, "fixture should contain at least one near-dup pair"
+
+
+def test_dedup_simhash_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_dedup_simhash: taking Spark's
+    per-token xxhash64 values as input data, the 64-bit signature fold,
+    4×16-bit pigeonhole banding and hamming verify are recomputed in
+    plain python; the pair set (with hamming distances) must match
+    exactly."""
+    from nrtwithdeltalake_spark.operators import dedup as dd
+
+    docs = dd.load_table(spark, sf_dir, "documents")
+    tok_hashes = {
+        r.doc_id: list(r.th)
+        for r in docs.select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"
+            ).alias("th"),
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.q_dedup_simhash(spark, sf_dir).collect()
+    }
+
+    def simhash(hashes):
+        sig = 0
+        for b in range(64):
+            s = 0
+            for h in hashes:
+                s += 1 if (h >> b) & 1 else -1
+            if s > 0:
+                sig |= 1 << b
+        return sig
+
+    sigs = {did: simhash(hs) for did, hs in tok_hashes.items()}
+    buckets = {}
+    for did, sig in sigs.items():
+        for c in range(4):
+            buckets.setdefault((c, (sig >> (c * 16)) & 0xFFFF), []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    want = {}
+    for a, b in cand:
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 3:
+            want[(a, b)] = ham
+    assert got == want
+
+
+def test_dedup_embedding_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_dedup_embedding: full python
+    recompute of the LSH tables (pure-function hyperplanes), pair
+    candidates and cosine≥0.95 verify — exact row-for-row match."""
+    from nrtwithdeltalake_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        N_TABLES,
+        _plane_component,
+        q_dedup_embedding,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q_dedup_embedding(spark, sf_dir).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    planes = [
+        [[_plane_component(t, p, c) for c in range(DIM)] for p in range(N_PLANES)]
+        for t in range(N_TABLES)
+    ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def bkeys(v):
+        out = set()
+        for t in range(N_TABLES):
+            key = 0
+            for p in range(N_PLANES):
+                if fold_dot(v, planes[t][p]) > 0:
+                    key += 1 << p
+            out.add((t, key))
+        return out
+
+    import math
+
+    buckets = {vid: bkeys(v) for vid, v in vecs.items()}
+    ids = sorted(vecs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not (buckets[a] & buckets[b]):
+                continue
+            c = _spark_round6(
+                fold_dot(vecs[a], vecs[b])
+                / (
+                    math.sqrt(fold_dot(vecs[a], vecs[a]))
+                    * math.sqrt(fold_dot(vecs[b], vecs[b]))
+                )
+            )
+            if c >= 0.95:
+                want[(a, b)] = c
+    assert got == want
+
+
+def test_ann_ivf_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_sim_ann_ivf: deterministic coarse
+    centroids (vec_id % 25 == 7), argmin assignment with the exact
+    (d2, c_id) tie order, N_PROBE probe lists and top-k scoring all
+    recomputed in plain python — exact row-for-row match."""
+    from nrtwithdeltalake_spark.operators.similarity import (
+        CENTROID_MOD,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        q_sim_ann_ivf,
+    )
+
+    got = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in q_sim_ann_ivf(spark, sf_dir).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cents = {
+        vid: v
+        for vid, v in vecs.items()
+        if vid % CENTROID_MOD == 7 and vid >= N_QUERIES
+    }
+
+    def d2(v, cv):
+        return fold_dot(v, v) - 2.0 * fold_dot(v, cv) + fold_dot(cv, cv)
+
+    cell = {
+        vid: min(cents, key=lambda c: (d2(v, cents[c]), c))
+        for vid, v in vecs.items()
+    }
+    import math
+
+    want = {}
+    for q in range(N_QUERIES):
+        probes = sorted(cents, key=lambda c: (d2(vecs[q], cents[c]), c))[:N_PROBE]
+        cands = [
+            vid for vid in vecs if vid != q and cell[vid] in probes
+        ]
+        scored = []
+        for vid in cands:
+            c = _spark_round6(
+                fold_dot(vecs[q], vecs[vid])
+                / (
+                    math.sqrt(fold_dot(vecs[q], vecs[q]))
+                    * math.sqrt(fold_dot(vecs[vid], vecs[vid]))
+                )
+            )
+            scored.append((c, vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for c, vid in scored[:TOP_K]:
+            want[(q, vid)] = c
+    assert got == want
+
+
+def test_incremental_dedup_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_dedup_incremental: full python
+    recompute of the classification — exact index via hashlib md5
+    (byte-identical to Spark's md5(cast binary)), minhash permutation
+    math on Spark's shingle hashes, band-bucket candidates, signature
+    estimate and the (est, -corpus_id) best-match tie order — compared
+    row-for-row including match_id and similarity."""
+    import hashlib
+
+    from nrtwithdeltalake_spark.operators import dedup as dd
+
+    docs_rows = dd.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        dd._shingle_hashes().alias("sh"),
+    ).collect()
+    got = {
+        r.doc_id: (r.source, r.status, r.match_id, r.similarity)
+        for r in dd.q_dedup_incremental(spark, sf_dir).collect()
+    }
+
+    p = dd._MERSENNE
+    rr = dd.N_PERM // dd.N_BANDS
+
+    def sig_of(hashes):
+        mods = [h % p for h in hashes]
+        return [
+            min((a * h + b) % p for h in mods)
+            for a, b in zip(dd._PERM_A, dd._PERM_B)
+        ]
+
+    corpus = [r for r in docs_rows if r.doc_id % 5 != 0]
+    batch = [r for r in docs_rows if r.doc_id % 5 == 0]
+
+    exact_idx = {}
+    for r in corpus:
+        md5 = hashlib.md5(r.text.encode()).hexdigest()
+        exact_idx[md5] = min(exact_idx.get(md5, r.doc_id), r.doc_id)
+    csigs = {r.doc_id: sig_of(list(r.sh)) for r in corpus}
+    cbuckets = {}
+    for cid, sig in csigs.items():
+        for b in range(dd.N_BANDS):
+            cbuckets.setdefault(
+                (b, tuple(sig[b * rr : (b + 1) * rr])), set()
+            ).add(cid)
+
+    want = {}
+    for r in batch:
+        md5 = hashlib.md5(r.text.encode()).hexdigest()
+        exact_match = exact_idx.get(md5)
+        sig = sig_of(list(r.sh))
+        cands = set()
+        for b in range(dd.N_BANDS):
+            cands |= cbuckets.get((b, tuple(sig[b * rr : (b + 1) * rr])), set())
+        best = None
+        for cid in cands:
+            est = _spark_round6(
+                sum(x == y for x, y in zip(sig, csigs[cid])) / dd.N_PERM
+            )
+            if est >= 0.5 and (
+                best is None or (est, -cid) > (best[0], -best[1])
+            ):
+                best = (est, cid)
+        if exact_match is not None:
+            want[r.doc_id] = (r.source, "exact_dup", exact_match, 1.0)
+        elif best is not None:
+            want[r.doc_id] = (r.source, "near_dup", best[1], best[0])
+        else:
+            want[r.doc_id] = (r.source, "novel", None, None)
+    assert got == want
+
+
+def test_fingerprint_shingles_matches_python_stride(spark, sf_dir):
+    """Closes the rows-only gap for q_fingerprint_shingles: the 8-char /
+    stride-4 shingle extraction is recomputed in python, the python
+    substrings are hashed by the same xxhash64 primitive, and min-hash +
+    count must match the operator's output exactly."""
+    from nrtwithdeltalake_spark.operators import textstats as ts
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    got = {
+        r.doc_id: (r.fp_min, r.n_shingles)
+        for r in ts.q_fingerprint_shingles(spark, sf_dir).collect()
+    }
+    shingles = []
+    n_sh = {}
+    for did, text in docs:
+        starts = list(range(1, max(len(text) - 7, 1) + 1, 4))
+        n_sh[did] = len(starts)
+        for i in starts:
+            shingles.append((did, text[i - 1 : i - 1 + 8]))
+    hashed = (
+        spark.createDataFrame(shingles, "doc_id long, sub string")
+        .groupBy("doc_id")
+        .agg(F.min(F.xxhash64("sub")).alias("fp_min"))
+        .collect()
+    )
+    want = {r.doc_id: (r.fp_min, n_sh[r.doc_id]) for r in hashed}
+    assert got == want
+
+
+def test_multimodal_decode_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_multimodal_decode: the stub codec
+    is a pure python function — apply it per document on the driver and
+    require exact row equality through the mapInPandas plumbing."""
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got = {
+        r.doc_id: (r.width, r.height, r.n_frames, r.n_bytes)
+        for r in multimodal.q_multimodal_decode(spark, sf_dir).collect()
+    }
+    want = {}
+    for did, text in texts.items():
+        payload = text.encode()
+        w, h, n = multimodal._fake_decode(payload)
+        want[did] = (w, h, n, len(payload))
+    assert got == want
+
+
+def test_multimodal_resize_matches_python_recompute(spark, sf_dir):
+    """Exact thumb bytes: digest-seeded fake resize recomputed per doc."""
+    import hashlib
+
+    from nrtwithdeltalake_spark.operators.multimodal import THUMB_H, THUMB_W
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got = {
+        r.doc_id: (bytes(r.thumb), r.thumb_w, r.thumb_h, r.n_bytes)
+        for r in multimodal.q_multimodal_resize(spark, sf_dir).collect()
+    }
+    want = {}
+    for did, text in texts.items():
+        seed = hashlib.md5(text.encode()).digest()
+        thumb = seed * ((THUMB_W * THUMB_H) // len(seed))
+        want[did] = (thumb, THUMB_W, THUMB_H, len(thumb))
+    assert got == want
+
+
+def test_multimodal_frame_sample_matches_python_recompute(spark, sf_dir):
+    """Exact frame rows: stride schedule and digest(payload‖idx) frame
+    bytes recomputed per doc."""
+    import hashlib
+
+    from nrtwithdeltalake_spark.operators.multimodal import MAX_SAMPLED_FRAMES
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got = {
+        (r.doc_id, r.frame_index): (r.frame_md5, r.n_frames_total)
+        for r in multimodal.q_multimodal_frame_sample(spark, sf_dir).collect()
+    }
+    want = {}
+    for did, text in texts.items():
+        payload = text.encode()
+        _, _, n_frames = multimodal._fake_decode(payload)
+        stride = max(1, -(-n_frames // MAX_SAMPLED_FRAMES))
+        for idx in range(0, n_frames, stride):
+            md5 = hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
+            want[(did, idx)] = (md5, n_frames)
+    assert got == want

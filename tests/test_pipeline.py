@@ -782,3 +782,81 @@ def test_replace_where_scoped_overwrite(spark, tmp_path):
     # source rows outside the predicate are rejected (Delta semantics)
     with pytest.raises(ValueError, match="replace_where"):
         t.overwrite(day1, replace_where="day = '2024-01-02'")
+
+
+def test_register_makes_table_name_addressable_across_sessions(spark, tmp_path):
+    """O5 complete: after register(db, table), a FRESH session (own
+    session state, shared catalog — the newSession() analog of the
+    reference's cross-notebook metastore addressing) reads the table by
+    name, and later commits keep the name current via the commit hook."""
+    path = str(tmp_path / "regtab")
+    df = _txn_df(spark, [(1, "a", 1.0), (2, "b", 2.0)], "2024-01-01 10:00:00")
+    t = VersionedTable.create(spark, path, df).register("reg_db1", "regtab")
+    try:
+        fresh = spark.newSession()
+        got = fresh.table("reg_db1.regtab")
+        assert {r.TransactionId for r in got.collect()} == {1, 2}
+        t.merge(
+            _txn_df(spark, [(3, "c", 3.0)], "2024-01-02 10:00:00"),
+            ["TransactionId"],
+        )
+        # standard Spark semantics for external parquet tables: a reader
+        # session that already resolved the relation refreshes to see
+        # out-of-session commits (writer-session readers are refreshed
+        # automatically by the commit hook)
+        fresh.sql("REFRESH TABLE reg_db1.regtab")
+        assert {
+            r.TransactionId for r in fresh.table("reg_db1.regtab").collect()
+        } == {1, 2, 3}
+        assert {
+            r.TransactionId for r in spark.table("reg_db1.regtab").collect()
+        } == {1, 2, 3}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS reg_db1 CASCADE")
+
+
+def test_register_follows_schema_evolution(spark, tmp_path):
+    """Schema evolution re-creates the catalog entry: after a merge adds
+    a column, the registered name exposes it (nulls on old rows)."""
+    path = str(tmp_path / "regtab2")
+    df = _txn_df(spark, [(1, "a", 1.0)], "2024-01-01 10:00:00")
+    t = VersionedTable.create(spark, path, df).register("reg_db2", "regtab2")
+    try:
+        evolved = _txn_df(spark, [(2, "b", 2.0)], "2024-01-02 10:00:00").withColumn(
+            "extra", F.lit("x")
+        )
+        t.merge(evolved, ["TransactionId"])
+        got = spark.newSession().table("reg_db2.regtab2")
+        assert "extra" in got.columns
+        vals = {r.TransactionId: r.extra for r in got.collect()}
+        assert vals == {1: None, 2: "x"}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS reg_db2 CASCADE")
+
+
+def test_pipeline_bootstrap_registers_when_asked(spark, roots):
+    """run_pipeline(register_db=...) makes every bootstrapped silver
+    table name-addressable — the reference's CREATE DATABASE/CREATE
+    TABLE step (COPY_MSQL_TO_SILVER.py:187-196)."""
+    source_root, target_root, _ = roots
+    store = _setup_scenario(spark, roots)
+    try:
+        run_pipeline(
+            spark, store, source_root, target_root, register_db="reg_silver"
+        )
+        fresh = spark.newSession()
+        for name in ("silver_ct", "silver_ts"):
+            assert fresh.table(f"reg_silver.{name}").count() == 2
+        # incremental pass keeps the registered names current
+        _apply_batch2(spark, source_root)
+        run_pipeline(
+            spark, store, source_root, target_root, register_db="reg_silver"
+        )
+        fresh.sql("REFRESH TABLE reg_silver.silver_ct")
+        got = {
+            r.TransactionId: r.TransactionAmount
+            for r in fresh.table("reg_silver.silver_ct").collect()
+        }
+        assert got == {1: 999.99, 3: 123.45, 4: 456.78}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS reg_silver CASCADE")

@@ -314,3 +314,33 @@ def test_cms_partial_aggregated(spark, sf_dir):
     )
     plan = inspect.physical_plan(freq.cms_build(toks))
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dedup_ingest_novel_selection_is_semi_join(spark, sf_dir):
+    """Ingest-gate contract: novel-row selection is a distributed
+    left-semi join — never collect()+isin(), whose literal In grows the
+    plan (and driver memory) with batch novelty."""
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+    from nrtwithdeltalake_spark.streaming import dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    classified = dedup.incremental_dedup(batch, dedup.build_dedup_index(corpus))
+    novel = dedup_stream.select_novel(batch, classified)
+    plan = inspect.physical_plan(novel)
+    assert "LeftSemi" in plan, plan
+    assert "doc_id#" in plan and " IN (" not in plan, plan
+
+
+def test_profile_columns_approx_path_has_no_expand(spark, sf_dir):
+    """exact=False is the 100 TB path: HLL approx_count_distinct is a
+    plain partial agg — the N-way Expand of exact distinct must vanish."""
+    exact_plan = inspect.physical_plan(
+        relational_ext.q_profile_columns(spark, sf_dir, exact=True)
+    )
+    approx_plan = inspect.physical_plan(
+        relational_ext.q_profile_columns(spark, sf_dir, exact=False)
+    )
+    assert "Expand" in exact_plan, exact_plan
+    assert "Expand" not in approx_plan, approx_plan

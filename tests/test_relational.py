@@ -83,3 +83,25 @@ def test_approx_percentile_error_bounds(spark, sf_dir):
         b = bounds[r.o_orderpriority]
         assert b.p45 <= r.approx_p50 <= b.p55, r
         assert b.p90 <= r.approx_p95 <= b.p99, r
+
+
+def test_profile_columns_approx_agrees_with_exact(spark, sf_dir):
+    """Scale-path sanity: approx profile matches exact on every stat but
+    n_distinct, and HLL distinct is within its ~5% default error."""
+    from nrtwithdeltalake_spark.operators import relational_ext
+
+    exact = {
+        r.column_name: r
+        for r in relational_ext.q_profile_columns(spark, sf_dir, exact=True).collect()
+    }
+    approx = {
+        r.column_name: r
+        for r in relational_ext.q_profile_columns(spark, sf_dir, exact=False).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_null, a.min_v, a.max_v, a.mean_v) == (
+            e.n_rows, e.n_null, e.min_v, e.max_v, e.mean_v,
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.1 * e.n_distinct)

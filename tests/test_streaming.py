@@ -672,3 +672,125 @@ def test_dedup_ingest_stream_gate(spark, tmp_path):
     assert {r.doc_id for r in rows} == {1, 2, 11}  # 10 rejected as dup of 2
     texts = [r.text for r in rows]
     assert len(texts) == len(set(texts))  # invariant: no duplicate text
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_dedup_ingest_intra_batch_steady_state(spark, tmp_path):
+    """A NON-bootstrap micro-batch containing an exact-dup pair and a
+    near-dup pair of brand-new texts must still yield one corpus row per
+    group (previously only the bootstrap branch intra-batch deduped)."""
+    from nrtwithdeltalake_spark.streaming import dedup_stream
+
+    corpus = str(tmp_path / "corpus")
+    idx_root = str(tmp_path / "idx")
+    b1 = _mkdocs(
+        spark, [(1, "alpha beta gamma delta epsilon zeta", "en", "s1", 35)]
+    )
+    dedup_stream.dedup_ingest_batch(b1, corpus, idx_root)
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(15)) + " CHANGED " + " ".join(
+        f"w{i}" for i in range(16, 30)
+    )
+    b2 = _mkdocs(
+        spark,
+        [
+            (20, "one two three four five six seven", "en", "s3", 33),
+            (21, "one two three four five six seven", "en", "s3", 33),  # exact dup of 20
+            (22, base, "en", "s3", len(base)),
+            (23, near, "en", "s3", len(near)),  # near dup of 22
+            (24, "alpha beta gamma delta epsilon zeta", "en", "s3", 35),  # dup of corpus 1
+        ],
+    )
+    dedup_stream.dedup_ingest_batch(b2, corpus, idx_root)
+    rows = VersionedTable(spark, corpus).read().collect()
+    assert {r.doc_id for r in rows} == {1, 20, 22}
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts))
+
+
+def test_dedup_ingest_replay_idempotent_full_commit(spark, tmp_path):
+    """Replaying a fully-committed micro-batch (checkpoint lost /
+    foreachBatch redelivery) adds no rows to corpus or index."""
+    from nrtwithdeltalake_spark.streaming import dedup_stream
+
+    corpus = str(tmp_path / "corpus")
+    idx_root = str(tmp_path / "idx")
+    paths = dedup_stream.index_paths(idx_root)
+    b1 = _mkdocs(
+        spark, [(1, "alpha beta gamma delta epsilon zeta", "en", "s1", 35)]
+    )
+    b2 = _mkdocs(
+        spark,
+        [
+            (10, "one two three four five six seven", "en", "s3", 33),
+            (11, "totally novel content words here now", "en", "s3", 36),
+        ],
+    )
+    dedup_stream.dedup_ingest_batch(b1, corpus, idx_root)
+    dedup_stream.dedup_ingest_batch(b2, corpus, idx_root)
+    before = {
+        k: VersionedTable(spark, p).read().count() for k, p in paths.items()
+    }
+    before["corpus"] = VersionedTable(spark, corpus).read().count()
+    dedup_stream.dedup_ingest_batch(b2, corpus, idx_root)  # replay
+    after = {
+        k: VersionedTable(spark, p).read().count() for k, p in paths.items()
+    }
+    after["corpus"] = VersionedTable(spark, corpus).read().count()
+    assert after == before
+
+
+def test_dedup_ingest_recovers_partial_append(spark, tmp_path):
+    """Crash between the exact-index append and the rest: replay must
+    complete sigs/bands/corpus for the interrupted docs exactly once
+    (the self-match recovery path)."""
+    from nrtwithdeltalake_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+    from nrtwithdeltalake_spark.streaming import dedup_stream
+
+    corpus = str(tmp_path / "corpus")
+    idx_root = str(tmp_path / "idx")
+    paths = dedup_stream.index_paths(idx_root)
+    b1 = _mkdocs(
+        spark, [(1, "alpha beta gamma delta epsilon zeta", "en", "s1", 35)]
+    )
+    dedup_stream.dedup_ingest_batch(b1, corpus, idx_root)
+
+    b2 = _mkdocs(
+        spark,
+        [
+            (10, "one two three four five six seven", "en", "s3", 33),
+            (11, "totally novel content words here now", "en", "s3", 36),
+        ],
+    )
+    # simulate the interrupted attempt: exact-index append lands, crash
+    index = {k: VersionedTable(spark, p).read() for k, p in paths.items()}
+    novel = dedup_stream.intra_batch_dedup(
+        dedup_stream.select_novel(b2, incremental_dedup(b2, index))
+    )
+    VersionedTable(spark, paths["exact"]).append(build_dedup_index(novel)["exact"])
+
+    dedup_stream.dedup_ingest_batch(b2, corpus, idx_root)  # replay
+    crows = VersionedTable(spark, corpus).read().collect()
+    assert {r.doc_id for r in crows} == {1, 10, 11}
+    assert len(crows) == 3  # exactly once
+    sigs = VersionedTable(spark, paths["sigs"]).read()
+    assert sigs.filter(F.col("corpus_id").isin([10, 11])).count() == 2
+    exact = VersionedTable(spark, paths["exact"]).read()
+    assert exact.count() == 3  # one row per corpus doc, no double-append
+    bands = VersionedTable(spark, paths["bands"]).read()
+    assert (
+        bands.filter(F.col("corpus_id").isin([10, 11]))
+        .select("corpus_id")
+        .distinct()
+        .count()
+        == 2
+    )
