@@ -607,6 +607,83 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, build_dedup_index(corpus))
 
 
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (oracle-backed)
+# ---------------------------------------------------------------------------
+
+SUB_K = 24  # span length (chars)
+SUB_STRIDE = 12  # span stride: K/2 overlap guarantees any K*1.5-char copy hits
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (the "exact substring dedup"
+    signal of Lee et al.'s *Deduplicating Training Data Makes Language
+    Models Better* — suffix-array semantics restated as strided k-gram
+    matching): a 24-char span whose text occurs in ≥2 distinct documents
+    is a duplicated span; per document, report the span count and the
+    duplicated fraction in exact basis points.
+
+    Plan shape: one strided in-codegen fan-out (``transform(sequence)``
+    + explode — ~len/stride rows per doc, 2× overlap), one
+    partial-aggregatable gram-grain aggregate, a gram-key join back
+    (co-partitioned with the aggregate — same key, AQE reuses the
+    exchange), one doc-grain aggregate. The shuffle carries (gram, doc)
+    pairs, never doc×doc pairs. At 100 TB, shuffle ``xxhash64(gram)``
+    (8 bytes) instead of the 24-char text — kept as text here so the
+    DuckDB oracle can replay it — and the dup ratio is exact integer
+    arithmetic (``n_dup * 10000 div n``), engine-identical."""
+    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = docs.filter(F.length("text") >= SUB_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (length(text) - {SUB_K}) div"
+                f" {SUB_STRIDE}), i -> substring(text, i * {SUB_STRIDE} + 1,"
+                f" {SUB_K}))"
+            )
+        ).alias("gram"),
+    )
+    gram_docs = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("(n_dup_spans * 10000) div n_spans").alias("dup_bp"),
+        )
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH g AS (
+  SELECT doc_id, substr(text, cast(i * {SUB_STRIDE} + 1 as bigint), {SUB_K})
+             AS gram
+  FROM documents,
+       unnest(range(0, (length(text) - {SUB_K}) // {SUB_STRIDE} + 1)) AS t(i)
+  WHERE length(text) >= {SUB_K}
+), gd AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+), flags AS (
+  SELECT g.doc_id, CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END AS dup
+  FROM g JOIN gd USING (gram)
+)
+SELECT doc_id, count(*) AS n_spans,
+       cast(sum(dup) as bigint) AS n_dup_spans,
+       (cast(sum(dup) as bigint) * 10000) // count(*) AS dup_bp
+FROM flags GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_keep_best": q_dedup_keep_best,
@@ -616,9 +693,11 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_decontaminate": q_decontaminate,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_substring": q_dedup_substring,
 }
 
 ORACLES = {
+    "q_dedup_substring": ORACLE_DEDUP_SUBSTRING,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "q_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,

@@ -1,0 +1,169 @@
+"""Graph analytics over relational-derived edge sets — distributed
+PageRank as the engine's representative iterative-join algorithm
+(north-star addition; the reference computes no graph shapes, see
+SURVEY.md §2.1 — its only iteration is the driver-side entity loop at
+/root/reference/COPY_MSQL_TO_SILVER.py:259-260).
+
+``q_graph_pagerank`` ranks the symmetric customer↔supplier trade graph
+(an edge per distinct (customer, supplier) pair that shares an order)
+with 3 unrolled power iterations, damping 0.85.
+
+Design notes:
+
+* **All arithmetic is bigint.** Ranks are integer micro-units
+  (``SCALE = 1e12``); per-edge contribution is ``rank div degree``
+  (integer division) and the damping step is ``(85 * s) div 100``.
+  Integer sums are order-independent and bit-identical across engines
+  and partitionings — no float-accumulation-order flake, no rounding
+  epsilon in the oracle compare. The ≤1e-12-per-edge mass lost to
+  ``div`` truncation is deliberate and engine-identical.
+* **One shuffle per iteration, co-partitioned.** Degrees are folded
+  into the edge list once (``edges_d``, persisted, hash-partitioned on
+  ``src``); each iteration is edges ⋈ ranks on ``src`` (both sides
+  already partitioned on the join key — AQE sees a reusable exchange)
+  followed by one partial-aggregatable ``groupBy(dst).sum``. At 100 TB
+  the rank table co-shuffles with the fixed edge partitioning; nothing
+  driver-side grows with the graph (the loop variable is a DataFrame
+  lineage, cut per iteration by the persisted edge set, with a bounded
+  3-iteration unroll).
+* **No dangling mass by construction.** The graph is symmetric (both
+  directions of every pair are edges), so every node has out-degree
+  ≥ 1 and the dangling-node redistribution term every general PageRank
+  needs is provably zero here.
+
+The oracle unrolls the same three iterations as CTEs with DuckDB's
+``//`` integer division; both engines produce identical bigint ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+SCALE = 1_000_000_000_000  # rank micro-units: 1.0 == 1e12
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as exact integer ratio
+N_ITERS = 3
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer↔supplier edges: node ids are disjoint bigints
+    (customer → 2k, supplier → 2k+1)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    # degree folded into the edge list once; partitioned on the join key
+    # so every iteration's join reuses this exchange
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_d = edges.join(deg, "src").repartition("src").persist()
+
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    # r0: uniform SCALE div n per node (every node has out-edges)
+    ranks = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("src").alias("node"),
+            F.expr(f"{SCALE} div n").alias("r"),
+            F.col("n"),
+        )
+    )
+    for _ in range(N_ITERS):
+        contrib = edges_d.join(
+            ranks.select(F.col("node").alias("src"), "r", "n"), "src"
+        ).select("dst", F.expr("r div d").alias("c"), "n")
+        ranks = (
+            contrib.groupBy("dst", "n")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(({DAMP_DEN - DAMP_NUM}) * ({SCALE} div n)) div"
+                    f" {DAMP_DEN} + ({DAMP_NUM} * s) div {DAMP_DEN}"
+                ).alias("r"),
+                "n",
+            )
+        )
+    return ranks.select(
+        F.expr("node div 2").alias("entity_key"),
+        F.expr(
+            "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END"
+        ).alias("entity_type"),
+        F.col("r").alias("rank_micro"),
+    )
+
+
+def _oracle_pagerank() -> str:
+    it = """
+i{K} AS (
+  SELECT e.dst AS node,
+         ((({RESID}) * ({SCALE} // nn.n)) // {DEN}
+          + ({NUM} * sum(r.r // e.d)) // {DEN}) AS r
+  FROM edges_d e JOIN i{P} r ON e.src = r.node CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+)"""
+    iters = ",".join(
+        it.format(
+            K=k,
+            P=k - 1,
+            SCALE=SCALE,
+            NUM=DAMP_NUM,
+            DEN=DAMP_DEN,
+            RESID=DAMP_DEN - DAMP_NUM,
+        )
+        for k in range(1, N_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), edges_d AS (
+  SELECT e.src, e.dst, deg.d FROM edges e JOIN deg ON e.src = deg.src
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), i0 AS (
+  SELECT src AS node, {SCALE} // nn.n AS r FROM deg CROSS JOIN nn
+),{iters}
+SELECT node // 2 AS entity_key,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+           AS entity_type,
+       r AS rank_micro
+FROM i{N_ITERS}
+"""
+
+
+ORACLE_GRAPH_PAGERANK = _oracle_pagerank()
+
+
+QUERIES = {
+    "q_graph_pagerank": q_graph_pagerank,
+}
+
+ORACLES = {
+    "q_graph_pagerank": ORACLE_GRAPH_PAGERANK,
+}

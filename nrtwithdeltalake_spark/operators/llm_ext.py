@@ -368,6 +368,87 @@ GROUP BY tld
 
 
 # --------------------------------------------------------------------------
+# URL-canonicalization dedup
+# --------------------------------------------------------------------------
+
+# Raw provenance URLs with realistic crawl noise (host casing, tracking
+# params, trailing slash, fragments), synthesized deterministically per
+# doc — canonical identity collapses to doc_id % 80, so real dup groups
+# exist at every scale. Mirrored 1:1 in the oracle.
+_SPARK_RAW_URL = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'"
+    " ELSE 'https://www.site' END,"
+    " cast(doc_id % 40 as string), '.com/page/',"
+    " cast(doc_id % 80 as string),"
+    " CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x'"
+    " WHEN doc_id % 3 = 1 THEN '?ref=home' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"
+)
+_DUCK_RAW_URL = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'"
+    " ELSE 'https://www.site' END,"
+    " cast(doc_id % 40 as varchar), '.com/page/',"
+    " cast(doc_id % 80 as varchar),"
+    " CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x'"
+    " WHEN doc_id % 3 = 1 THEN '?ref=home' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+# canonicalization chain (identical regexes, applied in this order):
+# lower → strip fragment → strip tracking-only query → strip the
+# trailing slash (incl. one left dangling by the query strip)
+_URL_CANON_STEPS = (
+    ("#.*", ""),
+    (r"\?(utm_|ref=).*", ""),
+    ("/$", ""),
+)
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup by canonicalization — the first dedup pass every
+    web-crawl corpus runs (cheaper than any content hash: two fetches of
+    the same page under tracking-param/casing/fragment noise collapse
+    before text is even compared). Canonicalize (lowercase, strip
+    fragment, strip tracking query, strip trailing slash), group, keep
+    the lowest doc_id. Pure codegen string ops; one partial-aggregatable
+    shuffle on the canonical key. At 100 TB group on
+    ``xxhash64(canonical)`` and carry the url only for the survivor;
+    production canonicalizers decompose via ``parse_url`` per-param —
+    the regex chain here is the oracle-replayable core."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.lower(F.expr(_SPARK_RAW_URL))
+    for pat, rep in _URL_CANON_STEPS:
+        url = F.regexp_replace(url, pat, rep)
+    return (
+        docs.select(url.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
+        )
+    )
+
+
+ORACLE_DEDUP_URL = f"""
+WITH raw AS (
+  SELECT doc_id, lower({_DUCK_RAW_URL}) AS u FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(u,
+             '#.*', ''), '\\?(utm_|ref=).*', ''), '/$', '')
+             AS canonical_url
+  FROM raw
+)
+SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc,
+       count(*) - 1 AS n_dups
+FROM canon GROUP BY canonical_url
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split
 # --------------------------------------------------------------------------
 
@@ -499,6 +580,7 @@ QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_pii_detect": q_pii_detect,
     "q_url_stats": q_url_stats,
+    "q_dedup_url": q_dedup_url,
     "q_sample_split": q_sample_split,
 }
 
@@ -508,5 +590,6 @@ ORACLES = {
     "q_seq_packing": ORACLE_SEQ_PACKING,
     "q_pii_detect": ORACLE_PII_DETECT,
     "q_url_stats": ORACLE_URL_STATS,
+    "q_dedup_url": ORACLE_DEDUP_URL,
     "q_sample_split": ORACLE_SAMPLE_SPLIT,
 }

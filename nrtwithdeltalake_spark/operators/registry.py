@@ -18,6 +18,7 @@ from . import (
     decision,
     flagship,
     freq,
+    graph,
     joins_ext,
     lateral,
     llm_ext,
@@ -45,6 +46,7 @@ _MODULES = [
     robust,
     retrieval,
     freq,
+    graph,
     decision,
     llm_ext,
     udtf_ops,

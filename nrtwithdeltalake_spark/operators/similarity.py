@@ -301,6 +301,203 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) scoring
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace (4-bit codes)
+PQ_ANCHOR_MOD = 7  # anchors: 16 lowest vec_ids ≥ N_QUERIES with id%7==3
+
+
+def pq_anchors(spark: SparkSession, sf_dir: str) -> list[tuple[int, list]]:
+    """The PQ_K deterministic codebook anchor vectors (an arithmetic
+    subsample standing in for per-subspace k-means, same convention as
+    q_sim_ann_ivf's coarse centroids — swapping in trained codebooks
+    changes only this function). Collected: PQ_K × DIM doubles, the
+    by-design broadcast-as-literal size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(
+            (F.col("vec_id") % PQ_ANCHOR_MOD == 3)
+            & (F.col("vec_id") >= N_QUERIES)
+        )
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .collect()
+    )
+    return [(r["vec_id"], list(r["v"])) for r in rows]
+
+
+def _pq_codebook_expr(anchors: list[tuple[int, list]]) -> str:
+    """The PQ_K × DIM codebook as one foldable literal array-of-arrays —
+    Catalyst constant-folds it to a single Literal, so referencing it
+    from higher-order lambdas costs nothing per row (the earlier fully
+    unrolled formulation planted ~50k expression nodes and OOM'd the
+    compiler)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(x) for x in vec) + ")"
+            for _, vec in anchors
+        )
+        + ")"
+    )
+
+
+def _pq_subdist(vcol: str, cb: str, m: str, j: str) -> str:
+    """Squared L2 distance between subspace ``m`` of ``vcol`` and
+    codebook row ``j`` (1-based): a left fold over the PQ_SUB dims —
+    sequential adds, IEEE-identical to a python loop recompute."""
+    return (
+        f"aggregate(sequence({m} * {PQ_SUB} + 1, {m} * {PQ_SUB} + {PQ_SUB}), "
+        f"cast(0.0 as double), (acc, i) -> acc + "
+        f"(element_at({vcol}, i) - element_at(element_at({cb}, {j}), i)) * "
+        f"(element_at({vcol}, i) - element_at(element_at({cb}, {j}), i)))"
+    )
+
+
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate top-k: every corpus vector is encoded
+    as PQ_M 4-bit codes (nearest codebook entry per subspace — 4 bytes
+    per vector instead of 256, the 64× memory cut that lets a 100 TB
+    corpus' index live in cluster RAM); a query scores candidates with
+    one broadcast 128-entry lookup table per query (ADC) instead of
+    touching any full vector.
+
+    Plan shape: encoding is a pure-codegen argmin over the literal
+    codebook (struct-min over (d², code) — no join, no shuffle);
+    scoring explodes codes to (vec_id, m, code), hash-joins the
+    broadcast LUT, and sums integer-quantized micro-distances —
+    partial-aggregatable, order-independent, so results are
+    exact-deterministic for the given codebook (the approximation is
+    the quantization itself → rows-only check + python-recompute
+    equivalence test). At 100 TB the LUT join input is codes-only:
+    4 bytes/vector scanned, never the embeddings."""
+    anchors = pq_anchors(spark, sf_dir)
+    cb = _pq_codebook_expr(anchors)
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    # argmin via struct-min: lexicographic (d², code) — lowest code on ties
+    codes = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), m -> "
+            f"cast(array_min(transform(sequence(1, {PQ_K}), j -> "
+            f"struct({_pq_subdist('v', cb, 'm', 'j')} AS d, j AS j))).j - 1 "
+            f"as int))"
+        ).alias("codes"),
+    )
+
+    # per-query ADC lookup table: (q_id, m, code, micro-d2), 128 rows/query
+    lut = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .select(
+            "q_id",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"transform(sequence(1, {PQ_K}), j -> struct("
+                    f"m AS m, j - 1 AS code, "
+                    f"cast(floor({_pq_subdist('qv', cb, 'm', 'j')} * 1e9) "
+                    f"as bigint) AS d2q))))"
+                )
+            ).alias("e"),
+        )
+        .select("q_id", "e.m", "e.code", "e.d2q")
+    )
+
+    scored = (
+        codes.select("vec_id", F.posexplode("codes").alias("m", "code"))
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup: semantic dedup via k-means cluster blocking
+# ---------------------------------------------------------------------------
+
+SEM_K = 16  # clusters (scale: k ~ n / target_cluster_size)
+SEM_ITERS = 3
+SEM_TAU = 0.95  # within-cluster cosine threshold
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): embedding-space near-duplicate
+    removal with k-means cluster blocking — pairwise cosine is computed
+    only WITHIN a trained cluster, never across the corpus. A vector is
+    dropped when a lower-id clustermate sits at cosine ≥ SEM_TAU (the
+    deterministic stand-in for SemDedup's keep-one-per-near-dup-group
+    policy).
+
+    Plan shape: Lloyd training + assignment from ``operators/kmeans``
+    (broadcast-argmin E-step — data never shuffles for training), one
+    self-join keyed on the cluster id, one partial-aggregatable argmin
+    per dropped vector. At 100 TB, k grows with the corpus
+    (k ≈ n / 10k holds cluster sizes flat), so the per-cluster pair
+    space stays bounded while total work stays linear — the whole point
+    of SemDedup over all-pairs. Deterministic for the fixed seeding
+    (kmeans is integer-quantized + tie-ordered) → rows-only check +
+    python-recompute equivalence test on the blocking/drop layer."""
+    from .kmeans import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, k=SEM_K, iters=SEM_ITERS)
+    assigned = assign_clusters(emb, cents).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+    data = (
+        _fan_out(emb, spark)
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .join(assigned, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    l, r = data.alias("l"), data.alias("r")
+    cos = _dot("l.v", "r.v") / (
+        F.sqrt(_dot("l.v", "l.v")) * F.sqrt(_dot("r.v", "r.v"))
+    )
+    drops = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .filter(cos >= SEM_TAU)
+        .groupBy(F.col("r.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("l.vec_id")).alias("dup_of"))
+    )
+    return (
+        data.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("dup_of").isNull(), "keep")
+            .otherwise("drop")
+            .alias("status"),
+            "dup_of",
+        )
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 max-abs quantization per vector — the standard
     4× storage/bandwidth cut before ANN indexing at scale. Pure Catalyst
@@ -345,7 +542,9 @@ QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_sim_ann_pq": q_sim_ann_pq,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_semantic": q_dedup_semantic,
     "q_embed_quantize": q_embed_quantize,
 }
 

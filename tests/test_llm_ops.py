@@ -973,3 +973,125 @@ def test_multimodal_frame_sample_matches_python_recompute(spark, sf_dir):
             md5 = hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
             want[(did, idx)] = (md5, n_frames)
     assert got == want
+
+
+def test_ann_pq_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_sim_ann_pq: deterministic anchor
+    codebook, left-fold subspace distances, struct-min encoding, the
+    integer micro-distance LUT and the ADC top-k all recomputed in plain
+    python — exact row-for-row match including rank order."""
+    import math
+
+    from nrtwithdeltalake_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_ANCHOR_MOD,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        q_sim_ann_pq,
+    )
+
+    got = {
+        (r.q_id, r.neighbor_id): (r.adc_micro, r.rn)
+        for r in q_sim_ann_pq(spark, sf_dir).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    anchor_ids = sorted(
+        vid
+        for vid in vecs
+        if vid % PQ_ANCHOR_MOD == 3 and vid >= N_QUERIES
+    )[:PQ_K]
+    cb = [vecs[a] for a in anchor_ids]
+
+    def subd2(v, c, m):
+        acc = 0.0
+        for i in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+            acc = acc + (v[i] - c[i]) * (v[i] - c[i])
+        return acc
+
+    codes = {
+        vid: [
+            min(range(PQ_K), key=lambda j: (subd2(v, cb[j], m), j))
+            for m in range(PQ_M)
+        ]
+        for vid, v in vecs.items()
+    }
+    want = {}
+    for q in range(N_QUERIES):
+        lut = [
+            [math.floor(subd2(vecs[q], cb[j], m) * 1e9) for j in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+        scored = sorted(
+            (
+                (sum(lut[m][codes[vid][m]] for m in range(PQ_M)), vid)
+                for vid in vecs
+                if vid != q
+            ),
+        )
+        for rn, (adc, vid) in enumerate(scored[:TOP_K], start=1):
+            want[(q, vid)] = (adc, rn)
+    assert got == want
+
+
+def test_semdedup_matches_python_recompute_given_clusters(spark, sf_dir):
+    """Closes the rows-only gap for q_dedup_semantic: the kmeans cluster
+    assignment (deterministic, separately tested) is taken as input; the
+    cluster-blocked pair scan and the keep-lowest-id drop policy are
+    recomputed exactly in python."""
+    import math
+
+    from nrtwithdeltalake_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from nrtwithdeltalake_spark.operators.similarity import (
+        SEM_ITERS,
+        SEM_K,
+        SEM_TAU,
+        q_dedup_semantic,
+    )
+    from nrtwithdeltalake_spark.sources.catalog import load_table
+
+    got = {
+        r.vec_id: (r.cluster, r.status, r.dup_of)
+        for r in q_dedup_semantic(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, k=SEM_K, iters=SEM_ITERS)
+    clusters = {
+        r.id: r.cluster for r in assign_clusters(emb, cents).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    want = {}
+    for vid in vecs:
+        dup_of = None
+        for other in vecs:
+            if other >= vid or clusters[other] != clusters[vid]:
+                continue
+            cos = fold_dot(vecs[other], vecs[vid]) / (
+                math.sqrt(fold_dot(vecs[other], vecs[other]))
+                * math.sqrt(fold_dot(vecs[vid], vecs[vid]))
+            )
+            if cos >= SEM_TAU and (dup_of is None or other < dup_of):
+                dup_of = other
+        want[vid] = (
+            clusters[vid],
+            "keep" if dup_of is None else "drop",
+            dup_of,
+        )
+    assert got == want

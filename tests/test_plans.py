@@ -239,6 +239,7 @@ _NESTED_LOOP_BY_DESIGN = {
     "q_agg_histogram",
     "q_sim_topk",
     "q_sim_ann_ivf",
+    "q_dedup_semantic",  # kmeans broadcast-centroid argmin (k-sized)
     "q_tpch_q11",
     "q_tpch_q22",
     # 1-row corpus-stats / percentile-cutoff broadcasts delivered via
@@ -246,6 +247,9 @@ _NESTED_LOOP_BY_DESIGN = {
     "q_bm25_topk",
     "q_chi2_independence",
     "q_rfm_segments",
+    # 1-row node-count broadcast (SCALE div n term); edge/rank joins are
+    # hash joins, asserted separately in test_graph.py.
+    "q_graph_pagerank",
 }
 
 
