@@ -466,7 +466,77 @@ FROM g
 """
 
 
+_PATTERN = "c[ve]*p"  # click → purchase with only views/errors… see docstring
+
+
+def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-sequence pattern matching: per user,
+    count non-overlapping ``click → purchase`` conversions where only
+    views or errors intervene (pattern ``c[ve]*p`` over the
+    first-letter symbol stream — the five event types have distinct
+    initials). Spark has no MATCH_RECOGNIZE; the restatement is the
+    classic one: total-order the user's events (array_sort on
+    (epoch, event_id) — deterministic at any partitioning), project to
+    a symbol string in codegen, and run the regex once per user. Both
+    engines' regex engines (Java, RE2) agree on leftmost non-overlapping
+    matching for this pattern class (no backtracking ambiguity: the
+    char-class star cannot consume the terminator).
+
+    Scale: one shuffle on user_id; state per key is the symbol string —
+    bytes per event. For unbounded per-user histories, sessionize first
+    (`session_window` upstream) so the pattern runs per session; the
+    per-group shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts").cast("timestamp").cast("long").alias("t"),
+                F.col("event_id").alias("e"),
+                F.substring("event_type", 1, 1).alias("sym"),
+            )
+        )
+    )
+    seq = F.expr("concat_ws('', transform(arr, x -> x.sym))")
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("arr"))
+        .select(
+            "user_id",
+            F.size("arr").cast("long").alias("n_events"),
+            F.size(F.expr(f"regexp_extract_all(concat_ws('', "
+                          f"transform(arr, x -> x.sym)), '{_PATTERN}', 0)"))
+            .cast("long")
+            .alias("n_conversions"),
+            F.length(seq).cast("long").alias("seq_len"),
+        )
+    )
+
+
+ORACLE_EVENTS_PATTERN = f"""
+WITH g AS (
+  SELECT user_id,
+         list_sort(list({{'t': cast(floor(epoch(ts)) as bigint),
+                         'e': event_id,
+                         's': substr(event_type, 1, 1)}})) AS arr
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user_id,
+         len(arr) AS n_events,
+         list_aggregate(list_transform(arr, x -> x['s']), 'string_agg', '')
+             AS seq
+  FROM g
+)
+SELECT user_id,
+       cast(n_events as bigint) AS n_events,
+       cast(len(regexp_extract_all(seq, '{_PATTERN}')) as bigint)
+           AS n_conversions,
+       cast(length(seq) as bigint) AS seq_len
+FROM s
+"""
+
+
 QUERIES = {
+    "q_events_pattern": q_events_pattern,
     "q_events_anomaly": q_events_anomaly,
     "q_agg_twap": q_agg_twap,
     "q_agg_ewma": q_agg_ewma,
@@ -480,6 +550,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_pattern": ORACLE_EVENTS_PATTERN,
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_agg_twap": ORACLE_AGG_TWAP,
     "q_agg_ewma": ORACLE_AGG_EWMA,

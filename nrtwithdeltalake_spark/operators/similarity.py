@@ -224,27 +224,14 @@ N_PROBE = 4  # IVF cells scanned per query
 CENTROID_MOD = 25  # vec_id % 25 == 7 → ~n/25 deterministic coarse centroids
 
 
-def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: vectors are assigned to
-    their nearest coarse centroid (the "cell"); a query scores only
-    vectors in its ``N_PROBE`` nearest cells.
-
-    Centroids are a deterministic arithmetic subsample of the corpus
-    (``vec_id % CENTROID_MOD == 7``) standing in for k-means means — the
-    index structure (assign → invert → probe) is identical; swapping in
-    trained centroids changes only the centroid DataFrame. At 100 TB:
-    centroids stay broadcast-sized (k ~ sqrt(n) or fixed 2^16), the
-    assign step is a broadcast nested-loop argmin inside codegen, and the
-    probe join shuffles only (cell, id) pairs — never all-pairs.
-    Approximate by construction → rows-only check."""
-    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
+def _ivf_assign(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(assigned, cents): every vector assigned to its nearest coarse
+    centroid via broadcast argmin (min_by over (d², c_id) — lowest cell
+    on ties); assigned persists because probe lists and candidate scans
+    both consume it."""
     cents = emb.filter(
         (F.col("vec_id") % CENTROID_MOD == 7) & (F.col("vec_id") >= N_QUERIES)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
-
-    # assign: argmin over broadcast centroids via min_by on (dist, c_id)
     assigned = (
         emb.crossJoin(F.broadcast(cents))
         .groupBy("vec_id")
@@ -261,8 +248,11 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return assigned, cents
 
-    # probe lists: each query's N_PROBE nearest cells
+
+def _ivf_probes(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """(q_id, qv, cell): each query's N_PROBE nearest cells."""
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
@@ -274,11 +264,31 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
          + _dot("cv", "cv")).alias("d2"),
     )
     wq = Window.partitionBy("q_id").orderBy("d2", "cell")
-    probes = (
+    return (
         qd.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= N_PROBE)
         .select("q_id", "qv", "cell")
     )
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to
+    their nearest coarse centroid (the "cell"); a query scores only
+    vectors in its ``N_PROBE`` nearest cells.
+
+    Centroids are a deterministic arithmetic subsample of the corpus
+    (``vec_id % CENTROID_MOD == 7``) standing in for k-means means — the
+    index structure (assign → invert → probe) is identical; swapping in
+    trained centroids changes only the centroid DataFrame. At 100 TB:
+    centroids stay broadcast-sized (k ~ sqrt(n) or fixed 2^16), the
+    assign step is a broadcast nested-loop argmin inside codegen, and the
+    probe join shuffles only (cell, id) pairs — never all-pairs.
+    Approximate by construction → rows-only check."""
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    assigned, cents = _ivf_assign(emb)
+    probes = _ivf_probes(assigned, cents)
 
     cand = (
         assigned.join(F.broadcast(probes), "cell")
@@ -359,6 +369,40 @@ def _pq_subdist(vcol: str, cb: str, m: str, j: str) -> str:
     )
 
 
+def _pq_codes_col(cb: str, vcol: str) -> F.Column:
+    """array<int> of PQ_M codes: argmin via struct-min — lexicographic
+    (d², code), lowest code on ties."""
+    return F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"cast(array_min(transform(sequence(1, {PQ_K}), j -> "
+        f"struct({_pq_subdist(vcol, cb, 'm', 'j')} AS d, j AS j))).j - 1 "
+        f"as int))"
+    )
+
+
+def _pq_lut(emb: DataFrame, cb: str) -> DataFrame:
+    """Per-query ADC lookup table: (q_id, m, code, micro-d2) — PQ_M×PQ_K
+    = 128 rows per query vector, integer micro-units so downstream sums
+    are order-independent."""
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .select(
+            "q_id",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {PQ_M - 1}), m -> "
+                    f"transform(sequence(1, {PQ_K}), j -> struct("
+                    f"m AS m, j - 1 AS code, "
+                    f"cast(floor({_pq_subdist('qv', cb, 'm', 'j')} * 1e9) "
+                    f"as bigint) AS d2q))))"
+                )
+            ).alias("e"),
+        )
+        .select("q_id", "e.m", "e.code", "e.d2q")
+    )
+
+
 def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed approximate top-k: every corpus vector is encoded
     as PQ_M 4-bit codes (nearest codebook entry per subspace — 4 bytes
@@ -381,41 +425,60 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-
-    # argmin via struct-min: lexicographic (d², code) — lowest code on ties
-    codes = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(sequence(0, {PQ_M - 1}), m -> "
-            f"cast(array_min(transform(sequence(1, {PQ_K}), j -> "
-            f"struct({_pq_subdist('v', cb, 'm', 'j')} AS d, j AS j))).j - 1 "
-            f"as int))"
-        ).alias("codes"),
-    )
-
-    # per-query ADC lookup table: (q_id, m, code, micro-d2), 128 rows/query
-    lut = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        .select(
-            "q_id",
-            F.explode(
-                F.expr(
-                    f"flatten(transform(sequence(0, {PQ_M - 1}), m -> "
-                    f"transform(sequence(1, {PQ_K}), j -> struct("
-                    f"m AS m, j - 1 AS code, "
-                    f"cast(floor({_pq_subdist('qv', cb, 'm', 'j')} * 1e9) "
-                    f"as bigint) AS d2q))))"
-                )
-            ).alias("e"),
-        )
-        .select("q_id", "e.m", "e.code", "e.d2q")
-    )
+    codes = emb.select("vec_id", _pq_codes_col(cb, "v").alias("codes"))
+    lut = _pq_lut(emb, cb)
 
     scored = (
         codes.select("vec_id", F.posexplode("codes").alias("m", "code"))
         .join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition production ANN systems (FAISS et al.)
+    actually deploy at scale: the IVF coarse index bounds WHICH vectors
+    a query scores (N_PROBE cells, not the corpus) and PQ bounds WHAT
+    is read to score them (4-bit codes + a broadcast 128-entry integer
+    LUT, never the float vectors). At 100 TB the candidate scan is
+    probe-bounded AND bytes-per-candidate-bounded — the two dials
+    (n_probe, code bits) trade recall for cost independently.
+
+    Deterministic for the fixed coarse centroids + codebook → rows-only
+    check + python-recompute equivalence test composed from the IVF and
+    PQ recomputes."""
+    anchors = pq_anchors(spark, sf_dir)
+    cb = _pq_codebook_expr(anchors)
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    assigned, cents = _ivf_assign(emb)
+    probes = _ivf_probes(assigned, cents).select("q_id", "cell")
+    lut = _pq_lut(emb, cb)
+
+    cand_codes = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pq_codes_col(cb, "v").alias("codes"))
+    )
+    scored = (
+        cand_codes.select(
+            "q_id", "vec_id", F.posexplode("codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d2q").alias("adc_micro"))
     )
@@ -543,6 +606,7 @@ QUERIES = {
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sim_ann_pq": q_sim_ann_pq,
+    "q_sim_ann_ivfpq": q_sim_ann_ivfpq,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_semantic": q_dedup_semantic,
     "q_embed_quantize": q_embed_quantize,

@@ -347,8 +347,56 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_TOP_K = 20
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer vocabulary training: the corpus'
+    most frequent adjacent character pairs (the next-merge candidates),
+    weighted by word occurrence. Two in-codegen fan-outs (words, then
+    the length-1 pair positions per word), ONE partial-aggregatable
+    count shuffle on the pair key — the domain collapses map-side to
+    the alphabet² (a few thousand pairs), so the final top-k sort is
+    over kilobytes regardless of corpus size. At 100 TB, this is
+    exactly the distributed pair-count step a real BPE trainer iterates
+    (each merge updates counts incrementally; here surfaced as the
+    declared first-iteration scan). Deterministic tie order:
+    count desc, then pair asc."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, cast(i as int), 2) AS pair
+  FROM words, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
 QUERIES = {
     "q_text_stats": q_text_stats,
+    "q_bpe_pairs": q_bpe_pairs,
     "q_compression_ratio": q_compression_ratio,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
@@ -361,6 +409,7 @@ QUERIES = {
 
 ORACLES = {
     "q_text_stats": ORACLE_TEXT_STATS,
+    "q_bpe_pairs": ORACLE_BPE_PAIRS,
     "q_token_count": ORACLE_TOKEN_COUNT,
     "q_lang_id": ORACLE_LANG_ID,
     "q_quality_score": ORACLE_QUALITY,

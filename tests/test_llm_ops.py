@@ -1095,3 +1095,94 @@ def test_semdedup_matches_python_recompute_given_clusters(spark, sf_dir):
             dup_of,
         )
     assert got == want
+
+
+def test_ann_ivfpq_matches_python_recompute(spark, sf_dir):
+    """Closes the rows-only gap for q_sim_ann_ivfpq: IVF cell
+    assignment + probe lists (the IVF recompute) feeding PQ codes + ADC
+    (the PQ recompute) — the composed pipeline matches row-for-row."""
+    import math
+
+    from nrtwithdeltalake_spark.operators.similarity import (
+        CENTROID_MOD,
+        N_PROBE,
+        N_QUERIES,
+        PQ_ANCHOR_MOD,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        q_sim_ann_ivfpq,
+    )
+
+    got = {
+        (r.q_id, r.neighbor_id): (r.adc_micro, r.rn)
+        for r in q_sim_ann_ivfpq(spark, sf_dir).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cents = {
+        vid: v
+        for vid, v in vecs.items()
+        if vid % CENTROID_MOD == 7 and vid >= N_QUERIES
+    }
+
+    def d2(v, cv):
+        return fold_dot(v, v) - 2.0 * fold_dot(v, cv) + fold_dot(cv, cv)
+
+    cell = {
+        vid: min(cents, key=lambda c: (d2(v, cents[c]), c))
+        for vid, v in vecs.items()
+    }
+    anchor_ids = sorted(
+        vid
+        for vid in vecs
+        if vid % PQ_ANCHOR_MOD == 3 and vid >= N_QUERIES
+    )[:PQ_K]
+    cb = [vecs[a] for a in anchor_ids]
+
+    def subd2(v, c, m):
+        acc = 0.0
+        for i in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+            acc = acc + (v[i] - c[i]) * (v[i] - c[i])
+        return acc
+
+    want = {}
+    for q in range(N_QUERIES):
+        probes = sorted(cents, key=lambda c: (d2(vecs[q], cents[c]), c))[
+            :N_PROBE
+        ]
+        lut = [
+            [math.floor(subd2(vecs[q], cb[j], m) * 1e9) for j in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+        scored = sorted(
+            (
+                (
+                    sum(
+                        lut[m][
+                            min(
+                                range(PQ_K),
+                                key=lambda j: (subd2(vecs[vid], cb[j], m), j),
+                            )
+                        ]
+                        for m in range(PQ_M)
+                    ),
+                    vid,
+                )
+                for vid in vecs
+                if vid != q and cell[vid] in probes
+            ),
+        )
+        for rn, (adc, vid) in enumerate(scored[:TOP_K], start=1):
+            want[(q, vid)] = (adc, rn)
+    assert got == want

@@ -239,12 +239,14 @@ _NESTED_LOOP_BY_DESIGN = {
     "q_agg_histogram",
     "q_sim_topk",
     "q_sim_ann_ivf",
+    "q_sim_ann_ivfpq",
     "q_dedup_semantic",  # kmeans broadcast-centroid argmin (k-sized)
     "q_tpch_q11",
     "q_tpch_q22",
     # 1-row corpus-stats / percentile-cutoff broadcasts delivered via
     # crossJoin(broadcast(stats)) — same O(n·1) shape as q_agg_histogram.
     "q_bm25_topk",
+    "q_retrieval_hybrid",  # 1-row corpus-stats + query-vector broadcasts
     "q_chi2_independence",
     "q_rfm_segments",
     # 1-row node-count broadcast (SCALE div n term); edge/rank joins are
@@ -337,14 +339,21 @@ def test_dedup_ingest_novel_selection_is_semi_join(spark, sf_dir):
     assert "doc_id#" in plan and " IN (" not in plan, plan
 
 
-def test_profile_columns_approx_path_has_no_expand(spark, sf_dir):
-    """exact=False is the 100 TB path: HLL approx_count_distinct is a
-    plain partial agg — the N-way Expand of exact distinct must vanish."""
+def test_profile_columns_no_expand_either_path(spark, sf_dir):
+    """Neither path may plan Spark's multi-countDistinct (N+1)-way
+    Expand: the exact path stacks via ONE posexplode Generate + two
+    partial-aggregatable levels (2.1× faster at sf0.1); the approx path
+    is a single wide aggregate with no fan-out at all."""
     exact_plan = inspect.physical_plan(
         relational_ext.q_profile_columns(spark, sf_dir, exact=True)
     )
     approx_plan = inspect.physical_plan(
         relational_ext.q_profile_columns(spark, sf_dir, exact=False)
     )
-    assert "Expand" in exact_plan, exact_plan
+    assert "Expand" not in exact_plan, exact_plan
+    assert "Generate" in exact_plan and exact_plan.count("HashAggregate") >= 4
     assert "Expand" not in approx_plan, approx_plan
+    # approx: one wide agg (partial+final), no scan-side fan-out — the
+    # only Generate allowed is the 4-row stack unpivot of the 1-row result
+    assert "posexplode" not in approx_plan, approx_plan
+    assert approx_plan.count("HashAggregate") == 2, approx_plan
