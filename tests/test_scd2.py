@@ -1,0 +1,125 @@
+"""SCD Type-2 golden scenario: history-preserving loads over
+VersionedTable — versions open/close correctly, replay is a no-op, and
+as-of reads reconstruct any past state."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark.pipeline import scd2
+from nrtwithdeltalake_spark.pipeline.scd2 import (
+    IS_CURRENT,
+    VALID_FROM,
+    VALID_TO,
+    scd2_apply,
+    scd2_as_of,
+    scd2_init,
+)
+
+T1, T2, T3 = "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+KEYS = ["cust_id"]
+TRACKED = ["segment", "country"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "cust_id long, segment string, country string")
+
+
+@pytest.fixture()
+def dim(spark, tmp_path):
+    b1 = _batch(
+        spark,
+        [(1, "retail", "US"), (2, "corp", "DE"), (3, "retail", "FR")],
+    )
+    return scd2_init(spark, str(tmp_path / "dim"), b1, KEYS, T1)
+
+
+def test_scd2_initial_load_all_current(spark, dim):
+    rows = {r["cust_id"]: r for r in dim.read().collect()}
+    assert len(rows) == 3
+    assert all(r[IS_CURRENT] for r in rows.values())
+    assert all(r[VALID_FROM] == T1 and r[VALID_TO] is None for r in rows.values())
+
+
+def test_scd2_change_closes_and_inserts(spark, dim):
+    b2 = _batch(
+        spark,
+        [
+            (1, "corp", "US"),     # changed (segment)
+            (2, "corp", "DE"),     # unchanged
+            (4, "retail", "JP"),   # new key
+        ],
+    )
+    res = scd2_apply(dim, b2, KEYS, TRACKED, T2)
+    assert res == {"new": 1, "changed": 1, "unchanged": 1}
+    snap = dim.read()
+    assert snap.count() == 5  # 3 initial + 1 close stays + 1 new version + 1 new key
+    k1 = sorted(
+        snap.filter(F.col("cust_id") == 1).collect(),
+        key=lambda r: r[VALID_FROM],
+    )
+    assert [(r["segment"], r[VALID_FROM], r[VALID_TO], r[IS_CURRENT]) for r in k1] == [
+        ("retail", T1, T2, False),
+        ("corp", T2, None, True),
+    ]
+    # untouched keys keep a single open version
+    assert snap.filter((F.col("cust_id") == 2) & F.col(IS_CURRENT)).count() == 1
+    k4 = snap.filter(F.col("cust_id") == 4).collect()
+    assert len(k4) == 1 and k4[0][VALID_FROM] == T2 and k4[0][IS_CURRENT]
+
+
+def test_scd2_replay_is_noop(spark, dim):
+    b2 = _batch(spark, [(1, "corp", "US"), (4, "retail", "JP")])
+    scd2_apply(dim, b2, KEYS, TRACKED, T2)
+    v_after = dim.latest_version()
+    before = sorted(map(tuple, dim.read().collect()))
+    res = scd2_apply(dim, b2, KEYS, TRACKED, T2)
+    assert res["new"] == 0 and res["changed"] == 0
+    assert dim.latest_version() == v_after  # no commit at all
+    assert sorted(map(tuple, dim.read().collect())) == before
+
+
+def test_scd2_third_version_and_as_of(spark, dim):
+    scd2_apply(dim, _batch(spark, [(1, "corp", "US")]), KEYS, TRACKED, T2)
+    scd2_apply(dim, _batch(spark, [(1, "corp", "JP")]), KEYS, TRACKED, T3)
+    snap = dim.read()
+    hist = sorted(
+        snap.filter(F.col("cust_id") == 1).collect(),
+        key=lambda r: r[VALID_FROM],
+    )
+    assert [(r["segment"], r["country"], r[VALID_TO]) for r in hist] == [
+        ("retail", "US", T2),
+        ("corp", "US", T3),
+        ("corp", "JP", None),
+    ]
+    # as-of reconstruction at each epoch
+    at1 = scd2_as_of(snap, "2024-01-15 00:00:00").filter(F.col("cust_id") == 1)
+    assert at1.collect()[0]["segment"] == "retail"
+    at2 = scd2_as_of(snap, "2024-02-15 00:00:00").filter(F.col("cust_id") == 1)
+    assert at2.collect()[0]["country"] == "US"
+    at3 = scd2_as_of(snap, T3).filter(F.col("cust_id") == 1)
+    assert at3.collect()[0]["country"] == "JP"
+    # exactly one version valid per key at any probed instant
+    for probe in ("2024-01-15 00:00:00", "2024-02-15 00:00:00", T3):
+        counts = (
+            scd2_as_of(snap, probe)
+            .groupBy("cust_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert counts == 0
+
+
+def test_scd2_rejects_duplicate_source_keys(spark, dim):
+    bad = _batch(spark, [(7, "a", "US"), (7, "b", "US")])
+    with pytest.raises(ValueError, match="unique per key"):
+        scd2_apply(dim, bad, KEYS, TRACKED, T2)
+
+
+def test_scd2_rejects_same_ts_rechange(spark, dim):
+    scd2_apply(dim, _batch(spark, [(1, "corp", "US")]), KEYS, TRACKED, T2)
+    with pytest.raises(ValueError, match="later batch_ts"):
+        scd2_apply(dim, _batch(spark, [(1, "corp", "BR")]), KEYS, TRACKED, T2)
