@@ -294,7 +294,65 @@ FROM mom ORDER BY l_returnflag
 """
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (minimize o_totalprice, maximize o_orderdate) — "no strictly better
+    trade-off exists" (dominance: other price ≤ AND date ≥, strict in
+    at least one). The multi-objective shortlist query every
+    procurement/pricing pipeline runs.
+
+    Plan shape — the point of the operator: dominance needs NO pairwise
+    join. Collapse to the price grain (max date per price), run ONE
+    running-max window over the price-grain rows (distinct prices, not
+    orders), and re-join on price: an order is dominated iff the best
+    date at a strictly lower price ≥ its date, or a same-price row has
+    a strictly later date. Work is one partial-aggregatable aggregate +
+    a window over the aggregated grain + one co-keyed join — at 100 TB
+    the window sees |distinct prices| rows, never the fact table, and
+    the oracle pins equivalence with the quadratic NOT EXISTS
+    definition."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    per_price = orders.groupBy("o_totalprice").agg(
+        F.max("o_orderdate").alias("best_at_price")
+    )
+    w = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grid = per_price.withColumn(
+        "best_below", F.max("best_at_price").over(w)
+    )
+    joined = orders.join(grid, "o_totalprice")
+    dominated = (
+        F.col("best_below").isNotNull()
+        & (F.col("best_below") >= F.col("o_orderdate"))
+    ) | (F.col("best_at_price") > F.col("o_orderdate"))
+    return joined.filter(~dominated).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate"
+        ),
+    )
+
+
+ORACLE_SKYLINE = """
+SELECT o.o_orderkey, o.o_totalprice,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders x
+  WHERE x.o_totalprice <= o.o_totalprice
+    AND x.o_orderdate >= o.o_orderdate
+    AND (x.o_totalprice < o.o_totalprice
+         OR x.o_orderdate > o.o_orderdate)
+)
+"""
+
+
 QUERIES = {
+    "q_skyline": q_skyline,
     "q_agg_argmax": q_agg_argmax,
     "q_winsorize": q_winsorize,
     "q_sample_per_group": q_sample_per_group,
@@ -303,6 +361,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_skyline": ORACLE_SKYLINE,
     "q_agg_argmax": ORACLE_AGG_ARGMAX,
     "q_winsorize": ORACLE_WINSORIZE,
     "q_sample_per_group": ORACLE_SAMPLE_PER_GROUP,

@@ -85,7 +85,9 @@ def scd2_apply(
     batch_ts: str,
 ) -> dict:
     """Apply one batch. Returns counts: new keys, changed keys (old
-    version closed + new version opened), unchanged (no write)."""
+    version closed + new version opened), unchanged and stale (no
+    write; stale = batch_ts not strictly newer than the open version —
+    the monotonicity rule that makes out-of-order replay safe)."""
     _assert_unique(source, keys)
     cur = table.read().filter(F.col(IS_CURRENT))
     s = source.alias("s")
@@ -100,8 +102,17 @@ def scd2_apply(
     differs = F.lit(False)
     for c in tracked:
         differs = differs | ~F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}"))
+    # Monotonicity guard: a row whose batch_ts is not strictly newer
+    # than the key's open version is STALE and writes nothing. This is
+    # what makes replay safe in every ordering — re-delivering an old
+    # batch after newer ones have applied (the at-least-once streaming
+    # case) cannot close a newer version backwards or resurrect an old
+    # value; it also means a genuine change needs an advancing
+    # timestamp, the same batch-grain watermark rule the reference's
+    # ledger enforces (COPY_MSQL_TO_SILVER.py:157).
     status = (
         F.when(~F.col("has_current"), "new")
+        .when(F.lit(batch_ts) <= F.col("t_from"), "stale")
         .when(differs, "changed")
         .otherwise("unchanged")
     )
@@ -109,31 +120,19 @@ def scd2_apply(
     n_new = marked.filter(F.col("__status") == "new").count()
     n_changed = marked.filter(F.col("__status") == "changed").count()
     n_unchanged = marked.filter(F.col("__status") == "unchanged").count()
+    n_stale = marked.filter(F.col("__status") == "stale").count()
 
-    changed_or_new = marked.filter(F.col("__status") != "unchanged").select(
-        *keys, "__status", "t_from"
-    )
+    changed_or_new = marked.filter(
+        F.col("__status").isin("new", "changed")
+    ).select(*keys, "__status", "t_from")
     if n_new + n_changed == 0:
         marked.unpersist()
-        return {"new": 0, "changed": 0, "unchanged": n_unchanged}
-
-    # a change whose open version was created at this same batch_ts would
-    # make the close row and the open row collide on (key, __valid_from)
-    # — merge would pick one nondeterministically. Reject: batch
-    # timestamps must advance between differing loads of the same key.
-    collide = (
-        marked.filter(
-            (F.col("__status") == "changed") & (F.col("t_from") == batch_ts)
-        )
-        .limit(1)
-        .count()
-    )
-    if collide:
-        marked.unpersist()
-        raise ValueError(
-            f"batch_ts {batch_ts!r} equals the open version's "
-            "__valid_from for a changed key; use a later batch_ts"
-        )
+        return {
+            "new": 0,
+            "changed": 0,
+            "unchanged": n_unchanged,
+            "stale": n_stale,
+        }
 
     # close rows: the full OLD row with the validity window shut. Pull
     # the old row from the current slice (update-all rewrites the whole
@@ -157,7 +156,12 @@ def scd2_apply(
         closes.unionByName(opens), keys=keys + [VALID_FROM]
     )
     marked.unpersist()
-    return {"new": n_new, "changed": n_changed, "unchanged": n_unchanged}
+    return {
+        "new": n_new,
+        "changed": n_changed,
+        "unchanged": n_unchanged,
+        "stale": n_stale,
+    }
 
 
 def scd2_as_of(snapshot: DataFrame, ts: str) -> DataFrame:

@@ -53,7 +53,7 @@ def test_scd2_change_closes_and_inserts(spark, dim):
         ],
     )
     res = scd2_apply(dim, b2, KEYS, TRACKED, T2)
-    assert res == {"new": 1, "changed": 1, "unchanged": 1}
+    assert res == {"new": 1, "changed": 1, "unchanged": 1, "stale": 0}
     snap = dim.read()
     assert snap.count() == 5  # 3 initial + 1 close stays + 1 new version + 1 new key
     k1 = sorted(
@@ -119,7 +119,85 @@ def test_scd2_rejects_duplicate_source_keys(spark, dim):
         scd2_apply(dim, bad, KEYS, TRACKED, T2)
 
 
-def test_scd2_rejects_same_ts_rechange(spark, dim):
+def test_scd2_same_ts_rechange_is_stale_noop(spark, dim):
+    """A differing row whose batch_ts does not advance past the open
+    version is stale — dropped, never a backwards close (the
+    monotonicity rule)."""
     scd2_apply(dim, _batch(spark, [(1, "corp", "US")]), KEYS, TRACKED, T2)
-    with pytest.raises(ValueError, match="later batch_ts"):
-        scd2_apply(dim, _batch(spark, [(1, "corp", "BR")]), KEYS, TRACKED, T2)
+    v = dim.latest_version()
+    res = scd2_apply(dim, _batch(spark, [(1, "corp", "BR")]), KEYS, TRACKED, T2)
+    assert res["stale"] == 1 and res["changed"] == 0
+    assert dim.latest_version() == v
+    cur = dim.read().filter(F.col("cust_id") == 1).filter(F.col(IS_CURRENT))
+    assert cur.collect()[0]["country"] == "US"
+
+
+def test_scd2_stream_two_batches_and_replay(spark, tmp_path):
+    """NRT SCD2: two micro-batches through run_scd2_stream build the
+    same history the batch API builds, and re-running the stream over
+    the same files (fresh checkpoint — a full replay) commits nothing
+    new because batch timestamps derive from the data."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+    from nrtwithdeltalake_spark.streaming import nrt
+
+    d = datetime.datetime.fromisoformat
+    sdir = str(tmp_path / "src")
+    os.makedirs(sdir)
+    schema = "cust_id long, segment string, country string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (1, "retail", "US", d("2024-01-01 00:00:00")),
+            (2, "corp", "DE", d("2024-01-01 00:00:00")),
+            # two updates for key 1 inside one batch: only the latest
+            # (corp@00:30) becomes history
+            (1, "mid", "US", d("2024-01-01 00:10:00")),
+            (1, "corp", "US", d("2024-01-01 00:30:00")),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+    tgt = str(tmp_path / "dim")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sdir}/*.parquet")
+        )
+        nrt.run_scd2_stream(
+            stream, tgt, ["cust_id"], ["segment", "country"], "ts",
+            str(tmp_path / ckpt),
+        )
+
+    run("ckpt1")
+    snap1 = VersionedTable(spark, tgt).read()
+    k1 = snap1.filter(F2.col("cust_id") == 1).collect()
+    assert len(k1) == 1 and k1[0]["segment"] == "corp" and k1[0][IS_CURRENT]
+
+    b2 = spark.createDataFrame(
+        [(1, "corp", "JP", d("2024-02-01 00:00:00"))], schema
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    run("ckpt1")  # same checkpoint: only the new file processes
+    t = VersionedTable(spark, tgt)
+    v_after = t.latest_version()
+    hist = sorted(
+        t.read().filter(F2.col("cust_id") == 1).collect(),
+        key=lambda r: r[VALID_FROM],
+    )
+    assert [(r["country"], r[VALID_TO] is None) for r in hist] == [
+        ("US", False),
+        ("JP", True),
+    ]
+    # full replay from scratch: fresh checkpoint reprocesses every file;
+    # data-derived batch timestamps make each apply a no-op
+    run("ckpt_replay")
+    assert VersionedTable(spark, tgt).latest_version() == v_after
+    assert sorted(map(tuple, VersionedTable(spark, tgt).read().collect())) == sorted(
+        map(tuple, t.read(v_after).collect())
+    )
