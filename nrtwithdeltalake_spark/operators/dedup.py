@@ -684,6 +684,132 @@ FROM flags GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# entity resolution: block → verify → cluster → canonicalize (oracle-backed)
+# ---------------------------------------------------------------------------
+
+ER_EDIT_MAX = 8
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline in one pass: noisy mentions →
+    blocking → edit-distance verify → connected-component clustering →
+    canonical record per cluster. Dirty mentions are synthesized
+    deterministically from customer names (casing + format noise,
+    mirrored 1:1 in the oracle) since the fixture carries no organic
+    duplicates — the resolution machinery is what's under test, and the
+    synthesis gives it a known ground truth (every cluster should be
+    exactly one customer's mention set).
+
+    Plan shape: blocking keys on the stable digit suffix turn the
+    quadratic mention×mention comparison into per-block work
+    (Σ|block|², same skeleton as q_fuzzy_join); clustering is the
+    min-label propagation of ``connected_components`` (shuffles node
+    ids, converges in diameter rounds); canonicalization is a
+    coalesce against the cluster label. At 100 TB the block key is the
+    dial: longer suffix → smaller blocks → less verify work, at the
+    cost of recall against corruptions in the suffix itself (then:
+    multi-pass blocking on independent keys, union the edges)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    mid = F.col("c_custkey") * 4
+    mentions = (
+        cust.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (mid + 0).alias("mention_id"),
+                        F.col("c_name").alias("mention"),
+                    ),
+                    F.struct(
+                        (mid + 1).alias("mention_id"),
+                        F.lower("c_name").alias("mention"),
+                    ),
+                    F.struct(
+                        (mid + 2).alias("mention_id"),
+                        F.expr(
+                            "replace(c_name, 'Customer#', 'Cust. #')"
+                        ).alias("mention"),
+                    ),
+                )
+            ).alias("m")
+        )
+        .select("m.mention_id", "m.mention")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    blocked = mentions.withColumn("blk", F.expr("right(mention, 9)"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.mention_id") < F.col("b.mention_id")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.mention"), F.col("b.mention"))
+            <= ER_EDIT_MAX
+        )
+        .select(
+            F.col("a.mention_id").alias("pa"),
+            F.col("b.mention_id").alias("pb"),
+        )
+    )
+    labels = connected_components(pairs, a="pa", b="pb")
+    return (
+        mentions.join(
+            labels, mentions.mention_id == labels.node, "left"
+        )
+        .select(
+            "mention_id",
+            "mention",
+            F.coalesce(F.col("label"), F.col("mention_id")).alias(
+                "cluster_id"
+            ),
+            (
+                F.coalesce(F.col("label"), F.col("mention_id"))
+                == F.col("mention_id")
+            )
+            .cast("long")
+            .alias("is_canonical"),
+        )
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE mentions AS (
+  SELECT c_custkey * 4 + 0 AS mention_id, c_name AS mention FROM customer
+  UNION ALL
+  SELECT c_custkey * 4 + 1, lower(c_name) FROM customer
+  UNION ALL
+  SELECT c_custkey * 4 + 2, replace(c_name, 'Customer#', 'Cust. #')
+  FROM customer
+), blocked AS (
+  SELECT mention_id, mention, right(mention, 9) AS blk FROM mentions
+), pairs AS (
+  SELECT a.mention_id AS pa, b.mention_id AS pb
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.mention_id < b.mention_id
+  WHERE levenshtein(a.mention, b.mention) <= {ER_EDIT_MAX}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION SELECT pb, pa FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst AS r
+  FROM reach JOIN edges ON reach.r = edges.src
+), labels AS (
+  SELECT node, min(r) AS label FROM reach GROUP BY node
+)
+SELECT m.mention_id, m.mention,
+       coalesce(l.label, m.mention_id) AS cluster_id,
+       cast(coalesce(l.label, m.mention_id) = m.mention_id AS bigint)
+           AS is_canonical
+FROM mentions m LEFT JOIN labels l ON m.mention_id = l.node
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_keep_best": q_dedup_keep_best,
@@ -694,10 +820,12 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_substring": q_dedup_substring,
+    "q_entity_resolution": q_entity_resolution,
 }
 
 ORACLES = {
     "q_dedup_substring": ORACLE_DEDUP_SUBSTRING,
+    "q_entity_resolution": ORACLE_ENTITY_RESOLUTION,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "q_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,

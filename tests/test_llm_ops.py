@@ -1186,3 +1186,21 @@ def test_ann_ivfpq_matches_python_recompute(spark, sf_dir):
         for rn, (adc, vid) in enumerate(scored[:TOP_K], start=1):
             want[(q, vid)] = (adc, rn)
     assert got == want
+
+
+def test_entity_resolution_perfect_against_ground_truth(spark, sf_dir):
+    """The synthesized mention noise carries its own ground truth: each
+    customer's three mentions must form exactly one cluster whose label
+    is the entity's lowest mention id (custkey*4), with exactly one
+    canonical row — no over-merging across entities, no split
+    clusters."""
+    from nrtwithdeltalake_spark.operators.dedup import q_entity_resolution
+
+    rows = q_entity_resolution(spark, sf_dir).collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r.mention_id // 4, []).append(r)
+    for ent, ms in by_entity.items():
+        assert len(ms) == 3
+        assert {r.cluster_id for r in ms} == {ent * 4}
+        assert sum(r.is_canonical for r in ms) == 1
