@@ -302,13 +302,17 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     procurement/pricing pipeline runs.
 
     Plan shape — the point of the operator: dominance needs NO pairwise
-    join. Collapse to the price grain (max date per price), run ONE
-    running-max window over the price-grain rows (distinct prices, not
-    orders), and re-join on price: an order is dominated iff the best
+    join AND no single-partition sort. Collapse to the price grain (max
+    date per price), then compute the running max of dates over
+    ascending prices as a DISTRIBUTED prefix scan: range-partition the
+    price grain, run the running-max window per partition in parallel,
+    collect only the ≤N per-partition maxima, prefix-max them on the
+    driver, and broadcast the per-partition offsets back (the textbook
+    two-phase scan — the same shape a cumulative sum takes at scale,
+    where a naive ``Window.orderBy`` would move every row to ONE
+    partition). Re-join on price: an order is dominated iff the best
     date at a strictly lower price ≥ its date, or a same-price row has
-    a strictly later date. Work is one partial-aggregatable aggregate +
-    a window over the aggregated grain + one co-keyed join — at 100 TB
-    the window sees |distinct prices| rows, never the fact table, and
+    a strictly later date. The driver sees N_PART values, never data;
     the oracle pins equivalence with the quadratic NOT EXISTS
     definition."""
     orders = load_table(spark, sf_dir, "orders").select(
@@ -317,11 +321,34 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_price = orders.groupBy("o_totalprice").agg(
         F.max("o_orderdate").alias("best_at_price")
     )
-    w = Window.orderBy("o_totalprice").rowsBetween(
-        Window.unboundedPreceding, -1
+    n_part = 8
+    ranged = per_price.repartitionByRange(n_part, "o_totalprice").withColumn(
+        "pid", F.spark_partition_id()
+    ).persist()
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    grid = per_price.withColumn(
-        "best_below", F.max("best_at_price").over(w)
+    local = ranged.withColumn("local_prev", F.max("best_at_price").over(w))
+    pid_max = sorted(
+        (r["pid"], r["m"])
+        for r in ranged.groupBy("pid")
+        .agg(F.max("best_at_price").alias("m"))
+        .collect()
+    )
+    prefix_rows, run = [], None
+    for pid, m in pid_max:
+        prefix_rows.append((pid, run))
+        run = m if run is None or m > run else run
+    prefix = spark.createDataFrame(
+        prefix_rows, "pid int, prefix timestamp"
+    )
+    # ranged stays persisted: the pid assignment must be the SAME rows
+    # the driver prefix was computed from (range boundaries come from a
+    # sampling pass; the cache pins them)
+    grid = local.join(F.broadcast(prefix), "pid").withColumn(
+        "best_below", F.greatest("local_prev", "prefix")
     )
     joined = orders.join(grid, "o_totalprice")
     dominated = (

@@ -504,13 +504,21 @@ SEM_ITERS = 3
 SEM_TAU = 0.95  # within-cluster cosine threshold
 
 
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SEM_K,
+    iters: int = SEM_ITERS,
+    tau: float = SEM_TAU,
+) -> DataFrame:
     """SemDedup (Abbas et al. 2023): embedding-space near-duplicate
     removal with k-means cluster blocking — pairwise cosine is computed
     only WITHIN a trained cluster, never across the corpus. A vector is
-    dropped when a lower-id clustermate sits at cosine ≥ SEM_TAU (the
+    dropped when a lower-id clustermate sits at cosine ≥ ``tau`` (the
     deterministic stand-in for SemDedup's keep-one-per-near-dup-group
-    policy).
+    policy). ``k`` is the scale dial AS CODE: at 100 TB pass
+    k ≈ n / 10k to hold cluster sizes (and so per-cluster pair cost)
+    flat while total work stays linear.
 
     Plan shape: Lloyd training + assignment from ``operators/kmeans``
     (broadcast-argmin E-step — data never shuffles for training), one
@@ -524,7 +532,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans import assign_clusters, kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(emb, k=SEM_K, iters=SEM_ITERS)
+    cents, _ = kmeans_fit(emb, k=k, iters=iters)
     assigned = assign_clusters(emb, cents).select(
         F.col("id").alias("vec_id"), "cluster"
     )
@@ -544,7 +552,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l.cluster") == F.col("r.cluster"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .filter(cos >= SEM_TAU)
+        .filter(cos >= tau)
         .groupBy(F.col("r.vec_id").alias("vec_id"))
         .agg(F.min(F.col("l.vec_id")).alias("dup_of"))
     )

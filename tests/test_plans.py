@@ -357,3 +357,21 @@ def test_profile_columns_no_expand_either_path(spark, sf_dir):
     # only Generate allowed is the 4-row stack unpivot of the 1-row result
     assert "posexplode" not in approx_plan, approx_plan
     assert approx_plan.count("HashAggregate") == 2, approx_plan
+
+
+def test_skyline_prefix_scan_is_distributed(spark, sf_dir):
+    """The running max over ascending prices must be a two-phase
+    distributed prefix scan: a range-partitioning exchange feeding a
+    pid-PARTITIONED window — never an unpartitioned Window.orderBy,
+    which moves the whole grain to one partition."""
+    from nrtwithdeltalake_spark.operators import robust
+
+    plan = inspect.physical_plan(robust.q_skyline(spark, sf_dir)).lower()
+    assert "rangepartitioning" in plan, plan
+    assert "spark_partition_id" in plan or "pid" in plan, plan
+    # every windowspecdefinition must carry a partition column (the pid):
+    # an empty partition spec prints as "windowspecdefinition(_w..." with
+    # the order spec first and no partition expr before the sort column
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        head = frag.split(")")[0]
+        assert "pid" in head.split(",")[0], head
