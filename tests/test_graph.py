@@ -65,3 +65,19 @@ def test_pagerank_iteration_joins_are_hash_joins(spark, sf_dir):
     hashy = [s for s in strategies if "HashJoin" in s]
     assert len(nested) <= 1, strategies
     assert len(hashy) >= graph.N_ITERS, strategies
+
+
+def test_hierarchy_pointer_jumping_log_rounds(spark, sf_dir):
+    """Pointer jumping must converge in O(log depth) rounds: the
+    fixture forest is ≤ 3 levels deep below the 2-digit roots, so 2
+    rounds suffice — and every root/depth agrees with the closed form
+    (root = leading digits above 99 stripped, depth = digits removed)."""
+    rows = graph.q_hierarchy_paths(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k, root, depth = r["c_custkey"], r["root"], r["depth"]
+        want_root, want_depth = k, 0
+        while want_root >= graph.ROOT_BELOW:
+            want_root //= 10
+            want_depth += 1
+        assert (root, depth) == (want_root, want_depth), (k, root, depth)
