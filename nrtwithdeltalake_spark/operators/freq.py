@@ -528,7 +528,120 @@ ORDER BY d.day
 """
 
 
+def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (the completeness audit for any
+    identity-keyed feed: missing invoice numbers, dropped event ids,
+    skipped CDC versions): per order-priority stream, report each gap
+    in the o_orderkey sequence as (gap_start, gap_end, missing count).
+    One lead() window per partition key — single shuffle; the output is
+    gap-bounded (pathologically ≤ rows, typically tiny), so the audit
+    result is always collectable. The global-sequence variant drops the
+    partition key and inherits q_skyline's two-phase scan shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    nxt = F.lead("o_orderkey").over(w)
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.col("o_orderkey").alias("gap_after"),
+            nxt.alias("next_key"),
+        )
+        .filter(F.col("next_key") > F.col("gap_after") + 1)
+        .select(
+            "o_orderpriority",
+            (F.col("gap_after") + 1).alias("gap_start"),
+            (F.col("next_key") - 1).alias("gap_end"),
+            (F.col("next_key") - F.col("gap_after") - 1).alias("n_missing"),
+        )
+    )
+
+
+ORACLE_SEQ_GAPS = """
+WITH s AS (
+  SELECT o_orderpriority, o_orderkey,
+         lead(o_orderkey) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderkey) AS next_key
+  FROM orders
+)
+SELECT o_orderpriority,
+       o_orderkey + 1 AS gap_start,
+       next_key - 1 AS gap_end,
+       next_key - o_orderkey - 1 AS n_missing
+FROM s WHERE next_key > o_orderkey + 1
+"""
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule pack in ONE scan: per rule, the
+    violation count over lineitem — null checks, range checks, and a
+    cross-column consistency check — unpivoted to (rule, n_violations,
+    violation_rate_bp) rows via stack. The plan is a single
+    1-row-per-partition conditional aggregate (every rule is a
+    sum(CASE)), so adding a rule costs an expression, not a scan — at
+    100 TB the audit reads the table exactly once regardless of rule
+    count, and the rate is exact integer basis points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "null_orderkey": F.col("l_orderkey").isNull(),
+        "nonpositive_quantity": F.col("l_quantity") <= 0,
+        "discount_out_of_range": (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 0.5),
+        "negative_price": F.col("l_extendedprice") < 0,
+        "ship_before_1990": F.col("l_shipdate") < F.lit("1990-01-01"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', {n}" for n in rules)
+    return wide.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        F.col("n_rows"),
+    ).select(
+        "rule",
+        "n_violations",
+        F.expr("(n_violations * 10000) div n_rows").alias("rate_bp"),
+    )
+
+
+ORACLE_DQ_AUDIT = """
+WITH wide AS (
+  SELECT count(*) AS n_rows,
+         cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) as bigint)
+             AS null_orderkey,
+         cast(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) as bigint)
+             AS nonpositive_quantity,
+         cast(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                       THEN 1 ELSE 0 END) as bigint)
+             AS discount_out_of_range,
+         cast(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) as bigint)
+             AS negative_price,
+         cast(sum(CASE WHEN l_shipdate < '1990-01-01' THEN 1 ELSE 0 END)
+              as bigint) AS ship_before_1990
+  FROM lineitem
+), rules AS (
+  SELECT 'null_orderkey' AS rule, null_orderkey AS n_violations, n_rows
+  FROM wide
+  UNION ALL SELECT 'nonpositive_quantity', nonpositive_quantity, n_rows
+  FROM wide
+  UNION ALL SELECT 'discount_out_of_range', discount_out_of_range, n_rows
+  FROM wide
+  UNION ALL SELECT 'negative_price', negative_price, n_rows FROM wide
+  UNION ALL SELECT 'ship_before_1990', ship_before_1990, n_rows FROM wide
+)
+SELECT rule, n_violations, (n_violations * 10000) // n_rows AS rate_bp
+FROM rules
+"""
+
+
 QUERIES = {
+    "q_seq_gaps": q_seq_gaps,
+    "q_dq_audit": q_dq_audit,
     "q_agg_mode": q_agg_mode,
     "q_rolling_distinct": q_rolling_distinct,
     "q_copurchase_pairs": q_copurchase_pairs,
@@ -539,6 +652,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_seq_gaps": ORACLE_SEQ_GAPS,
+    "q_dq_audit": ORACLE_DQ_AUDIT,
     "q_agg_mode": ORACLE_AGG_MODE,
     "q_join_bloom_prefilter": ORACLE_JOIN_BLOOM_PREFILTER,
     "q_agg_bitmap_distinct": ORACLE_AGG_BITMAP_DISTINCT,
