@@ -639,9 +639,104 @@ FROM rules
 """
 
 
+LIFT_MIN_SUPPORT = 3  # pair must co-occur in ≥ this many orders
+
+
+def q_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on top of the co-purchase pairs: LIFT =
+    P(a,b) / (P(a)·P(b)) for every pair above a minimum support — the
+    statistic that separates genuinely-associated parts from
+    popular-everywhere parts (raw co-occurrence counts can't). Top-20
+    by lift.
+
+    Exactness: lift is computed in scaled integer arithmetic —
+    ``(n_ab · N · 1e6) div (n_a · n_b)`` — so the ranking is
+    order-independent and engine-identical (no float division drift in
+    the sort key). Plan: the basket/pair machinery of
+    q_copurchase_pairs (one fact shuffle, in-codegen pair fan-out) plus
+    one broadcast-sized part-frequency aggregate joined back onto the
+    support-filtered pairs; min-support prunes before the lift join, so
+    the join input is the interesting tail, not the pair space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_orders = d.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_freq = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    baskets = (
+        d.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= LIFT_MIN_SUPPORT)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(
+                "(n_ab * n_orders * 1000000L) div (n_a * n_b)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+ORACLE_AFFINITY_LIFT = f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM d
+), pf AS (
+  SELECT l_partkey, count(*) AS n_part FROM d GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {LIFT_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_ab,
+       (n_ab * n.n_orders * 1000000) // (fa.n_part * fb.n_part)
+           AS lift_micro
+FROM pairs
+JOIN pf fa ON pairs.part_a = fa.l_partkey
+JOIN pf fb ON pairs.part_b = fb.l_partkey
+CROSS JOIN n
+ORDER BY lift_micro DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q_seq_gaps": q_seq_gaps,
     "q_dq_audit": q_dq_audit,
+    "q_affinity_lift": q_affinity_lift,
     "q_agg_mode": q_agg_mode,
     "q_rolling_distinct": q_rolling_distinct,
     "q_copurchase_pairs": q_copurchase_pairs,
@@ -654,6 +749,7 @@ QUERIES = {
 ORACLES = {
     "q_seq_gaps": ORACLE_SEQ_GAPS,
     "q_dq_audit": ORACLE_DQ_AUDIT,
+    "q_affinity_lift": ORACLE_AFFINITY_LIFT,
     "q_agg_mode": ORACLE_AGG_MODE,
     "q_join_bloom_prefilter": ORACLE_JOIN_BLOOM_PREFILTER,
     "q_agg_bitmap_distinct": ORACLE_AGG_BITMAP_DISTINCT,

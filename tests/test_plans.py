@@ -249,6 +249,7 @@ _NESTED_LOOP_BY_DESIGN = {
     "q_retrieval_hybrid",  # 1-row corpus-stats + query-vector broadcasts
     "q_chi2_independence",
     "q_rfm_segments",
+    "q_affinity_lift",
     # 1-row node-count broadcast (SCALE div n term); edge/rank joins are
     # hash joins, asserted separately in test_graph.py.
     "q_graph_pagerank",
