@@ -535,8 +535,105 @@ FROM s
 """
 
 
+def q_sessionize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION funnel analysis — the composition a product-analytics
+    pipeline actually runs: gap-based session assignment (q_sessionize's
+    lag+cumsum law) feeding pattern matching (q_events_pattern's symbol
+    regex) at the session grain, so a conversion can never span a
+    session break. Output per (user, session): size, duration,
+    click→purchase conversions.
+
+    One shuffle total: the session-assignment window, the per-session
+    collect and the final aggregate all key on user_id (the groupBy key
+    is a superset of the window partition key, so the exchange is
+    reused) — and unlike the per-user variant, per-key state is bounded
+    by the session gap regardless of history length."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    new_sess = (
+        F.when(epoch - F.lag(epoch).over(w) > 1800, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        epoch.alias("t"),
+        F.substring("event_type", 1, 1).alias("sym"),
+        new_sess.alias("new_sess"),
+    )
+    sessioned = flagged.select(
+        "user_id",
+        "event_id",
+        "t",
+        "sym",
+        F.sum("new_sess")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("t", "event_id", "sym")))
+    seq = "concat_ws('', transform(arr, x -> x.sym))"
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+            arr.alias("arr"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "duration_s",
+            F.size(F.expr(f"regexp_extract_all({seq}, '{_PATTERN}', 0)"))
+            .cast("long")
+            .alias("n_conversions"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE_FUNNEL = f"""
+WITH flags AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         substr(event_type, 1, 1) AS sym,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, event_id, t, sym,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_id
+  FROM flags
+), g AS (
+  SELECT user_id, session_id,
+         count(*) AS n_events,
+         max(t) - min(t) AS duration_s,
+         list_sort(list({{'t': t, 'e': event_id, 's': sym}})) AS arr
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, cast(session_id as bigint) AS session_id, n_events,
+       duration_s,
+       cast(len(regexp_extract_all(
+           list_aggregate(list_transform(arr, x -> x['s']),
+                          'string_agg', ''), '{_PATTERN}')) as bigint)
+           AS n_conversions
+FROM g
+"""
+
+
 QUERIES = {
     "q_events_pattern": q_events_pattern,
+    "q_sessionize_funnel": q_sessionize_funnel,
     "q_events_anomaly": q_events_anomaly,
     "q_agg_twap": q_agg_twap,
     "q_agg_ewma": q_agg_ewma,
@@ -551,6 +648,7 @@ QUERIES = {
 
 ORACLES = {
     "q_events_pattern": ORACLE_EVENTS_PATTERN,
+    "q_sessionize_funnel": ORACLE_SESSIONIZE_FUNNEL,
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_agg_twap": ORACLE_AGG_TWAP,
     "q_agg_ewma": ORACLE_AGG_EWMA,

@@ -201,3 +201,84 @@ def test_scd2_stream_two_batches_and_replay(spark, tmp_path):
     assert sorted(map(tuple, VersionedTable(spark, tgt).read().collect())) == sorted(
         map(tuple, t.read(v_after).collect())
     )
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(1, 4), st.integers(0, 3), min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_scd2_matches_pure_python_fold(spark_global, batches):
+    """Property: for ANY sequence of update batches, the table's
+    current slice, full version history, and as-of reconstruction at
+    every batch instant all equal a trivial python fold of the same
+    batches — SCD2 is just that fold, made durable."""
+    import tempfile
+
+    spark = spark_global
+    ts = [f"2024-0{i + 1}-01 00:00:00" for i in range(len(batches) + 1)]
+    init = {1: 99, 2: 99}
+    d = tempfile.mkdtemp()
+    t = scd2_init(
+        spark,
+        d + "/dim",
+        spark.createDataFrame(
+            [(k, v) for k, v in init.items()], "k long, v long"
+        ),
+        ["k"],
+        ts[0],
+    )
+    # python model: history[k] = [(value, from, to_or_None)]
+    hist = {k: [(v, ts[0], None)] for k, v in init.items()}
+    for i, b in enumerate(batches):
+        bt = ts[i + 1]
+        scd2_apply(
+            t,
+            spark.createDataFrame(list(b.items()), "k long, v long"),
+            ["k"],
+            ["v"],
+            bt,
+        )
+        for k, v in b.items():
+            if k not in hist:
+                hist[k] = [(v, bt, None)]
+            elif hist[k][-1][0] != v:
+                val, frm, _ = hist[k][-1]
+                hist[k][-1] = (val, frm, bt)
+                hist[k].append((v, bt, None))
+    got = sorted(
+        (r["k"], r["v"], r[VALID_FROM], r[VALID_TO], r[IS_CURRENT])
+        for r in t.read().collect()
+    )
+    want = sorted(
+        (k, v, frm, to, to is None)
+        for k, vs in hist.items()
+        for (v, frm, to) in vs
+    )
+    assert got == want
+    # as-of at every batch instant matches the model state then
+    snap = t.read()
+    for i in range(len(batches) + 1):
+        probe = ts[i]
+        model = {
+            k: v
+            for k, vs in hist.items()
+            for (v, frm, to) in vs
+            if frm <= probe and (to is None or to > probe)
+        }
+        got_asof = {
+            r["k"]: r["v"] for r in scd2_as_of(snap, probe).collect()
+        }
+        assert got_asof == model
