@@ -1370,8 +1370,85 @@ FROM lineitem"""
 )
 
 
+def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend: per return-flag, the slope of daily
+    revenue against the day index over a trailing 7-day RANGE window —
+    the "is this metric trending up" primitive dashboards compute per
+    point. Two-level shape: collapse to the (flag, day) grain first
+    (partial-aggregatable; the fact table shuffles once and the window
+    then sees days, not rows), then every power sum the slope needs is
+    one windowed sum over the RANGE frame — all in decimal, so the
+    rolling sums are order-exact like their q_agg_regression
+    global-grain siblings. Degenerate windows (a single distinct day →
+    zero x-variance) yield NULL slope via an explicit guard on both
+    engines; quantization is the tie-free floor(x·1e6 + 0.5)/1e6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    ).select(
+        "l_returnflag",
+        "day",
+        F.datediff("day", F.lit("1992-01-01")).alias("x"),
+        "rev",
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x")
+        .rangeBetween(-6, 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("rev").over(w).cast("double")
+    sxy = F.sum(
+        (F.col("x") * F.col("rev")).cast("decimal(30,2)")
+    ).over(w).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).over(w).cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(
+        den > 0,
+        F.floor((n * sxy - sx * sy) / den * 1e6 + F.lit(0.5)) / 1e6,
+    )
+    return daily.select(
+        "l_returnflag",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        n.cast("long").alias("n_days"),
+        slope.alias("slope_7d"),
+    )
+
+
+ORACLE_ROLLING_REGRESSION = """
+WITH daily AS (
+  SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+         datediff('day', DATE '1992-01-01',
+                  cast(date_trunc('day', l_shipdate) as date)) AS x,
+         sum(cast(l_extendedprice as decimal(18,2))) AS rev
+  FROM lineitem GROUP BY 1, 2
+), win AS (
+  SELECT l_returnflag, day,
+         cast(count(*) OVER w AS double) AS n,
+         cast(sum(x) OVER w AS double) AS sx,
+         cast(sum(rev) OVER w AS double) AS sy,
+         cast(sum(cast(x * rev as decimal(30,2))) OVER w AS double) AS sxy,
+         cast(sum(x * x) OVER w AS double) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY l_returnflag ORDER BY x
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT l_returnflag, strftime(day, '%Y-%m-%d') AS day,
+       cast(n AS bigint) AS n_days,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       * 1e6 + 0.5) / 1e6
+       END AS slope_7d
+FROM win
+"""
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
+    "q_rolling_regression": q_rolling_regression,
     "q_agg_corr": q_agg_corr,
     "q_agg_histogram": q_agg_histogram,
     "q_setops_all": q_setops_all,
@@ -1408,6 +1485,7 @@ QUERIES = {
 
 ORACLES = {
     "q_profile_columns": ORACLE_PROFILE_COLUMNS,
+    "q_rolling_regression": ORACLE_ROLLING_REGRESSION,
     "q_agg_corr": ORACLE_AGG_CORR,
     "q_agg_histogram": ORACLE_AGG_HISTOGRAM,
     "q_setops_all": ORACLE_SETOPS_ALL,
