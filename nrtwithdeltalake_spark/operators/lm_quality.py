@@ -1,0 +1,305 @@
+"""Statistical language-model quality operators for LLM data curation
+(BASELINE.json north star; no counterpart in the reference, which ends at
+relational loads — ``/root/reference/COPY_MSQL_TO_SILVER.py`` has no text
+surface).
+
+Three corpus-hygiene primitives every pretraining pipeline runs between
+ingest and training, each as ONE declarative Catalyst plan over the
+``documents`` table:
+
+* ``q_lm_perplexity`` — the CCNet/KenLM-shaped quality signal: score each
+  document by its average negative log-probability under a unigram LM
+  trained on the corpus itself (garbage/boilerplate scores far from the
+  corpus mode).
+* ``q_corpus_mixture`` — data-mixture construction: per-source target
+  weights + a global character budget turned into deterministic hash-
+  bucket keep rates (the static-mixture step of Pile/DoReMi-style
+  curation), with the realized sample audited per source.
+* ``q_corpus_drift_kl`` — distribution-drift monitor: smoothed KL
+  divergence of each source's token distribution against the whole
+  corpus (the "did this crawl slice go weird" alarm).
+
+Determinism contract (the repo-wide rule): every float that crosses the
+engine boundary is produced by IEEE ops on exactly-representable integer
+inputs and quantized tie-free (``floor(x·10^k + 0.5)``) — never
+``round()``, whose HALF_UP-on-shortest-string semantics diverge from
+DuckDB's binary rounding on .5 ties (see q_resample_interp). The one
+libm call (``ln``) is quantized immediately after, the same precedent as
+``q_sample_weighted``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# Alphabetic-run tokenizer — identical Java-regex/RE2 semantics, applied
+# lowercased. Documents with no [a-z] run (e.g. zh) drop out of the
+# token stream on both engines.
+_TOK_PAT = "[a-z]+"
+
+
+def _toks(docs: DataFrame, *extra: str) -> DataFrame:
+    return docs.select(
+        *extra,
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_PAT), 0)
+        ).alias("tok"),
+    )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score per document: avg(-ln P(tok)) with the LM
+    trained on the corpus itself (self-scoring, so no OOV smoothing is
+    needed — every scored token has corpus support).
+
+    Plan shape (scale posture): the token fan-out is one in-codegen
+    generator; the vocab aggregate shuffles the VOCABULARY (map-side
+    partial collapse — token occurrences never cross the wire); the
+    trained vocab re-joins the token stream as a BROADCAST (vocabulary-
+    sized, not corpus-sized; at 100 TB with an unbounded vocab the same
+    plan falls back to a token-co-partitioned shuffle join under AQE);
+    the per-doc aggregate is the only doc-grain shuffle, partial-
+    aggregated to one row per doc map-side. Each token's -ln(p) is
+    quantized to integer micro-nats BEFORE summing, so the per-doc sum
+    is visit-order-independent and engine-exact (same device as
+    q_bm25_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(docs)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    q_micro = F.floor(
+        -F.log(F.col("cnt").cast("double") / F.col("n").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(tot))
+        .select("doc_id", q_micro.alias("q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        (
+            F.floor(
+                F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("avg_neg_logprob"),
+    )
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT cast(sum(cnt) as bigint) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         cast(floor(-ln(cast(v.cnt as double) / cast(tot.n as double)) * 1e6
+                    + 0.5) as bigint) AS q
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_toks,
+       floor(cast(sum(q) as double) / cast(count(*) as double) + 0.5) / 1e6
+         AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+# Mixture parameters: a global character budget and integer per-source
+# weights derived from the source id (src0..src19 -> weight 1..4). Integer
+# weights keep every keep-rate computation in exact integer arithmetic.
+_MIX_BUDGET_CHARS = 50_000
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: distribute a global character
+    budget over sources by weight, convert each source's share into a
+    deterministic md5-bucket keep rate (basis points), apply it, and
+    audit the realized sample — per source: weight, available chars,
+    target chars, keep rate, kept docs, kept chars.
+
+    Every rate is integer arithmetic (`div`, basis points), so the
+    sample is bit-identical across runs, partitionings, and engines —
+    the reproducibility a training-mix manifest requires (and
+    ``df.sample``/``rand()`` cannot give). Plan shape: one partial-
+    aggregatable per-source aggregate (|sources| rows), the 1-row total
+    weight broadcast back, the keep-rate table broadcast onto the doc
+    scan (docs shuffle ZERO times before the filter), then the kept-set
+    re-aggregate — also source-bounded. At 100 TB only the two
+    source-grain exchanges move data, both |sources|-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.substring("source", 4, 10).cast("long") % 4 + 1).alias("w")
+    avail = docs.groupBy("source").agg(
+        F.first(w).alias("w"), F.sum("n_chars").alias("avail_chars")
+    )
+    tot_w = avail.agg(F.sum("w").alias("tot_w"))
+    rates = (
+        avail.join(F.broadcast(tot_w))
+        .withColumn(
+            "tgt_chars",
+            F.expr(f"({_MIX_BUDGET_CHARS} * w) div tot_w"),
+        )
+        .withColumn(
+            "keep_bp",
+            F.least(F.lit(10000), F.expr("(tgt_chars * 10000) div avail_chars")),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        % 10000
+    )
+    kept = (
+        docs.select("source", "n_chars", bucket.alias("bucket"))
+        .join(F.broadcast(rates.select("source", "keep_bp")), "source")
+        .filter(F.col("bucket") < F.col("keep_bp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "w",
+            "avail_chars",
+            "tgt_chars",
+            "keep_bp",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+    )
+
+
+ORACLE_CORPUS_MIXTURE = f"""
+WITH avail AS (
+  SELECT source,
+         cast(substr(source, 4, 10) as bigint) % 4 + 1 AS w,
+         cast(sum(n_chars) as bigint) AS avail_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT cast(sum(w) as bigint) AS tot_w FROM avail),
+rates AS (
+  SELECT a.*,
+         ({_MIX_BUDGET_CHARS} * w) // tot_w AS tgt_chars,
+         least(10000, ((({_MIX_BUDGET_CHARS} * w) // tot_w) * 10000)
+                       // avail_chars) AS keep_bp
+  FROM avail a CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source, count(*) AS n_kept,
+         cast(sum(d.n_chars) as bigint) AS kept_chars
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST(concat('0x', substr(md5(cast(d.doc_id as varchar)), 1, 8))
+             AS BIGINT) % 10000 < r.keep_bp
+  GROUP BY d.source
+)
+SELECT r.source, r.w, r.avail_chars, r.tgt_chars, r.keep_bp,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_chars, 0) AS kept_chars
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor: per source, the add-one-smoothed KL
+    divergence KL(P_source || P_corpus) over the corpus vocabulary —
+    the scalar that flags a crawl slice whose token distribution walked
+    away from the rest of the data.
+
+    Smoothing puts every (source, vocab-token) pair in the sum, so the
+    term domain is |sources| x |vocab| — generated by broadcasting the
+    (tiny) per-source totals onto the vocab aggregate, never by
+    expanding token OCCURRENCES. Each term p·ln(p/q) is quantized to
+    integer nano-nats before the per-source sum (order-independent,
+    engine-exact); p and q are IEEE divisions of exactly-representable
+    integers. All three aggregates (vocab, per-source totals, per-
+    source-token counts) are partial-aggregatable and vocabulary- /
+    source-bounded — no corpus-sized shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(docs, "source")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    corpus_tot = vocab.agg(
+        F.sum("c_t").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    src_tok = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    grid = (
+        vocab.join(F.broadcast(corpus_tot))
+        .join(F.broadcast(src_tot))
+        .join(src_tok, ["source", "tok"], "left")
+        .withColumn("c_st", F.coalesce("c_st", F.lit(0)))
+    )
+    p = (F.col("c_st") + 1).cast("double") / (F.col("n_s") + F.col("v")).cast(
+        "double"
+    )
+    q = (F.col("c_t") + 1).cast("double") / (F.col("n") + F.col("v")).cast(
+        "double"
+    )
+    term_nano = F.floor(p * F.log(p / q) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        grid.select("source", "n_s", term_nano.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_toks"),
+            (F.sum("t").cast("double") / F.lit(1e9)).alias("kl_nats"),
+        )
+    )
+
+
+ORACLE_CORPUS_DRIFT_KL = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c_t FROM toks GROUP BY tok),
+ctot AS (SELECT cast(sum(c_t) as bigint) AS n, count(*) AS v FROM vocab),
+stot AS (SELECT source, count(*) AS n_s FROM toks GROUP BY source),
+stok AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok),
+grid AS (
+  SELECT s.source, s.n_s, v.tok, v.c_t, ctot.n, ctot.v AS vsz,
+         coalesce(k.c_st, 0) AS c_st
+  FROM vocab v CROSS JOIN ctot CROSS JOIN stot s
+  LEFT JOIN stok k ON k.source = s.source AND k.tok = v.tok
+),
+terms AS (
+  SELECT source, n_s,
+         cast(floor(
+           (cast(c_st + 1 as double) / cast(n_s + vsz as double))
+           * ln((cast(c_st + 1 as double) / cast(n_s + vsz as double))
+                / (cast(c_t + 1 as double) / cast(n + vsz as double)))
+           * 1e9 + 0.5) as bigint) AS t
+  FROM grid
+)
+SELECT source, cast(n_s as bigint) AS n_toks,
+       cast(sum(t) as double) / 1e9 AS kl_nats
+FROM terms GROUP BY source, n_s
+"""
+
+
+QUERIES = {
+    "q_lm_perplexity": q_lm_perplexity,
+    "q_corpus_mixture": q_corpus_mixture,
+    "q_corpus_drift_kl": q_corpus_drift_kl,
+}
+
+ORACLES = {
+    "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "q_corpus_mixture": ORACLE_CORPUS_MIXTURE,
+    "q_corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,
+}

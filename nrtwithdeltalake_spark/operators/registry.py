@@ -22,6 +22,7 @@ from . import (
     joins_ext,
     lateral,
     llm_ext,
+    lm_quality,
     relational,
     relational_ext,
     retrieval,
@@ -49,6 +50,7 @@ _MODULES = [
     graph,
     decision,
     llm_ext,
+    lm_quality,
     udtf_ops,
 ]
 

@@ -1,0 +1,119 @@
+"""Ground-truth checks for the LM-quality operators (lm_quality.py) —
+python recomputations of the same contracts, independent of both Spark
+and DuckDB (the registry sweep in test_relational.py already pins
+Spark ≡ DuckDB for all three)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import duckdb
+
+from nrtwithdeltalake_spark.operators import lm_quality
+
+_TOK = re.compile(r"[a-z]+")
+
+
+def _docs(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, source, n_chars "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+
+
+def _bucket(doc_id: int, mod: int) -> int:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+    return int(h, 16) % mod
+
+
+def test_lm_perplexity_matches_python_recompute(spark, sf_dir):
+    rows = _docs(sf_dir)
+    vocab = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text, _, _ in rows:
+        toks = _TOK.findall(text.lower())
+        if toks:
+            per_doc[doc_id] = toks
+            vocab.update(toks)
+    n = sum(vocab.values())
+    got = {
+        r.doc_id: (r.n_toks, r.avg_neg_logprob)
+        for r in lm_quality.q_lm_perplexity(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, toks in per_doc.items():
+        q = sum(
+            math.floor(-math.log(vocab[t] / n) * 1e6 + 0.5) for t in toks
+        )
+        want = math.floor(q / len(toks) + 0.5) / 1e6
+        assert got[doc_id] == (len(toks), want), doc_id
+    # a quality signal must be strictly positive (p < 1 for every token
+    # as long as the corpus has >1 distinct token)
+    assert all(v > 0 for _, v in got.values())
+
+
+def test_corpus_mixture_matches_python_recompute(spark, sf_dir):
+    rows = _docs(sf_dir)
+    avail: dict[str, int] = {}
+    weights: dict[str, int] = {}
+    for _, _, source, n_chars in rows:
+        avail[source] = avail.get(source, 0) + n_chars
+        weights[source] = int(source[3:]) % 4 + 1
+    tot_w = sum(weights.values())
+    budget = lm_quality._MIX_BUDGET_CHARS
+    got = {r.source: r for r in lm_quality.q_corpus_mixture(spark, sf_dir).collect()}
+    assert set(got) == set(avail)
+    for src in avail:
+        tgt = (budget * weights[src]) // tot_w
+        bp = min(10000, (tgt * 10000) // avail[src])
+        kept = [
+            (d, c)
+            for d, _, s, c in rows
+            if s == src and _bucket(d, 10000) < bp
+        ]
+        r = got[src]
+        assert (r.w, r.avail_chars, r.tgt_chars, r.keep_bp) == (
+            weights[src],
+            avail[src],
+            tgt,
+            bp,
+        ), src
+        assert (r.n_kept, r.kept_chars) == (
+            len(kept),
+            sum(c for _, c in kept),
+        ), src
+        # the realized sample respects the budget shape: never more
+        # than available, and full-keep only when the target covers it
+        assert r.kept_chars <= r.avail_chars
+        if r.keep_bp == 10000:
+            assert tgt >= avail[src] or bp == 10000
+
+
+def test_corpus_drift_kl_matches_python_recompute(spark, sf_dir):
+    rows = _docs(sf_dir)
+    vocab = Counter()
+    src_tok: dict[str, Counter] = {}
+    for _, text, source, _ in rows:
+        toks = _TOK.findall(text.lower())
+        vocab.update(toks)
+        src_tok.setdefault(source, Counter()).update(toks)
+    n, v = sum(vocab.values()), len(vocab)
+    got = {
+        r.source: (r.n_toks, r.kl_nats)
+        for r in lm_quality.q_corpus_drift_kl(spark, sf_dir).collect()
+    }
+    assert set(got) == set(src_tok)
+    for src, cnts in src_tok.items():
+        n_s = sum(cnts.values())
+        total = 0
+        for tok, c_t in vocab.items():
+            p = (cnts.get(tok, 0) + 1) / (n_s + v)
+            q = (c_t + 1) / (n + v)
+            total += math.floor(p * math.log(p / q) * 1e9 + 0.5)
+        assert got[src] == (n_s, total / 1e9), src
+        # Gibbs: KL >= 0 up to the nano-nat quantization of |vocab| terms
+        assert got[src][1] >= -v * 1e-9
