@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
 
@@ -66,10 +67,17 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated to one row per doc map-side. Each token's -ln(p) is
     quantized to integer micro-nats BEFORE summing, so the per-doc sum
     is visit-order-independent and engine-exact (same device as
-    q_bm25_topk)."""
+    q_bm25_topk). The trained vocab is persisted (vocabulary-sized) so
+    the corpus-total branch derives from it instead of re-tokenizing
+    the corpus — exactly two document scans at any scale (train pass +
+    score pass), plan-guarded."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks(docs)
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = vocab.agg(F.sum("cnt").alias("n"))
     q_micro = F.floor(
         -F.log(F.col("cnt").cast("double") / F.col("n").cast("double"))
@@ -171,7 +179,7 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rates.join(kept, "source", "left")
+        rates.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "w",
@@ -226,19 +234,23 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanding token OCCURRENCES. Each term p·ln(p/q) is quantized to
     integer nano-nats before the per-source sum (order-independent,
     engine-exact); p and q are IEEE divisions of exactly-representable
-    integers. All three aggregates (vocab, per-source totals, per-
-    source-token counts) are partial-aggregatable and vocabulary- /
-    source-bounded — no corpus-sized shuffle anywhere."""
+    integers. The corpus is tokenized ONCE: the (source, tok) count
+    grain — |sources|×|vocab|-bounded — is persisted and every marginal
+    (vocab counts, corpus totals, per-source totals) derives from it,
+    so the plan has exactly one document scan and only vocabulary- /
+    source-bounded exchanges (plan-guarded)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks(docs, "source")
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    src_tok = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = src_tok.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     corpus_tot = vocab.agg(
         F.sum("c_t").alias("n"), F.count(F.lit(1)).alias("v")
     )
-    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    src_tok = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).alias("c_st")
-    )
+    src_tot = src_tok.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     grid = (
         vocab.join(F.broadcast(corpus_tot))
         .join(F.broadcast(src_tot))

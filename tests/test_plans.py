@@ -376,3 +376,28 @@ def test_skyline_prefix_scan_is_distributed(spark, sf_dir):
     for frag in plan.split("windowspecdefinition(")[1:]:
         head = frag.split(")")[0]
         assert "pid" in head.split(",")[0], head
+
+
+def test_lm_quality_broadcast_only_and_cache_reuse(spark, sf_dir):
+    """lm_quality contract: every join is a broadcast (the build sides
+    are vocabulary-/source-bounded or single-row — a SortMergeJoin here
+    means a corpus-sized exchange appeared); and the persisted shared
+    grains actually serve the derived branches (vocab for perplexity's
+    corpus total, the (source, tok) grain for drift-KL's marginals), so
+    the corpus is tokenized once per training pass, not once per
+    marginal."""
+    from nrtwithdeltalake_spark.operators import lm_quality
+
+    for name, fn in lm_quality.QUERIES.items():
+        df = fn(spark, sf_dir)
+        df.collect()  # materialize the persisted grain → steady-state plan
+        plan = inspect.physical_plan(df)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+    perp = lm_quality.q_lm_perplexity(spark, sf_dir)
+    perp.collect()
+    assert "InMemoryTableScan" in inspect.physical_plan(perp)
+    drift = lm_quality.q_corpus_drift_kl(spark, sf_dir)
+    drift.collect()
+    # all three marginal branches read the cached (source, tok) grain
+    assert inspect.physical_plan(drift).count("InMemoryTableScan") >= 3
