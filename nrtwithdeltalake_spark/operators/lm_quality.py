@@ -304,14 +304,86 @@ FROM terms GROUP BY source, n_s
 """
 
 
+_COVERAGE_KS = (10, 100, 1000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design audit: what share of token OCCURRENCES do the
+    top-k most frequent vocabulary entries cover, for k in {10, 100,
+    1000}? (The curve that decides a vocab size / byte-fallback budget.)
+
+    Scale shape: the vocab aggregate is the only corpus-sized work
+    (vocabulary-bounded, map-side partial); the top-k cut resolves as
+    TakeOrderedAndProject (each partition ships its local top max(k) —
+    never a global sort), and the rank window + k-grid fan-out run over
+    ≤max(k) rows, a constant. Coverage is exact integer basis points
+    (never a float ratio), with a (cnt desc, tok) total order so the
+    cut is deterministic under ties on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        _toks(docs)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = vocab.agg(F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_vocab"))
+    k_max = max(_COVERAGE_KS)
+    top = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(k_max)
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    )  # ≤ k_max rows by construction — the single-partition window is
+    # constant-bounded, not corpus-bounded
+    ranked = top.select("cnt", rnk.alias("rnk"))
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
+    return (
+        ranked.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("covered_tokens"))
+        .join(F.broadcast(tot))
+        .select(
+            "k",
+            F.least(F.col("k").cast("long"), F.col("n_vocab")).alias("k_eff"),
+            "covered_tokens",
+            F.col("n").alias("total_tokens"),
+            F.expr("(covered_tokens * 10000) div n").alias("coverage_bp"),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT cast(sum(cnt) as bigint) AS n, count(*) AS n_vocab FROM vocab),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk
+  FROM vocab
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+SELECT ks.k,
+       least(cast(ks.k as bigint), tot.n_vocab) AS k_eff,
+       cast(sum(r.cnt) as bigint) AS covered_tokens,
+       tot.n AS total_tokens,
+       (cast(sum(r.cnt) as bigint) * 10000) // tot.n AS coverage_bp
+FROM ranked r JOIN ks ON r.rnk <= ks.k CROSS JOIN tot
+GROUP BY ks.k, tot.n, tot.n_vocab
+"""
+
+
 QUERIES = {
     "q_lm_perplexity": q_lm_perplexity,
     "q_corpus_mixture": q_corpus_mixture,
     "q_corpus_drift_kl": q_corpus_drift_kl,
+    "q_vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES = {
     "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "q_corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "q_corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,
+    "q_vocab_coverage": ORACLE_VOCAB_COVERAGE,
 }

@@ -378,8 +378,67 @@ WHERE NOT EXISTS (
 """
 
 
+def q_agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: exact quartile cutoffs
+    (the optimizer-statistics histogram shape — equal row mass per
+    bucket, unlike q_agg_histogram's equal-width buckets), then one
+    partial-aggregatable count/min/max pass per bucket.
+
+    Plan shape: the cutoffs are a 1-row exact-percentile aggregate
+    broadcast back onto the fact scan (same device as q_winsorize);
+    the bucket assignment is a codegen CASE, and the final aggregate
+    has 4 groups — the fact table shuffles once, 4-row exchange. The
+    exact ``percentile`` buffer grows with distinct values; the 100 TB
+    swap is ``approx_percentile`` cutoffs (same plan otherwise).
+    Cutoffs are rounded to 4 dp in both engines (the tested
+    percentile ≡ quantile_cont equivalence), so bucket membership
+    compares against identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("q1"), 0)
+        .when(F.col("o_totalprice") < F.col("q2"), 1)
+        .when(F.col("o_totalprice") < F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        orders.join(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_v"),
+            F.max("o_totalprice").alias("max_v"),
+        )
+    )
+
+
+ORACLE_AGG_HISTOGRAM_EQDEPTH = """
+WITH cuts AS (
+  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS q2,
+         round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice < q1 THEN 0
+            WHEN o_totalprice < q2 THEN 1
+            WHEN o_totalprice < q3 THEN 2
+            ELSE 3 END AS bucket,
+       count(*) AS n_rows,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v
+FROM orders CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_skyline": q_skyline,
+    "q_agg_histogram_eqdepth": q_agg_histogram_eqdepth,
     "q_agg_argmax": q_agg_argmax,
     "q_winsorize": q_winsorize,
     "q_sample_per_group": q_sample_per_group,
@@ -389,6 +448,7 @@ QUERIES = {
 
 ORACLES = {
     "q_skyline": ORACLE_SKYLINE,
+    "q_agg_histogram_eqdepth": ORACLE_AGG_HISTOGRAM_EQDEPTH,
     "q_agg_argmax": ORACLE_AGG_ARGMAX,
     "q_winsorize": ORACLE_WINSORIZE,
     "q_sample_per_group": ORACLE_SAMPLE_PER_GROUP,

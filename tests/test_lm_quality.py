@@ -117,3 +117,23 @@ def test_corpus_drift_kl_matches_python_recompute(spark, sf_dir):
         assert got[src] == (n_s, total / 1e9), src
         # Gibbs: KL >= 0 up to the nano-nat quantization of |vocab| terms
         assert got[src][1] >= -v * 1e-9
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    rows = {
+        r.k: r
+        for r in lm_quality.q_vocab_coverage(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(lm_quality._COVERAGE_KS)
+    prev = 0
+    for k in sorted(rows):
+        r = rows[k]
+        assert 0 <= r.coverage_bp <= 10000
+        assert r.covered_tokens >= prev  # more vocab never covers less
+        prev = r.covered_tokens
+        assert r.covered_tokens <= r.total_tokens
+        assert r.k_eff == min(k, r.total_tokens) or r.k_eff <= k
+    # full-vocab cut covers everything when the vocab fits inside k_max
+    top = rows[max(rows)]
+    if top.k_eff < max(rows):
+        assert top.coverage_bp == 10000
