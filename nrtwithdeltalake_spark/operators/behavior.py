@@ -631,8 +631,162 @@ FROM g
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the 10 most common session-opening event
+    sequences (first 5 events per session, '>'-joined) — the "how do
+    users actually move through the product" query behind every journey
+    map. Sessions use q_sessionize_funnel's gap law (30-min inactivity);
+    the path truncation bounds row width regardless of session length.
+
+    Plan: ONE user-keyed exchange serves the session-assignment window,
+    the per-session row_number, and the per-session path aggregate
+    (groupBy key is a superset of the window partition key); the path
+    count shuffles path-bounded partial counts, and the top-10 resolves
+    as TakeOrderedAndProject. The sequence is built from an array_sort
+    of (t, event_id, type) structs — an explicit total order, so the
+    path string is deterministic under timestamp ties on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    new_sess = (
+        F.when(epoch - F.lag(epoch).over(w) > 1800, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sessioned = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        epoch.alias("t"),
+        F.col("event_type").alias("et"),
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    )
+    heads = sessioned.withColumn("rn", rn).filter(F.col("rn") <= 5)
+    arr = F.array_sort(F.collect_list(F.struct("t", "event_id", "et")))
+    paths = (
+        heads.groupBy("user_id", "session_id")
+        .agg(arr.alias("arr"))
+        .select(
+            F.expr(
+                "concat_ws('>', transform(arr, x -> x.et))"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+ORACLE_SESSION_PATHS = """
+WITH flags AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_type AS et,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM flags
+), h AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT string_agg(et, '>' ORDER BY t, event_id) AS path
+  FROM h WHERE rn <= 5
+  GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 10
+"""
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every click, the earliest
+    at-or-after purchase by the same user (q_join_asof_forward's
+    reversed running-min formulation — ONE user-keyed exchange, never
+    the O(n²) [CURRENT ROW, UNBOUNDED FOLLOWING] frame), then the
+    match rate and exact p50/p90 of the latency in seconds — the
+    funnel-health scalar a growth dashboard tracks.
+
+    The forward match scans the event stream ordered DESCENDING by
+    (ts, event_id) with a running min of purchase times, so each row
+    sees the minimum purchase epoch among events at-or-after itself;
+    the tie rule (purchases later in (ts, event_id) order) is mirrored
+    lexicographically in the oracle's correlated subquery. Latencies
+    are integer seconds (exact on both engines); the percentile
+    interpolation is the tested percentile ≡ quantile_cont pair."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", epoch)
+    ).over(w_desc)
+    clicks = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            epoch.alias("t"),
+            "event_type",
+            next_p.alias("p_t"),
+        )
+        .filter(F.col("event_type") == "click")
+        .select("user_id", (F.col("p_t") - F.col("t")).alias("lat"))
+    )
+    return clicks.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("lat").alias("n_matched"),
+        F.round(F.expr("percentile(lat, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(lat, 0.9)"), 4).alias("p90_s"),
+    )
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), c AS (
+  SELECT cl.user_id,
+         (SELECT min(p.t) FROM e p
+          WHERE p.user_id = cl.user_id AND p.event_type = 'purchase'
+            AND (p.ts > cl.ts
+                 OR (p.ts = cl.ts AND p.event_id > cl.event_id))) - cl.t
+           AS lat
+  FROM e cl WHERE cl.event_type = 'click'
+)
+SELECT count(*) AS n_clicks,
+       count(lat) AS n_matched,
+       round(quantile_cont(lat, 0.5), 4) AS p50_s,
+       round(quantile_cont(lat, 0.9), 4) AS p90_s
+FROM c
+"""
+
+
 QUERIES = {
     "q_events_pattern": q_events_pattern,
+    "q_session_paths": q_session_paths,
+    "q_funnel_latency": q_funnel_latency,
     "q_sessionize_funnel": q_sessionize_funnel,
     "q_events_anomaly": q_events_anomaly,
     "q_agg_twap": q_agg_twap,
@@ -648,6 +802,8 @@ QUERIES = {
 
 ORACLES = {
     "q_events_pattern": ORACLE_EVENTS_PATTERN,
+    "q_session_paths": ORACLE_SESSION_PATHS,
+    "q_funnel_latency": ORACLE_FUNNEL_LATENCY,
     "q_sessionize_funnel": ORACLE_SESSIONIZE_FUNNEL,
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_agg_twap": ORACLE_AGG_TWAP,

@@ -1446,9 +1446,63 @@ FROM win
 """
 
 
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact MEDIAN of event value over the trailing 7 rows per
+    user — the robust moving-center statistic dashboards want where a
+    mean is outlier-dominated. Spark has no median window function; the
+    restatement is collect_list over the ROWS frame → array_sort →
+    interpolated middle, all in codegen array expressions. O(w log w)
+    per row is fine for small w; for large frames the scale path is a
+    two-pass approx_percentile or the windowed-histogram trick —
+    documented, not needed at w=7.
+
+    Cross-engine exactness: the oracle builds the SAME sorted list per
+    frame (DuckDB ``list() OVER``) and applies the SAME element_at
+    formula — never DuckDB's built-in ``median()``, whose internal
+    interpolation expression (a + (b-a)*0.5 vs (a+b)/2) is not
+    guaranteed bit-identical to ours. One user-keyed exchange serves
+    the single window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    frame = ev.select(
+        "user_id", "event_id", arr.alias("arr")
+    )
+    n = F.size("arr")
+    lo = F.element_at("arr", F.expr("cast((size(arr) + 1) div 2 as int)"))
+    hi = F.element_at("arr", F.expr("cast((size(arr) div 2) + 1 as int)"))
+    return frame.select(
+        "user_id",
+        "event_id",
+        n.cast("long").alias("n_window"),
+        ((lo + hi) / F.lit(2.0)).alias("med7"),
+    )
+
+
+ORACLE_WINDOW_MEDIAN = """
+WITH f AS (
+  SELECT user_id, event_id,
+         list_sort(list(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW)) AS arr
+  FROM events
+)
+SELECT user_id, event_id,
+       cast(len(arr) as bigint) AS n_window,
+       (arr[(len(arr) + 1) // 2] + arr[(len(arr) // 2) + 1]) / 2.0 AS med7
+FROM f
+"""
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_rolling_regression": q_rolling_regression,
+    "q_window_median": q_window_median,
     "q_agg_corr": q_agg_corr,
     "q_agg_histogram": q_agg_histogram,
     "q_setops_all": q_setops_all,
@@ -1486,6 +1540,7 @@ QUERIES = {
 ORACLES = {
     "q_profile_columns": ORACLE_PROFILE_COLUMNS,
     "q_rolling_regression": ORACLE_ROLLING_REGRESSION,
+    "q_window_median": ORACLE_WINDOW_MEDIAN,
     "q_agg_corr": ORACLE_AGG_CORR,
     "q_agg_histogram": ORACLE_AGG_HISTOGRAM,
     "q_setops_all": ORACLE_SETOPS_ALL,
