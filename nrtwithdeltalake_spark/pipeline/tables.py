@@ -112,6 +112,10 @@ class Commit:
         return Commit(**json.loads(s))
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write contained rows that falsify a table CHECK constraint."""
+
+
 class VersionedTable:
     """A versioned parquet table rooted at ``path``."""
 
@@ -262,9 +266,103 @@ class VersionedTable:
 
     # -- IO ----------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame, base: str) -> list[str]:
+    # -- CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity;
+    # the reference's sink has none, but a silver-zone consumer expects
+    # the invariant to hold table-wide, not per-producer) ----------------
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self.path, "_constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        try:
+            with open(self._constraints_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def add_constraint(self, name: str, predicate_sql: str) -> None:
+        """Declare a CHECK constraint. Like Delta, the CURRENT snapshot is
+        validated first (one distributed violation probe — adding a
+        constraint a table already breaks is refused), then every future
+        write of data files is gated on it. SQL CHECK semantics: a row
+        violates only when the predicate evaluates FALSE — NULL/unknown
+        passes."""
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._probe_violations({name: predicate_sql}, self.read())
+        cons[name] = predicate_sql
+        self._write_constraints(cons)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name)
+        self._write_constraints(cons)
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(cons, f)
+        os.rename(tmp, self._constraints_path())
+
+    def _probe_violations(self, cons: dict[str, str], df: DataFrame) -> None:
+        """One job regardless of constraint count: a single filter ORs the
+        negated predicates; the first offending row (take(1)) names every
+        constraint it breaks."""
+        if not cons:
+            return
+        viol = None
+        for sql in cons.values():
+            neg = ~F.coalesce(F.expr(sql), F.lit(True))
+            viol = neg if viol is None else (viol | neg)
+        hit = df.filter(viol).take(1)
+        if hit:
+            raise ConstraintViolationError(
+                f"CHECK constraint violated (one of {sorted(cons)}) "
+                f"by row {hit[0].asDict()}"
+            )
+
+    # -- writer transactions (Delta txnAppId/txnVersion parity) ----------
+
+    def txn_version(self, app: str) -> int | None:
+        """Latest committed writer-transaction version for ``app`` (None
+        if the app never wrote). Carried forward through every commit
+        kind by ``_carry_stats``."""
+        try:
+            return self.get_commit().stats.get("txn", {}).get(app)
+        except FileNotFoundError:
+            return None
+
+    @staticmethod
+    def _txn_skip(prev: Commit, app: str | None, version: int | None) -> bool:
+        if app is None:
+            return False
+        if version is None:
+            raise ValueError("txn_app requires txn_version")
+        seen = prev.stats.get("txn", {}).get(app)
+        return seen is not None and version <= seen
+
+    @staticmethod
+    def _txn_record(
+        stats: dict, prev: Commit, app: str | None, version: int | None
+    ) -> dict:
+        if app is not None:
+            txn = dict(stats.get("txn") or prev.stats.get("txn") or {})
+            txn[app] = version
+            stats["txn"] = txn
+        return stats
+
+    def _write_files(
+        self, df: DataFrame, base: str, enforce: bool = True
+    ) -> list[str]:
         """Write a batch as immutable parquet files in a fresh uuid dir;
-        returns the file list (metadata only — no data on the driver)."""
+        returns the file list (metadata only — no data on the driver).
+        Data-file writes are gated on the table's CHECK constraints
+        (CDF files carry pre-images/deletes and are exempt); ``enforce=
+        False`` skips the probe for rewrites of already-validated rows
+        (compaction)."""
+        if enforce and base == self.data_dir:
+            self._probe_violations(self.constraints(), df)
         out = os.path.join(base, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(out)
         return sorted(
@@ -300,6 +398,10 @@ class VersionedTable:
         kept = {f: prev_stats[f] for f in kept_files if f in prev_stats}
         if kept:
             out["file_stats"] = kept
+        # writer-transaction watermarks survive every commit kind — losing
+        # one would silently re-open the door to a duplicate replay
+        if "txn" not in out and prev.stats.get("txn"):
+            out["txn"] = dict(prev.stats["txn"])
         return out
 
     # -- writes ------------------------------------------------------------
@@ -352,7 +454,15 @@ class VersionedTable:
                 df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
             )
             self._write_commit(
-                Commit(v, "overwrite", files, cdf, df.schema.json(), time.time(), {})
+                Commit(
+                    v,
+                    "overwrite",
+                    files,
+                    cdf,
+                    df.schema.json(),
+                    time.time(),
+                    self._carry_stats(prev, []),
+                )
             )
             return v
 
@@ -380,7 +490,9 @@ class VersionedTable:
             touched_df = self._read_files(touched, prev.schema_json)
             kept = touched_df.filter(~pred)
             if kept.take(1):
-                files = files + self._write_files(kept, self.data_dir)
+                files = files + self._write_files(
+                    kept, self.data_dir, enforce=False
+                )
             removed = touched_df.filter(pred)
         else:
             removed = self.spark.createDataFrame([], self.schema())
@@ -446,9 +558,21 @@ class VersionedTable:
         )
         return v
 
-    def append(self, df: DataFrame) -> int:
-        """Append — the reference's INSERT INTO...SELECT (O26)."""
+    def append(
+        self,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Append — the reference's INSERT INTO...SELECT (O26).
+
+        ``txn_app``/``txn_version`` give Delta-style idempotent writes
+        (txnAppId/txnVersion): a retry carrying an already-committed
+        (app, version) is a structural no-op — the at-least-once safety
+        a scheduler-restarted ingest job needs without a dedup pass."""
         prev = self.get_commit()
+        if self._txn_skip(prev, txn_app, txn_version):
+            return prev.version
         df = _align_to(df, self._merged_schema(prev, df))
         v = prev.version + 1
         new_files = self._write_files(df, self.data_dir)
@@ -463,7 +587,12 @@ class VersionedTable:
                 cdf,
                 df.schema.json(),
                 time.time(),
-                self._carry_stats(prev, prev.files),
+                self._txn_record(
+                    self._carry_stats(prev, prev.files),
+                    prev,
+                    txn_app,
+                    txn_version,
+                ),
             )
         )
         return v
@@ -485,6 +614,8 @@ class VersionedTable:
         delete_condition: str | None = None,
         dedup_order_col: str | None = None,
         exclude_cols: list[str] | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> dict:
         """MERGE upsert — the reference's core operator (O6,
         ``COPY_MSQL_TO_SILVER.py:200-209``): ``WHEN MATCHED UPDATE ALL,
@@ -505,6 +636,8 @@ class VersionedTable:
         not persisted to the table.
         """
         prev = self.get_commit()
+        if self._txn_skip(prev, txn_app, txn_version):
+            return {"version": prev.version, "txn_skipped": True}
         if not keys:
             raise ValueError("merge requires at least one key column")
         tgt_cols = {f.name for f in self.schema().fields}
@@ -613,10 +746,15 @@ class VersionedTable:
         cdf_files = self._write_files(post.unionByName(pre), self.cdf_dir)
 
         v = prev.version + 1
-        stats = self._carry_stats(
+        stats = self._txn_record(
+            self._carry_stats(
+                prev,
+                carryover,
+                {"touched_files": len(touched), "carryover_files": len(carryover)},
+            ),
             prev,
-            carryover,
-            {"touched_files": len(touched), "carryover_files": len(carryover)},
+            txn_app,
+            txn_version,
         )
         self._write_commit(
             Commit(
@@ -745,7 +883,7 @@ class VersionedTable:
             )
         else:
             df = df.coalesce(n_out) if n_out < len(prev.files) else df
-        new_files = self._write_files(df, self.data_dir)
+        new_files = self._write_files(df, self.data_dir, enforce=False)
         stats = {
             "files_before": len(prev.files),
             "files_after": len(new_files),
@@ -756,6 +894,8 @@ class VersionedTable:
             stats["file_stats"] = self._collect_file_stats(
                 new_files, prev.schema_json, stat_cols
             )
+        if prev.stats.get("txn"):
+            stats["txn"] = dict(prev.stats["txn"])
         v = prev.version + 1
         self._write_commit(
             Commit(

@@ -860,3 +860,92 @@ def test_pipeline_bootstrap_registers_when_asked(spark, roots):
         assert got == {1: 999.99, 3: 123.45, 4: 456.78}
     finally:
         spark.sql("DROP DATABASE IF EXISTS reg_silver CASCADE")
+
+
+def test_check_constraints_gate_writes(spark, tmp_path):
+    """Delta CHECK-constraint parity: adding a constraint validates the
+    existing snapshot; violating appends/merges are rejected whole (no
+    partial commit); compaction of already-valid data is exempt from
+    re-validation; dropping the constraint reopens the gate."""
+    from nrtwithdeltalake_spark.pipeline.tables import (
+        ConstraintViolationError,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, amount double"
+    )
+    t = VersionedTable.create(spark, path, df)
+    t.add_constraint("amount_pos", "amount > 0")
+    with pytest.raises(ValueError):
+        t.add_constraint("amount_pos", "amount > 1")  # duplicate name
+    with pytest.raises(ConstraintViolationError):
+        t.append(
+            spark.createDataFrame(
+                [(3, -1.0)], "id bigint, amount double"
+            )
+        )
+    assert t.latest_version() == 0  # rejected append committed nothing
+    # NULL passes (SQL CHECK semantics)
+    t.append(
+        spark.createDataFrame(
+            [(3, None)], "id bigint, amount double"
+        )
+    )
+    # a constraint the current data already violates is refused
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("amount_not_null", "amount IS NOT NULL")
+    # merge with a violating source row is rejected too
+    with pytest.raises(ConstraintViolationError):
+        t.merge(
+            spark.createDataFrame(
+                [(1, -5.0)], "id bigint, amount double"
+            ),
+            keys=["id"],
+        )
+    t.compact()  # exempt rewrite: must not re-probe (and must succeed)
+    t.drop_constraint("amount_pos")
+    t.append(
+        spark.createDataFrame([(4, -1.0)], "id bigint, amount double")
+    )
+    assert t.read().filter("amount < 0").count() == 1
+
+
+def test_txn_tokens_make_retries_idempotent(spark, tmp_path):
+    """Delta txnAppId/txnVersion parity: a replayed (app, version)
+    append or merge is a structural no-op; the watermark survives
+    unrelated commits (compact) and is tracked per app."""
+    path = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "id bigint, v string"),
+    )
+    b = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    v1 = t.append(b, txn_app="ingest", txn_version=7)
+    assert t.txn_version("ingest") == 7
+    assert t.append(b, txn_app="ingest", txn_version=7) == v1  # replay
+    assert t.read().count() == 2  # not duplicated
+    t.compact()  # unrelated commit must not lose the watermark
+    assert t.txn_version("ingest") == 7
+    assert t.append(b, txn_app="ingest", txn_version=6) == t.latest_version()
+    assert t.read().count() == 2  # stale txn skipped
+    r = t.merge(
+        spark.createDataFrame([(2, "b2")], "id bigint, v string"),
+        keys=["id"],
+        txn_app="merger",
+        txn_version=1,
+    )
+    assert not r.get("txn_skipped")
+    r2 = t.merge(
+        spark.createDataFrame([(2, "b3")], "id bigint, v string"),
+        keys=["id"],
+        txn_app="merger",
+        txn_version=1,
+    )
+    assert r2.get("txn_skipped")
+    rows = {x.id: x.v for x in t.read().collect()}
+    assert rows[2] == "b2"  # replayed merge did not apply
+    assert t.txn_version("ingest") == 7 and t.txn_version("merger") == 1
+    with pytest.raises(ValueError):
+        t.append(b, txn_app="ingest")  # app without version
