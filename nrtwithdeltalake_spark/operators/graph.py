@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
 
@@ -254,12 +255,134 @@ FROM walk GROUP BY node
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the thresholded co-purchase graph
+    (parts co-ordered ≥2 times) — the clustering/community primitive,
+    and the classic test of whether a distributed engine can avoid the
+    naive join blowup.
+
+    Scale design — DEGREE-ORDERED ORIENTATION (the MapReduce-era
+    Suri & Vassilvitskii / Schank construction, standard in every
+    distributed graph library): orient each undirected edge from its
+    lower-(degree, id) endpoint to the higher one. Every node's
+    OUT-degree is then O(√m) regardless of how big a hub it is, so the
+    wedge self-join generates Σ C(outdeg, 2) = O(m^1.5) candidate
+    wedges worst-case instead of Σ C(deg, 2) — which a power-law hub
+    makes quadratic. Each triangle forms exactly one wedge at its
+    lowest-ordered corner, closed by one hash join back against the
+    oriented edge list; output corners re-sorted to plain id order.
+    The oracle deliberately runs the NAIVE a<b<c three-way self-join —
+    same set, none of the engine's machinery.
+
+    Plan: baskets → pair counts (the q_copurchase_pairs shape, one fact
+    shuffle), degree fold + orientation in one projection off the
+    persisted edge list, wedge join and closure join both hash joins on
+    edge-bounded keys. Nothing driver-side grows with the graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keyed = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"),
+            "v",
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(
+            u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+        )
+        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+        .alias("dst_k"),
+    ).select(
+        "src",
+        F.col("dst_k").getField("n").alias("dst"),
+        "dst_k",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst_k") < F.col("e2.dst_k")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("src").alias("b"), F.col("dst").alias("c")
+        ),
+        ["b", "c"],
+        "left_semi",
+    )
+    tri = closed.select(
+        F.array_sort(F.array("a", "b", "c")).alias("t")
+    ).select(
+        F.element_at("t", 1).alias("part_a"),
+        F.element_at("t", 2).alias("part_b"),
+        F.element_at("t", 3).alias("part_c"),
+    )
+    return tri
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT e1.u AS part_a, e1.v AS part_b, e2.v AS part_c
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_hierarchy_paths": q_hierarchy_paths,
+    "q_graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
     "q_graph_pagerank": ORACLE_GRAPH_PAGERANK,
     "q_hierarchy_paths": ORACLE_HIERARCHY_PATHS,
+    "q_graph_triangles": ORACLE_GRAPH_TRIANGLES,
 }

@@ -81,3 +81,19 @@ def test_hierarchy_pointer_jumping_log_rounds(spark, sf_dir):
             want_root //= 10
             want_depth += 1
         assert (root, depth) == (want_root, want_depth), (k, root, depth)
+
+
+def test_triangles_no_cartesian_and_unique(spark, sf_dir):
+    """Orientation contract: the wedge join is a hash join on src (never
+    a cartesian), and each triangle is enumerated exactly once, corners
+    sorted."""
+    from nrtwithdeltalake_spark.operators.graph import q_graph_triangles
+    from nrtwithdeltalake_spark.plans import inspect
+
+    df = q_graph_triangles(spark, sf_dir)
+    rows = [(r.part_a, r.part_b, r.part_c) for r in df.collect()]
+    assert len(rows) == len(set(rows))  # no duplicate triangles
+    assert all(a < b < c for a, b, c in rows)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
