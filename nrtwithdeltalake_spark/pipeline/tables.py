@@ -770,6 +770,61 @@ class VersionedTable:
         src.unpersist()
         return {"version": v, **stats}
 
+    def delete(self, condition: str) -> int:
+        """Predicate DELETE — Delta ``DELETE FROM t WHERE ...`` parity
+        (the retention/GDPR primitive the merge delete-branch doesn't
+        cover: no source batch, the predicate runs against the TABLE).
+        Copy-on-write: only files physically containing matching rows
+        are rewritten with their survivors (``enforce=False`` — removing
+        rows cannot break a CHECK constraint); everything else carries
+        over by reference with data-skipping stats intact. Deleted rows
+        are emitted to the change feed as ``delete`` pre-images, so
+        downstream incremental consumers retract them. NULL predicate
+        rows are kept (SQL filter semantics)."""
+        prev = self.get_commit()
+        tgt_all = self._read_files(prev.files, prev.schema_json)
+        pred = F.coalesce(F.expr(condition), F.lit(False))
+        touched = sorted(
+            _strip_scheme(r[0])
+            for r in tgt_all.withColumn("__file", F.col("_metadata.file_path"))
+            .filter(pred)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        carryover = [f for f in prev.files if f not in set(touched)]
+        files = carryover
+        if touched:
+            touched_df = self._read_files(touched, prev.schema_json)
+            kept = touched_df.filter(~pred)
+            if kept.take(1):
+                files = files + self._write_files(
+                    kept, self.data_dir, enforce=False
+                )
+            removed = touched_df.filter(pred)
+        else:
+            removed = self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(prev.schema_json))
+            )
+        cdf_files = self._write_files(
+            removed.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
+        )
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "delete",
+                files,
+                cdf_files,
+                prev.schema_json,
+                time.time(),
+                self._carry_stats(
+                    prev, carryover, {"touched_files": len(touched)}
+                ),
+            )
+        )
+        return v
+
     def update(self, condition: str, assignments: dict[str, F.Column]) -> int:
         """Conditional UPDATE — the reference's CloseWatermark proc (O28,
         ``dbrconfig.sql:85-91``). Copy-on-write on files containing

@@ -949,3 +949,39 @@ def test_txn_tokens_make_retries_idempotent(spark, tmp_path):
     assert t.txn_version("ingest") == 7 and t.txn_version("merger") == 1
     with pytest.raises(ValueError):
         t.append(b, txn_app="ingest")  # app without version
+
+
+def test_delete_where_copy_on_write_and_cdf(spark, tmp_path):
+    """Predicate DELETE: only files containing matching rows are
+    rewritten; survivors and other files keep their content; deleted
+    rows appear in the change feed as 'delete'; NULL predicates keep
+    the row; a no-match delete still commits (empty CDF) and time
+    travel preserves the pre-delete snapshot."""
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "id bigint, amount double"
+    )
+    b = spark.createDataFrame(
+        [(3, 30.0), (4, 40.0)], "id bigint, amount double"
+    )
+    t = VersionedTable.create(spark, path, a)
+    t.append(b)  # second file set — must carry over untouched
+    files_before = set(t.get_commit().files)
+    v = t.delete("amount < 20")  # matches id=1 only; id=2 NULL → kept
+    assert v == 2
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids == [2, 3, 4]
+    commit = t.get_commit()
+    # id=3/4 file(s) carried over by reference (no rewrite)
+    assert set(commit.files) & files_before, "carryover expected"
+    cdf = t.change_feed(starting_version=v - 1)
+    dels = [
+        r.id
+        for r in cdf.filter("_change_type = 'delete'").collect()
+    ]
+    assert dels == [1]
+    assert sorted(
+        r.id for r in t.read(version=1).collect()
+    ) == [1, 2, 3, 4]  # time travel unaffected
+    v2 = t.delete("id = 999")  # no match
+    assert v2 == 3 and t.read().count() == 3
