@@ -770,6 +770,61 @@ class VersionedTable:
         src.unpersist()
         return {"version": v, **stats}
 
+    def add_column(self, name: str, dtype: str) -> int:
+        """Metadata-only ``ALTER TABLE ADD COLUMN``: commits a widened
+        schema without touching a single data file — existing files
+        simply lack the column and the schema-driven read path fills it
+        with NULLs (the same mechanism merge schema evolution relies
+        on). O(1) regardless of table size, like Delta/Iceberg."""
+        prev = self.get_commit()
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        schema = schema.add(name, dtype)
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "add_column",
+                prev.files,
+                [],
+                schema.json(),
+                time.time(),
+                self._carry_stats(prev, prev.files, {"added_column": name}),
+            )
+        )
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only ``ALTER TABLE DROP COLUMN``: the column leaves
+        the committed schema so every read (current and future writes'
+        merged schemas) stops seeing it; file bytes are untouched until
+        files are naturally rewritten (Delta column-mapping drop works
+        the same way). Time travel to an earlier version still shows
+        the column. Renames are deliberately unsupported: the read path
+        matches parquet columns by NAME, so a rename without rewrite
+        would silently null the data."""
+        prev = self.get_commit()
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} does not exist")
+        kept = T.StructType([f for f in schema.fields if f.name != name])
+        if not kept.fields:
+            raise ValueError("cannot drop the last column")
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "drop_column",
+                prev.files,
+                [],
+                kept.json(),
+                time.time(),
+                self._carry_stats(prev, prev.files, {"dropped_column": name}),
+            )
+        )
+        return v
+
     def delete(self, condition: str) -> int:
         """Predicate DELETE — Delta ``DELETE FROM t WHERE ...`` parity
         (the retention/GDPR primitive the merge delete-branch doesn't

@@ -985,3 +985,36 @@ def test_delete_where_copy_on_write_and_cdf(spark, tmp_path):
     ) == [1, 2, 3, 4]  # time travel unaffected
     v2 = t.delete("id = 999")  # no match
     assert v2 == 3 and t.read().count() == 3
+
+
+def test_alter_schema_metadata_only(spark, tmp_path):
+    """ADD/DROP COLUMN are O(1) metadata commits: no data file changes;
+    added columns read as NULL from old files and accept values from
+    new writes; dropped columns disappear from reads but survive in
+    time travel; rename is refused by omission (no API)."""
+    path = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "id bigint, v string"),
+    )
+    files0 = list(t.get_commit().files)
+    t.add_column("score", "double")
+    assert t.get_commit().files == files0  # metadata only
+    row = t.read().collect()[0]
+    assert row.score is None
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id bigint, v string, score double"
+        )
+    )
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: None, 2: 0.5}
+    with pytest.raises(ValueError):
+        t.add_column("score", "double")
+    v_before_drop = t.latest_version()
+    t.drop_column("v")
+    assert "v" not in t.read().columns
+    assert "v" in t.read(version=v_before_drop).columns  # time travel
+    with pytest.raises(ValueError):
+        t.drop_column("nope")
