@@ -783,10 +783,144 @@ FROM c
 """
 
 
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    purchase's value is split across the user's clicks in the prior 24
+    hours — 100% to a lone touch, 50/50 to two, else 40% first / 40%
+    last / 20% shared equally by the middles — then credited revenue
+    rolls up by touch hour-of-day (the "when do converting touches
+    happen" marketing table).
+
+    Exactness contract: purchase values quantize to integer micro-units
+    ONCE; position weights are integer basis points whose division
+    remainder is assigned deterministically to the earliest middle
+    touch, so each purchase's credits sum EXACTLY to its quantized
+    value (conservation testable, no float leakage) and the final sums
+    are order-independent bigint arithmetic on both engines.
+
+    Plan: the touch join is a hash join on user_id with the time-range
+    predicate as a post-join filter (per-user bounded; the bin-bucketed
+    interval idiom of q_join_interval_binned is the swap if a single
+    user's history stops fitting a partition); one purchase-keyed
+    window ranks touches; one 24-row aggregate finishes."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        epoch.alias("p_t"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        epoch.alias("c_t"),
+    )
+    touches = p.join(c, "user_id").filter(
+        (F.col("c_t") < F.col("p_t"))
+        & (F.col("c_t") >= F.col("p_t") - 86400)
+    )
+    w = Window.partitionBy("p_id")
+    wo = w.orderBy("c_t", "c_id")
+    ranked = touches.select(
+        "p_id",
+        "v_micro",
+        "c_t",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mid_share = F.expr("2000 div (n - 2)")
+    mid_rem = F.lit(2000) - mid_share * (F.col("n") - 2)
+    w_bp = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when(F.col("rn") == 1, F.lit(4000))
+        .when(F.col("rn") == F.col("n"), F.lit(4000))
+        .otherwise(mid_share + F.when(F.col("rn") == 2, mid_rem).otherwise(0))
+    )
+    # Telescoping split: credit_i = floor(v·CW_i/1e4) − floor(v·CW_{i−1}/1e4)
+    # over the cumulative weight CW — per-purchase credits sum EXACTLY to
+    # v_micro (CW_n = 10000), unlike independent floor divisions.
+    weighted = ranked.select(
+        F.expr("(c_t div 3600) % 24").alias("touch_hour"),
+        "p_id",
+        "v_micro",
+        "c_t",
+        "rn",
+        w_bp.alias("w_bp"),
+    )
+    cw = F.sum("w_bp").over(
+        Window.partitionBy("p_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    credited = weighted.withColumn("cw", cw).select(
+        "touch_hour",
+        (
+            F.expr("(v_micro * cw) div 10000")
+            - F.expr("(v_micro * (cw - w_bp)) div 10000")
+        ).alias("cr"),
+    )
+    return (
+        credited.groupBy("touch_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("cr").alias("credited_micro"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION_MULTITOUCH = """
+WITH p AS (
+  SELECT user_id, event_id AS p_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS p_t,
+         cast(floor(value * 1e6 + 0.5) as bigint) AS v_micro
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS c_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS c_t
+  FROM events WHERE event_type = 'click'
+), touches AS (
+  SELECT p.p_id, p.v_micro, c.c_t,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY c.c_t, c.c_id)
+           AS rn,
+         count(*) OVER (PARTITION BY p.p_id) AS n
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE c.c_t < p.p_t AND c.c_t >= p.p_t - 86400
+), weighted AS (
+  SELECT (c_t // 3600) % 24 AS touch_hour, p_id, v_micro, rn,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 THEN 5000
+              WHEN rn = 1 THEN 4000
+              WHEN rn = n THEN 4000
+              ELSE (2000 // (n - 2))
+                   + CASE WHEN rn = 2
+                          THEN 2000 - (2000 // (n - 2)) * (n - 2)
+                          ELSE 0 END
+         END AS w_bp
+  FROM touches
+), cum AS (
+  SELECT touch_hour, v_micro, w_bp,
+         sum(w_bp) OVER (PARTITION BY p_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cw
+  FROM weighted
+)
+SELECT touch_hour, count(*) AS n_touches,
+       cast(sum((v_micro * cw) // 10000
+                - (v_micro * (cw - w_bp)) // 10000) as bigint)
+         AS credited_micro
+FROM cum GROUP BY touch_hour
+"""
+
+
 QUERIES = {
     "q_events_pattern": q_events_pattern,
     "q_session_paths": q_session_paths,
     "q_funnel_latency": q_funnel_latency,
+    "q_attribution_multitouch": q_attribution_multitouch,
     "q_sessionize_funnel": q_sessionize_funnel,
     "q_events_anomaly": q_events_anomaly,
     "q_agg_twap": q_agg_twap,
@@ -804,6 +938,7 @@ ORACLES = {
     "q_events_pattern": ORACLE_EVENTS_PATTERN,
     "q_session_paths": ORACLE_SESSION_PATHS,
     "q_funnel_latency": ORACLE_FUNNEL_LATENCY,
+    "q_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "q_sessionize_funnel": ORACLE_SESSIONIZE_FUNNEL,
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_agg_twap": ORACLE_AGG_TWAP,
