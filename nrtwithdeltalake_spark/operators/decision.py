@@ -373,102 +373,7 @@ FROM scored GROUP BY n, n_lang, n_source
 """
 
 
-def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square test of independence between event type and weekday —
-    "does behavior depend on the day" as one statistic (the categorical
-    sibling of q_ab_test_welch). One partial-aggregatable count pass
-    builds the contingency table (|types|×7 rows); margins and the
-    statistic assemble on that tiny grain.
-
-    Exactness: observed counts and margins are integers; each cell's
-    (O−E)²/E term is IEEE arithmetic on exact integers, quantized
-    tie-free to 1e−6 BEFORE the final sum (order-independent,
-    engine-exact — the lm_quality device). E is never zero: margins of
-    an observed cell are ≥ its count ≥ 1, and zero-count cells of the
-    full cross-product contribute exactly O=0 terms which the oracle
-    mirrors by generating the same dense grid."""
-    ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        F.col("event_type").alias("et"),
-        F.dayofweek("ts").alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("o"))
-    ets = cells.select("et").distinct()
-    dows = cells.select("dow").distinct()
-    grid = (
-        ets.crossJoin(dows)
-        .join(cells, ["et", "dow"], "left")
-        .withColumn("o", F.coalesce("o", F.lit(0)))
-    )
-    rowt = grid.groupBy("et").agg(F.sum("o").alias("rt"))
-    colt = grid.groupBy("dow").agg(F.sum("o").alias("ct"))
-    tot = grid.agg(F.sum("o").alias("n"))
-    term = (
-        F.floor(
-            (
-                (
-                    F.col("o").cast("double")
-                    - F.col("rt").cast("double")
-                    * F.col("ct").cast("double")
-                    / F.col("n").cast("double")
-                )
-                * (
-                    F.col("o").cast("double")
-                    - F.col("rt").cast("double")
-                    * F.col("ct").cast("double")
-                    / F.col("n").cast("double")
-                )
-                / (
-                    F.col("rt").cast("double")
-                    * F.col("ct").cast("double")
-                    / F.col("n").cast("double")
-                )
-            )
-            * F.lit(1e6)
-            + F.lit(0.5)
-        ).cast("long")
-    )
-    return (
-        grid.join(F.broadcast(rowt), "et")
-        .join(F.broadcast(colt), "dow")
-        .join(F.broadcast(tot))
-        .select(term.alias("t"), "et", "dow")
-        .agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            (F.sum("t").cast("double") / F.lit(1e6)).alias("chi2"),
-        )
-    )
-
-
-ORACLE_CHISQ_INDEPENDENCE = """
-WITH cells AS (
-  SELECT event_type AS et, dayofweek(ts) + 1 AS dow, count(*) AS o
-  FROM events GROUP BY 1, 2
-), grid AS (
-  SELECT e.et, d.dow, coalesce(c.o, 0) AS o
-  FROM (SELECT DISTINCT et FROM cells) e
-  CROSS JOIN (SELECT DISTINCT dow FROM cells) d
-  LEFT JOIN cells c ON c.et = e.et AND c.dow = d.dow
-), rowt AS (SELECT et, cast(sum(o) as bigint) AS rt FROM grid GROUP BY et),
-colt AS (SELECT dow, cast(sum(o) as bigint) AS ct FROM grid GROUP BY dow),
-tot AS (SELECT cast(sum(o) as bigint) AS n FROM grid),
-terms AS (
-  SELECT cast(floor(
-           (cast(o as double)
-            - cast(rt as double) * cast(ct as double) / cast(n as double))
-           * (cast(o as double)
-              - cast(rt as double) * cast(ct as double) / cast(n as double))
-           / (cast(rt as double) * cast(ct as double) / cast(n as double))
-           * 1e6 + 0.5) as bigint) AS t
-  FROM grid JOIN rowt USING (et) JOIN colt USING (dow) CROSS JOIN tot
-)
-SELECT count(*) AS n_cells,
-       cast(sum(t) as double) / 1e6 AS chi2
-FROM terms
-"""
-
-
 QUERIES = {
-    "q_chisq_independence": q_chisq_independence,
     "q_ab_test_welch": q_ab_test_welch,
     "q_chi2_independence": q_chi2_independence,
     "q_pareto_share": q_pareto_share,
@@ -476,7 +381,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "q_chisq_independence": ORACLE_CHISQ_INDEPENDENCE,
     "q_ab_test_welch": ORACLE_AB_TEST_WELCH,
     "q_chi2_independence": ORACLE_CHI2_INDEPENDENCE,
     "q_pareto_share": ORACLE_PARETO_SHARE,

@@ -247,9 +247,14 @@ _NESTED_LOOP_BY_DESIGN = {
     # crossJoin(broadcast(stats)) — same O(n·1) shape as q_agg_histogram.
     "q_bm25_topk",
     "q_retrieval_hybrid",  # 1-row corpus-stats + query-vector broadcasts
-    "q_chi2_independence",
+    "q_chi2_independence",  # 1-row grand-total broadcast onto the cell grid
     "q_rfm_segments",
     "q_affinity_lift",
+    "q_lm_perplexity",  # 1-row corpus-token-total broadcast
+    "q_corpus_mixture",  # 1-row total-weight broadcast
+    "q_corpus_drift_kl",  # 1-row corpus totals + |sources|-row totals grid
+    "q_vocab_coverage",  # 3-row k-grid (θ-join on rank) + 1-row totals
+    "q_agg_histogram_eqdepth",  # 1-row percentile-cutoff broadcast
     # 1-row node-count broadcast (SCALE div n term); edge/rank joins are
     # hash joins, asserted separately in test_graph.py.
     "q_graph_pagerank",
