@@ -916,11 +916,39 @@ FROM cum GROUP BY touch_hour
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics on events.user_id via
+    ``skew.key_skew_report`` — the measurement that picks between plain
+    shuffle, AQE skew splitting, and ``salted_join`` (q_join_salted) at
+    100 TB. See the helper's docstring for the plan shape."""
+    from .skew import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
+ORACLE_SKEW_REPORT = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_keys,
+       cast(sum(cnt) as bigint) AS n_rows,
+       cast(max(cnt) as bigint) AS max_per_key,
+       (cast(max(cnt) as bigint) * 10000) // cast(sum(cnt) as bigint)
+         AS top_share_bp,
+       floor(quantile_cont(cnt, 0.5) * 100 + 0.5) / 100.0 AS p50_per_key,
+       floor(quantile_cont(cnt, 0.99) * 100 + 0.5) / 100.0 AS p99_per_key,
+       floor(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5) * 1e4 + 0.5)
+         / 1e4 AS skew_ratio
+FROM per_key
+"""
+
+
 QUERIES = {
     "q_events_pattern": q_events_pattern,
     "q_session_paths": q_session_paths,
     "q_funnel_latency": q_funnel_latency,
     "q_attribution_multitouch": q_attribution_multitouch,
+    "q_skew_report": q_skew_report,
     "q_sessionize_funnel": q_sessionize_funnel,
     "q_events_anomaly": q_events_anomaly,
     "q_agg_twap": q_agg_twap,
@@ -939,6 +967,7 @@ ORACLES = {
     "q_session_paths": ORACLE_SESSION_PATHS,
     "q_funnel_latency": ORACLE_FUNNEL_LATENCY,
     "q_attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
+    "q_skew_report": ORACLE_SKEW_REPORT,
     "q_sessionize_funnel": ORACLE_SESSIONIZE_FUNNEL,
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_agg_twap": ORACLE_AGG_TWAP,

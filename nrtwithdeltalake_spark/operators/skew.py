@@ -75,3 +75,41 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(
         *[c.alias(name) for name, c in final_aggs.items()]
     )
+
+
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Key-distribution diagnostics for a prospective join/agg key — the
+    "measure before you salt" report that decides between plain
+    shuffle, AQE skew splitting, and ``salted_join``: key cardinality,
+    the hottest key's share (exact basis points), and the p99/median
+    per-key-count ratio (tie-free-quantized).
+
+    One partial-aggregatable count pass collapses the fact grain to
+    per-key counts; every statistic then lives on the key grain. The
+    exact ``percentile`` over per-key counts is the only
+    cardinality-bounded buffer; swap approx_percentile at extreme key
+    counts (same plan otherwise)."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        F.expr("(max(cnt) * 10000) div sum(cnt)").alias("top_share_bp"),
+        F.expr("percentile(cnt, 0.5)").alias("__p50"),
+        F.expr("percentile(cnt, 0.99)").alias("__p99"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_per_key",
+        "top_share_bp",
+        (
+            F.floor(F.col("__p50") * 100 + F.lit(0.5)) / F.lit(100.0)
+        ).alias("p50_per_key"),
+        (
+            F.floor(F.col("__p99") * 100 + F.lit(0.5)) / F.lit(100.0)
+        ).alias("p99_per_key"),
+        (
+            F.floor(F.col("__p99") / F.col("__p50") * 1e4 + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("skew_ratio"),
+    )
