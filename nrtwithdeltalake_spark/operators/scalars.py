@@ -262,7 +262,47 @@ ORDER BY k_mod NULLS FIRST
 """
 
 
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode error-safe scalar family (``try_divide`` /
+    ``try_cast`` / ``try_element_at``): under Spark 4's default ANSI
+    semantics a division by zero, bad cast, or out-of-bounds index
+    FAILS THE JOB; the try_* forms return NULL instead — the difference
+    between one malformed row poisoning a 100 TB pipeline stage and a
+    null you can quarantine downstream. Each expression here is built
+    to hit both outcomes deterministically (zero vs non-zero
+    denominators, parseable vs non-parseable strings, in- vs
+    out-of-bounds indexes); the oracle mirrors the NULL contract with
+    guards/TRY_CAST. Single scan+project, codegen, zero shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    denom = (F.col("event_id") % 3).cast("long")
+    mixed = F.concat(
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 2 == 1, F.lit("x")).otherwise(F.lit("")),
+    )
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), denom).alias("safe_div"),
+        mixed.try_cast("bigint").alias("parsed_id"),
+        F.try_element_at(
+            F.split(F.col("event_type"), "i"), F.lit(3)
+        ).alias("third_piece"),
+    )
+
+
+ORACLE_SCALAR_TRY = """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN NULL
+            ELSE value / (event_id % 3) END AS safe_div,
+       TRY_CAST(concat(cast(event_id as varchar),
+                       CASE WHEN event_id % 2 = 1 THEN 'x' ELSE '' END)
+                AS BIGINT) AS parsed_id,
+       string_split(event_type, 'i')[3] AS third_piece
+FROM events
+"""
+
+
 QUERIES = {
+    "q_scalar_try": q_scalar_try,
     "q_array_ops": q_array_ops,
     "q_json_typed": q_json_typed,
     "q_scalar_datetime": q_scalar_datetime,
@@ -274,6 +314,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_scalar_try": ORACLE_SCALAR_TRY,
     "q_array_ops": ORACLE_ARRAY_OPS,
     "q_json_typed": ORACLE_JSON_TYPED,
     "q_scalar_datetime": ORACLE_SCALAR_DATETIME,
