@@ -301,8 +301,60 @@ FROM events
 """
 
 
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user event-type counts built into a real
+    map column (``map_from_entries``), operated on with the map lambda
+    family (map_filter / transform_values / map_keys), then exploded
+    back to rows for the oracle — proving the nested-map surface works
+    end-to-end while keeping every step JVM-side. The reference's flat
+    schema never needed maps; a feature-store consumer of the silver
+    events table does (per-entity feature bags).
+
+    Plan: one partial-aggregatable (user, type) count, one user-grain
+    map assembly, one in-codegen explode — the map never crosses an
+    engine boundary (DuckDB compares the exploded row form)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bags = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("bag")
+    )
+    enriched = bags.select(
+        "user_id",
+        F.map_filter(F.col("bag"), lambda k, v: v >= 2).alias("hot"),
+        F.size(F.map_keys(F.col("bag"))).cast("long").alias("n_types"),
+    )
+    return enriched.select(
+        "user_id",
+        "n_types",
+        F.explode_outer(
+            F.transform_values(F.col("hot"), lambda k, v: v * 10)
+        ).alias("etype", "cnt_x10"),
+    )
+
+
+ORACLE_MAP_OPS = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), n AS (
+  SELECT user_id, cast(count(*) as bigint) AS n_types
+  FROM counts GROUP BY user_id
+), hot AS (
+  SELECT user_id, event_type AS etype, cnt * 10 AS cnt_x10
+  FROM counts WHERE cnt >= 2
+)
+SELECT n.user_id, n.n_types, h.etype, h.cnt_x10
+FROM n LEFT JOIN hot h ON n.user_id = h.user_id
+"""
+
+
 QUERIES = {
     "q_scalar_try": q_scalar_try,
+    "q_map_ops": q_map_ops,
     "q_array_ops": q_array_ops,
     "q_json_typed": q_json_typed,
     "q_scalar_datetime": q_scalar_datetime,
@@ -315,6 +367,7 @@ QUERIES = {
 
 ORACLES = {
     "q_scalar_try": ORACLE_SCALAR_TRY,
+    "q_map_ops": ORACLE_MAP_OPS,
     "q_array_ops": ORACLE_ARRAY_OPS,
     "q_json_typed": ORACLE_JSON_TYPED,
     "q_scalar_datetime": ORACLE_SCALAR_DATETIME,
