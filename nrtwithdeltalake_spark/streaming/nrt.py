@@ -316,6 +316,39 @@ def run_rollup_stream(
     q.awaitTermination()
 
 
+def run_joinview_stream(
+    view,
+    checkpoint_dir: str,
+) -> None:
+    """NRT enriched-view loop: tail BOTH base tables' change feeds (a
+    union file stream — either side committing wakes the loop) and call
+    ``IncrementalJoinView.refresh()``. As with ``run_rollup_stream``,
+    the batch content is only the trigger: refresh() reads both change
+    feeds from its own committed (fact_version, dim_version) watermark
+    pair, so replayed or coalesced micro-batches can neither skip nor
+    double-apply — a dim commit arriving while a fact batch is in
+    flight is simply picked up by the next refresh."""
+    spark = view.spark
+    cdf = stream_change_feed(spark, view.fact.path).select(
+        F.lit("fact").alias("side")
+    ).unionByName(
+        stream_change_feed(spark, view.dim.path).select(
+            F.lit("dim").alias("side")
+        )
+    )
+
+    def on_commit(batch_df: DataFrame, epoch_id: int) -> None:
+        view.refresh()
+
+    q = (
+        cdf.writeStream.foreachBatch(on_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_scd2_stream(
     stream_df: DataFrame,
     target_path: str,

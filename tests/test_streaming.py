@@ -794,3 +794,59 @@ def test_dedup_ingest_recovers_partial_append(spark, tmp_path):
         .count()
         == 2
     )
+
+
+def test_joinview_stream_refreshes_on_either_side(spark, tmp_path):
+    """run_joinview_stream: commits on EITHER base table drive the
+    enriched view to the exact full-re-join state via the union CDF
+    tail; the (fact, dim) watermark pair advances with each pass."""
+    from nrtwithdeltalake_spark.pipeline.joinview import IncrementalJoinView
+
+    fact = VersionedTable.create(
+        spark,
+        str(tmp_path / "jfact"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0)], "id long, fk long, v double"
+        ),
+    )
+    dim = VersionedTable.create(
+        spark,
+        str(tmp_path / "jdim"),
+        spark.createDataFrame([(10, "ten"), (20, "twenty")], "dk long, label string"),
+    )
+    view = IncrementalJoinView(
+        spark,
+        fact,
+        dim,
+        str(tmp_path / "jview"),
+        fact_pk=["id"],
+        fact_fk=["fk"],
+        dim_key=["dk"],
+        how="inner",
+    )
+    ckpt = str(tmp_path / "jckpt")
+    nrt.run_joinview_stream(view, ckpt)
+    assert {r.id: r.label for r in view.read().collect()} == {
+        1: "ten",
+        2: "twenty",
+    }
+
+    # fact-side commit
+    fact.append(
+        spark.createDataFrame([(3, 10, 3.0)], "id long, fk long, v double")
+    )
+    nrt.run_joinview_stream(view, ckpt)
+    assert {r.id for r in view.read().collect()} == {1, 2, 3}
+
+    # dim-side commit: trickle-down through the stream loop
+    dim.merge(
+        spark.createDataFrame([(10, "TEN")], "dk long, label string"),
+        keys=["dk"],
+    )
+    nrt.run_joinview_stream(view, ckpt)
+    labels = {r.id: r.label for r in view.read().collect()}
+    assert labels[1] == "TEN" and labels[3] == "TEN"
+    assert view.reflected_versions() == (
+        fact.latest_version(),
+        dim.latest_version(),
+    )
