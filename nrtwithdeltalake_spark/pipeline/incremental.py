@@ -148,7 +148,13 @@ def load_entity(
         action = "incremental"
 
     # -- sink (E3 step 5, :185-209) ----------------------------------------
-    n = batch.count()  # reference caches + counts the batch (:180-183)
+    # The reference caches + counts the batch as a SEPARATE pass
+    # (:180-183). Observation folds the row count into the write job
+    # itself — at 100 TB that deletes one full batch scan per load.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"load_{eid}")
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
     if first_load:
         t = VersionedTable.create(spark, tgt_path, batch)
         if register_db is not None:
@@ -160,6 +166,7 @@ def load_entity(
             delete_condition=f"{SYNC_OP} = 'D'" if apply_deletes else None,
             dedup_order_col=SYNC_DT,
         )
+    n = obs.get["n"]
 
     # -- ledger close (E3 step 6, :212-218) --------------------------------
     store.close_watermark(wm_id)
