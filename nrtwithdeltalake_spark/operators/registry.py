@@ -25,6 +25,7 @@ from . import (
     lm_quality,
     relational,
     relational_ext,
+    reshape,
     retrieval,
     robust,
     scalars,
@@ -44,6 +45,7 @@ _MODULES = [
     behavior,
     lateral,
     joins_ext,
+    reshape,
     robust,
     retrieval,
     freq,

@@ -258,6 +258,7 @@ _NESTED_LOOP_BY_DESIGN = {
     # 1-row node-count broadcast (SCALE div n term); edge/rank joins are
     # hash joins, asserted separately in test_graph.py.
     "q_graph_pagerank",
+    "q_category_collapse",  # 1-row grand-total broadcast onto the brand grain
 }
 
 
@@ -406,3 +407,40 @@ def test_lm_quality_broadcast_only_and_cache_reuse(spark, sf_dir):
     drift.collect()
     # all three marginal branches read the cached (source, tok) grain
     assert inspect.physical_plan(drift).count("InMemoryTableScan") >= 3
+
+
+def test_melt_profile_expand_feeds_partial_agg(spark, sf_dir):
+    """Melt contract: the K×-multiplying Expand stays INSIDE the scan
+    stage, collapsed by a map-side partial aggregate before the single
+    exchange — long form is never shuffled at K× data size."""
+    from nrtwithdeltalake_spark.operators.reshape import q_melt_profile
+
+    df = q_melt_profile(spark, sf_dir)
+    assert "Expand" in inspect.physical_plan(df)
+    assert inspect.num_shuffles(df) == 1, inspect.physical_plan(df)
+    assert inspect.has_partial_agg(df)
+
+
+def test_nullsafe_join_is_hash_join(spark, sf_dir):
+    """Null-safe equality must plan a hash join on the <=> key (Spark
+    rewrites <=> into a coalesce-keyed equi-join) — never a nested-loop
+    over the sides."""
+    from nrtwithdeltalake_spark.operators.reshape import q_join_nullsafe
+
+    strategies = inspect.join_strategies(q_join_nullsafe(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
+    assert any("HashJoin" in s for s in strategies), strategies
+
+
+def test_table_checksum_single_agg_shuffle(spark, sf_dir):
+    """The table fingerprint is commutative, so both unioned scans must
+    partial-aggregate map-side and meet in ONE exchange — the property
+    that makes it affordable on a 100 TB table."""
+    from nrtwithdeltalake_spark.operators.reshape import q_table_checksum
+
+    df = q_table_checksum(spark, sf_dir)
+    assert inspect.num_shuffles(df) == 1, inspect.physical_plan(df)
+    assert inspect.has_partial_agg(df)
+    # row fingerprints are pure Catalyst (md5/conv) — no Python boundary
+    assert "BatchEvalPython" not in inspect.physical_plan(df)
