@@ -1,0 +1,138 @@
+"""IncrementalChecksum: the maintained fingerprint must equal a direct
+recompute after every kind of base mutation — append, merge upserts
+(insert + update), merge deletes, predicate DELETE, overwrite — and the
+refresh must be algebraic (CDF-only), idempotent, and self-healing
+after vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark.pipeline.checksum_view import (
+    IncrementalChecksum,
+    fingerprint_expr,
+)
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+
+def _mk(spark, tmp_path, rows):
+    base = VersionedTable.create(
+        spark,
+        os.path.join(str(tmp_path), "base"),
+        spark.createDataFrame(rows, "id long, v string, amt double"),
+    )
+    cs = IncrementalChecksum(
+        spark, base, os.path.join(str(tmp_path), "cs"), cols=["id", "v", "amt"]
+    )
+    return base, cs
+
+
+def test_bootstrap_matches_direct_compute(spark, tmp_path):
+    base, cs = _mk(spark, tmp_path, [(1, "a", 1.5), (2, "b", 2.0), (3, None, 0.25)])
+    out = cs.refresh()
+    assert out["bootstrap"] is True
+    assert cs.current() == cs.compute_now()
+    # a second refresh with no base change is a no-op
+    assert cs.refresh() == {"refreshed": False, "base_version": base.latest_version()}
+
+
+def test_append_and_merge_maintain_algebraically(spark, tmp_path):
+    base, cs = _mk(spark, tmp_path, [(1, "a", 1.5), (2, "b", 2.0)])
+    cs.refresh()
+    v0 = cs.last_refreshed_version()
+
+    base.append(spark.createDataFrame([(3, "c", 3.0), (4, "d", 4.0)], "id long, v string, amt double"))
+    out = cs.refresh()
+    assert out["bootstrap"] is False and out["d_rows"] == 2
+    assert cs.current() == cs.compute_now()
+
+    # merge: update id=1, insert id=5, delete id=2
+    src = spark.createDataFrame(
+        [(1, "a2", 1.75, False), (5, "e", 5.0, False), (2, "b", 2.0, True)],
+        "id long, v string, amt double, __del boolean",
+    )
+    base.merge(src, ["id"], delete_condition="__del", exclude_cols=["__del"])
+    out = cs.refresh()
+    assert out["bootstrap"] is False and out["d_rows"] == 0  # +1 insert, -1 delete
+    assert cs.current() == cs.compute_now()
+    assert cs.last_refreshed_version() > v0
+
+
+def test_value_change_moves_checksum_but_not_rowcount(spark, tmp_path):
+    base, cs = _mk(spark, tmp_path, [(1, "a", 1.5), (2, "b", 2.0)])
+    cs.refresh()
+    _, ck0 = cs.current()
+    base.merge(
+        spark.createDataFrame([(1, "a", 99.0)], "id long, v string, amt double"),
+        ["id"],
+    )
+    cs.refresh()
+    n1, ck1 = cs.current()
+    assert n1 == 2 and ck1 != ck0
+    assert cs.current() == cs.compute_now()
+
+
+def test_delete_and_overwrite_paths(spark, tmp_path):
+    base, cs = _mk(spark, tmp_path, [(i, f"v{i}", float(i)) for i in range(1, 11)])
+    cs.refresh()
+    base.delete("id % 3 = 0")
+    cs.refresh()
+    assert cs.current() == cs.compute_now()
+    assert cs.current()[0] == 7
+
+    # overwrite emits delete-all + insert-all through the CDF
+    base.overwrite(
+        spark.createDataFrame([(100, "x", 0.5), (101, "y", 0.75)], "id long, v string, amt double")
+    )
+    cs.refresh()
+    assert cs.current() == cs.compute_now()
+    assert cs.current()[0] == 2
+
+
+def test_verify_reports_match(spark, tmp_path):
+    base, cs = _mk(spark, tmp_path, [(1, "a", 1.0)])
+    base.append(spark.createDataFrame([(2, "b", 2.0)], "id long, v string, amt double"))
+    rep = cs.verify()
+    assert rep["match"] is True
+    assert rep["maintained"] == rep["actual"]
+
+
+def test_vacuumed_feed_rebootstraps(spark, tmp_path):
+    base, cs = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    cs.refresh()
+    for i in range(3, 6):
+        base.append(
+            spark.createDataFrame([(i, f"v{i}", float(i))], "id long, v string, amt double")
+        )
+    base.compact()
+    base.vacuum(retain_last=1)  # drops CDF files behind the watermark
+    out = cs.refresh()
+    assert out["refreshed"] is True
+    assert cs.current() == cs.compute_now()
+
+
+def test_fingerprint_null_vs_absent_not_collided(spark):
+    """('a', NULL) and ('a',) canonicalize differently — the NULL marker
+    prevents the concat_ws null-drop collision."""
+    df = spark.createDataFrame([("a", None), ("a", "")], "x string, y string")
+    fps = [r[0] for r in df.select(fingerprint_expr(["x", "y"])).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_checksum_is_row_order_independent(spark, tmp_path):
+    rows = [(i, f"v{i}", float(i)) for i in range(1, 21)]
+    b1 = VersionedTable.create(
+        spark,
+        os.path.join(str(tmp_path), "b1"),
+        spark.createDataFrame(rows, "id long, v string, amt double"),
+    )
+    b2 = VersionedTable.create(
+        spark,
+        os.path.join(str(tmp_path), "b2"),
+        spark.createDataFrame(list(reversed(rows)), "id long, v string, amt double").repartition(7),
+    )
+    c1 = IncrementalChecksum(spark, b1, os.path.join(str(tmp_path), "c1"), cols=["id", "v", "amt"])
+    c2 = IncrementalChecksum(spark, b2, os.path.join(str(tmp_path), "c2"), cols=["id", "v", "amt"])
+    assert c1.compute_now() == c2.compute_now()
