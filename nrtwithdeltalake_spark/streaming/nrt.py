@@ -316,6 +316,31 @@ def run_rollup_stream(
     q.awaitTermination()
 
 
+def run_checksum_stream(
+    checksum,
+    checkpoint_dir: str,
+) -> None:
+    """NRT content-validation loop: tail the base table's change feed
+    and call ``IncrementalChecksum.refresh()`` on every commit — the
+    table's fingerprint stays one micro-batch behind its content. Same
+    trigger-only contract as ``run_rollup_stream``: refresh() reads the
+    CDF from its own committed watermark, so replayed or coalesced
+    batches can neither skip nor double-apply a delta."""
+    spark = checksum.spark
+    cdf = stream_change_feed(spark, checksum.base.path)
+
+    def on_commit(batch_df: DataFrame, epoch_id: int) -> None:
+        checksum.refresh()
+
+    q = (
+        cdf.writeStream.foreachBatch(on_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_joinview_stream(
     view,
     checkpoint_dir: str,

@@ -393,6 +393,33 @@ def test_rollup_stream_refreshes_on_commits(spark, tmp_path):
     assert got == {"a": 2}, got
 
 
+def test_checksum_stream_tracks_commits(spark, tmp_path):
+    """run_checksum_stream: every base commit drives the maintained
+    fingerprint to the exact direct-recompute state via the CDF tail."""
+    from nrtwithdeltalake_spark.pipeline.checksum_view import IncrementalChecksum
+
+    base = VersionedTable.create(
+        spark,
+        str(tmp_path / "cbase"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+    )
+    base.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    cs = IncrementalChecksum(spark, base, str(tmp_path / "ccs"))
+    nrt.run_checksum_stream(cs, str(tmp_path / "cckpt"))
+    assert cs.current() == cs.compute_now()
+    assert cs.last_refreshed_version() == base.latest_version()
+
+    base.merge(
+        spark.createDataFrame([(2, "b2", "U"), (1, "a", "D")], "id long, v string, op string"),
+        keys=["id"],
+        delete_condition="op = 'D'",
+        exclude_cols=["op"],
+    )
+    nrt.run_checksum_stream(cs, str(tmp_path / "cckpt"))
+    assert cs.current() == cs.compute_now()
+    assert cs.current()[0] == 2
+
+
 def test_stream_enrich_matches_batch_join(spark, sf_dir):
     """Stream-static broadcast enrichment ≡ the same batch join, and the
     stream side is stateless (append mode, no watermark needed)."""
