@@ -255,6 +255,54 @@ FROM walk GROUP BY node
 """
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (Spark 4) over the same synthesized
+    customer forest as ``q_hierarchy_paths``: root→leaf descent
+    materializing each node's full ancestor PATH ("root/…/node").
+
+    Surface-parity op: the recursive CTE executes the recursion as
+    O(depth) iterative joins (one per level), so on a deep 100 TB
+    hierarchy ``q_hierarchy_paths``'s pointer jumping (O(log depth)
+    self-joins) remains the scale path — this query exists because a
+    user migrating recursive SQL should not have to rewrite it. Paths
+    require top-down descent (a parent's path prefixes its children's),
+    which is also why the pointer-jumping variant reports (root, depth)
+    rather than paths. The oracle is the same recursion in DuckDB
+    (integer division spelled ``//`` there, ``div`` here)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__rcte_customer"
+    )
+    return spark.sql(f"""
+      WITH RECURSIVE walk(c_custkey, path, depth) AS (
+        SELECT c_custkey, cast(c_custkey AS string), 0
+        FROM __rcte_customer WHERE c_custkey < {ROOT_BELOW}
+        UNION ALL
+        SELECT c.c_custkey,
+               concat(w.path, '/', cast(c.c_custkey AS string)),
+               w.depth + 1
+        FROM __rcte_customer c JOIN walk w
+          ON (c.c_custkey div 10) = w.c_custkey
+        WHERE c.c_custkey >= {ROOT_BELOW}
+      )
+      SELECT c_custkey, path, cast(depth AS bigint) AS depth FROM walk
+    """)
+
+
+ORACLE_RECURSIVE_CTE = f"""
+WITH RECURSIVE walk(c_custkey, path, depth) AS (
+  SELECT c_custkey, cast(c_custkey AS varchar), 0
+  FROM customer WHERE c_custkey < {ROOT_BELOW}
+  UNION ALL
+  SELECT c.c_custkey,
+         concat(w.path, '/', cast(c.c_custkey AS varchar)),
+         w.depth + 1
+  FROM customer c JOIN walk w ON (c.c_custkey // 10) = w.c_custkey
+  WHERE c.c_custkey >= {ROOT_BELOW}
+)
+SELECT c_custkey, path, cast(depth AS bigint) AS depth FROM walk
+"""
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the thresholded co-purchase graph
     (parts co-ordered ≥2 times) — the clustering/community primitive,
@@ -378,11 +426,13 @@ JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_hierarchy_paths": q_hierarchy_paths,
+    "q_recursive_cte": q_recursive_cte,
     "q_graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
     "q_graph_pagerank": ORACLE_GRAPH_PAGERANK,
     "q_hierarchy_paths": ORACLE_HIERARCHY_PATHS,
+    "q_recursive_cte": ORACLE_RECURSIVE_CTE,
     "q_graph_triangles": ORACLE_GRAPH_TRIANGLES,
 }
