@@ -373,16 +373,126 @@ FROM scored GROUP BY n, n_lang, n_source
 """
 
 
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change per order priority — the
+    period-comparison report every analytics stack ships. Week buckets
+    are timezone-free (days since Monday 1970-01-05, div 7); revenue is
+    an exact decimal sum; the WoW ratio is finished in double and
+    quantized tie-free. The lag window runs over the (priority, week)
+    AGGREGATE grain — at 100 TB the fact table collapses map-side
+    first, the window sees thousands of rows, not billions."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        "o_orderpriority",
+        F.expr(
+            "datediff(to_date(o_orderdate), date'1970-01-05') div 7"
+        ).cast("bigint").alias("week"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("week")
+    prev = F.lag("rev").over(w)
+    return g.select(
+        "o_orderpriority",
+        "week",
+        F.round("rev", 2).cast("double").alias("rev"),
+        F.round(prev, 2).cast("double").alias("prev_rev"),
+        (
+            F.floor(
+                (
+                    (F.col("rev").cast("double") - prev.cast("double"))
+                    / prev.cast("double")
+                )
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("wow_pct"),
+    )
+
+
+ORACLE_PERIOD_OVER_PERIOD = """
+WITH g AS (
+  SELECT o_orderpriority,
+         datediff('day', DATE '1970-01-05', o_orderdate::DATE) // 7 AS week,
+         sum(cast(o_totalprice AS decimal(15,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, week,
+       cast(round(rev, 2) AS double) AS rev,
+       cast(round(lag(rev) OVER w, 2) AS double) AS prev_rev,
+       floor(((cast(rev AS double) - cast(lag(rev) OVER w AS double))
+              / cast(lag(rev) OVER w AS double)) * 1e4 + 0.5) / 1e4 AS wow_pct
+FROM g
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week)
+"""
+
+
+# Benford expectations are math constants — injected as identical
+# literals on both engines so no libm call crosses the oracle boundary.
+_BENFORD = {1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality screen (fabricated or truncated monetary data bends
+    the leading-digit curve). First digit comes from the decimal(15,2)
+    string form (identical text both engines — never float-multiply
+    then truncate, which rounds differently across engines); shares are
+    integer-ratio doubles; expected shares are injected constants. The
+    share window runs over the 9-row digit aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    expected = F.element_at(
+        F.array(*[F.lit(_BENFORD[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    share = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    return g.select(
+        "digit",
+        "n",
+        (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("obs_share"),
+        expected.alias("exp_share"),
+        (F.floor(F.abs(share - expected) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "abs_dev"
+        ),
+    )
+
+
+ORACLE_BENFORD_DIGITS = """
+WITH g AS (
+  SELECT cast(substr(cast(cast(o_totalprice AS decimal(15,2)) AS varchar), 1, 1) AS int) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+), e(digit, exp_share) AS (VALUES (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691), (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153), (9, 0.045757))
+SELECT g.digit, n,
+       floor((cast(n AS double) / cast(sum(n) OVER () AS double)) * 1e6 + 0.5) / 1e6 AS obs_share,
+       cast(exp_share AS double) AS exp_share,
+       floor(abs(cast(n AS double) / cast(sum(n) OVER () AS double)
+                 - cast(exp_share AS double)) * 1e6 + 0.5) / 1e6 AS abs_dev
+FROM g JOIN e ON g.digit = e.digit
+"""
+
 QUERIES = {
     "q_ab_test_welch": q_ab_test_welch,
+    "q_benford_digits": q_benford_digits,
     "q_chi2_independence": q_chi2_independence,
+    "q_period_over_period": q_period_over_period,
     "q_pareto_share": q_pareto_share,
     "q_rfm_segments": q_rfm_segments,
 }
 
 ORACLES = {
     "q_ab_test_welch": ORACLE_AB_TEST_WELCH,
+    "q_benford_digits": ORACLE_BENFORD_DIGITS,
     "q_chi2_independence": ORACLE_CHI2_INDEPENDENCE,
+    "q_period_over_period": ORACLE_PERIOD_OVER_PERIOD,
     "q_pareto_share": ORACLE_PARETO_SHARE,
     "q_rfm_segments": ORACLE_RFM_SEGMENTS,
 }
