@@ -136,3 +136,66 @@ def test_checksum_is_row_order_independent(spark, tmp_path):
     c1 = IncrementalChecksum(spark, b1, os.path.join(str(tmp_path), "c1"), cols=["id", "v", "amt"])
     c2 = IncrementalChecksum(spark, b2, os.path.join(str(tmp_path), "c2"), cols=["id", "v", "amt"])
     assert c1.compute_now() == c2.compute_now()
+
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+@pytest.fixture(scope="session")
+def cksum_tmp(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop_cksum"))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 8),      # key
+                st.integers(0, 50),     # value
+                st.sampled_from(["merge", "delete_pred"]),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    refresh_after_each=st.booleans(),
+)
+def test_checksum_property_random_histories(spark_global, cksum_tmp, batches, refresh_after_each):
+    """For ANY mutation history (merges with upsert/delete predicates,
+    interleaved with refresh-per-commit or one catch-up refresh), the
+    maintained checksum equals the direct snapshot recompute."""
+    import uuid as _uuid
+
+    spark = spark_global
+    base = VersionedTable.create(
+        spark,
+        os.path.join(cksum_tmp, _uuid.uuid4().hex + "_b"),
+        spark.createDataFrame([(0, 0)], "k long, v long"),
+    )
+    cs = IncrementalChecksum(
+        spark, base, os.path.join(cksum_tmp, _uuid.uuid4().hex + "_c")
+    )
+    cs.refresh()
+    for batch in batches:
+        dels = sorted({k for k, _, op in batch if op == "delete_pred"})
+        ups = [(k, v) for k, v, op in batch if op == "merge"]
+        if ups:
+            # hypothesis may repeat keys in one batch; keep the last
+            last = {}
+            for k, v in ups:
+                last[k] = v
+            base.merge(
+                spark.createDataFrame(sorted(last.items()), "k long, v long"),
+                ["k"],
+            )
+        if dels:
+            base.delete(f"k in ({', '.join(map(str, dels))})")
+        if refresh_after_each:
+            cs.refresh()
+            assert cs.current() == cs.compute_now(), batches
+    cs.refresh()
+    assert cs.current() == cs.compute_now(), batches
