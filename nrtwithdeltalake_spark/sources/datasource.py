@@ -37,9 +37,11 @@ from dataclasses import dataclass
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 CHANGE_TYPE_COL = "_change_type"
@@ -171,10 +173,200 @@ class _ChangeFeedStreamReader(SimpleDataSourceStreamReader):
         return iter(list(self._rows_between(start["version"], end["version"])))
 
 
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    data_file: str | None
+    cdf_file: str | None
+    rows: int
+
+
+class _VersionedWriter(DataSourceArrowWriter):
+    """Distributed write with an atomic driver-side commit — the
+    DataSource V2 writer protocol mapped 1:1 onto the table format's
+    own commit protocol:
+
+    * each write TASK streams its Arrow batches into one immutable
+      parquet data file plus one insert-image CDF file (no row ever
+      passes through the driver);
+    * ``commit(messages)`` publishes ONE commit record referencing the
+      task files — rename-atomic, so a failed/duplicated task attempt
+      leaves only invisible garbage (Spark retries tasks; only the
+      files named in the committed messages become live);
+    * ``abort()`` deletes whatever the failed attempt wrote.
+
+    Refused (use the native ``VersionedTable`` API, which holds a
+    SparkSession): tables with CHECK constraints (enforcement needs a
+    validation scan) and registered tables (the catalog sync needs DDL).
+    ``mode("overwrite")`` emits delete pre-images for the previous
+    snapshot to the change feed — converted file-by-file on the driver
+    via pyarrow (delta-sized driver IO; the JVM-path ``overwrite()``
+    remains the hot path for large replaces)."""
+
+    def __init__(self, path: str, schema: T.StructType, overwrite: bool):
+        self.path = os.path.abspath(path)
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        if os.path.exists(os.path.join(self.path, "_constraints.json")):
+            raise ValueError(
+                "format('versioned') write path cannot enforce CHECK "
+                "constraints; use VersionedTable.append/overwrite"
+            )
+        if os.path.exists(os.path.join(self.path, "_registration.json")):
+            raise ValueError(
+                "table is catalog-registered; the registration sync needs "
+                "a SparkSession — use VersionedTable.append/overwrite"
+            )
+
+    # -- executor side ------------------------------------------------------
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _WriteResult(None, None, 0)
+        tbl = pa.Table.from_batches(batches)
+        token = uuid.uuid4().hex
+        data_dir = os.path.join(self.path, "_data", f"ds-{token}")
+        cdf_dir = os.path.join(self.path, "_cdf", f"ds-{token}")
+        os.makedirs(data_dir, exist_ok=True)
+        os.makedirs(cdf_dir, exist_ok=True)
+        data_file = os.path.join(data_dir, "part-00000.parquet")
+        cdf_file = os.path.join(cdf_dir, "part-00000.parquet")
+        pq.write_table(tbl, data_file)
+        pq.write_table(
+            tbl.append_column(
+                CHANGE_TYPE_COL, pa.array(["insert"] * tbl.num_rows)
+            ),
+            cdf_file,
+        )
+        return _WriteResult(data_file, cdf_file, tbl.num_rows)
+
+    # -- driver side ----------------------------------------------------------
+
+    def _publish(self, record: dict) -> None:
+        import tempfile
+
+        log = _log_dir(self.path)
+        os.makedirs(log, exist_ok=True)
+        target = os.path.join(log, f"{record['version']:020d}.json")
+        if os.path.exists(target):
+            raise RuntimeError(
+                f"concurrent write detected: version {record['version']} exists"
+            )
+        fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(record))
+        os.rename(tmp, target)
+
+    def _delete_preimages(self, prev: dict) -> list[str]:
+        """Overwrite CDF: previous snapshot rows re-emitted as deletes,
+        one CDF file per previous data file (pyarrow, driver-local)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in prev["files"]:
+            part = _FilePartition(file=f, schema_json=prev["schema_json"])
+            batches = list(_arrow_batches(part))
+            if not batches:
+                continue
+            tbl = pa.Table.from_batches(batches)
+            d = os.path.join(self.path, "_cdf", f"ds-{uuid.uuid4().hex}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, "part-00000.parquet")
+            pq.write_table(
+                tbl.append_column(
+                    CHANGE_TYPE_COL, pa.array(["delete"] * tbl.num_rows)
+                ),
+                dst,
+            )
+            out.append(dst)
+        return out
+
+    def commit(self, messages):
+        import time
+
+        new_files = sorted(m.data_file for m in messages if m.data_file)
+        new_cdf = sorted(m.cdf_file for m in messages if m.cdf_file)
+        exists = os.path.isdir(_log_dir(self.path)) and _versions(self.path)
+        if not exists:
+            self._publish(
+                {
+                    "version": 0,
+                    "op": "create",
+                    "files": new_files,
+                    "cdf_files": new_cdf,
+                    "schema_json": self.schema_json,
+                    "ts": time.time(),
+                    "stats": {},
+                }
+            )
+            return
+        prev = _commit(self.path, _versions(self.path)[-1])
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
+        new_schema = T.StructType.fromJson(json.loads(self.schema_json))
+        prev_names = {f.name: f for f in prev_schema.fields}
+        for f in new_schema.fields:
+            if f.name in prev_names and prev_names[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"type change for column '{f.name}' "
+                    f"({prev_names[f.name].dataType} → {f.dataType}) — "
+                    "evolve via VersionedTable"
+                )
+        # append-style evolution: previous columns keep their order, new
+        # columns append; the read path null-fills by name either way
+        merged = T.StructType(
+            list(prev_schema.fields)
+            + [f for f in new_schema.fields if f.name not in prev_names]
+        )
+        stats: dict = {}
+        if self.overwrite:
+            files = new_files
+            cdf = self._delete_preimages(prev) + new_cdf
+            op = "overwrite"
+        else:
+            files = list(prev["files"]) + new_files
+            cdf = new_cdf
+            op = "append"
+            kept = {
+                f: s
+                for f, s in (prev.get("stats", {}).get("file_stats") or {}).items()
+                if f in set(prev["files"])
+            }
+            if kept:
+                stats["file_stats"] = kept
+        if prev.get("stats", {}).get("txn"):
+            stats["txn"] = dict(prev["stats"]["txn"])
+        self._publish(
+            {
+                "version": prev["version"] + 1,
+                "op": op,
+                "files": files,
+                "cdf_files": cdf,
+                "schema_json": merged.json(),
+                "ts": time.time(),
+                "stats": stats,
+            }
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            for f in (m.data_file, m.cdf_file):
+                if f and os.path.exists(f):
+                    os.remove(f)
+
+
 class VersionedTableDataSource(DataSource):
     """Format name ``versioned``. Options: ``path`` (required),
     ``version`` (batch time travel), ``feed=changes`` +
-    ``startingVersion`` (streaming CDF tail)."""
+    ``startingVersion`` (streaming CDF tail); writable via
+    ``df.write.format("versioned").mode("append"|"overwrite")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -203,6 +395,9 @@ class VersionedTableDataSource(DataSource):
     def reader(self, schema):
         v = self.options.get("version")
         return _BatchReader(self._path(), int(v) if v is not None else None)
+
+    def writer(self, schema, overwrite: bool):
+        return _VersionedWriter(self._path(), schema, overwrite)
 
     def simpleStreamReader(self, schema):
         if self.options.get("feed") != "changes":

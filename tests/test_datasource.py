@@ -109,3 +109,103 @@ def test_stream_requires_changes_feed(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+# -- writer ------------------------------------------------------------------
+
+
+def test_writer_creates_and_appends_with_evolution(spark, tmp_path):
+    """df.write.format('versioned'): first write creates version 0, an
+    append with a new column commits an evolved union schema and the
+    old rows null-fill; the change feed carries the insert images."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "w")
+    spark.range(50).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    ).write.format("versioned").mode("append").save(p)
+    t = VersionedTable(spark, p)
+    assert t.get_commit().op == "create"
+    assert t.read().count() == 50
+
+    spark.range(50, 60).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"), F.lit(1.5).alias("w")
+    ).write.format("versioned").mode("append").save(p)
+    assert t.latest_version() == 1
+    assert t.get_commit().op == "append"
+    got = t.read()
+    assert got.count() == 60 and "w" in got.columns
+    assert got.filter("w is null").count() == 50
+    assert t.change_feed(0).filter("_change_type='insert'").count() == 10
+
+
+def test_writer_overwrite_emits_delete_preimages(spark, tmp_path):
+    """mode('overwrite') replaces the snapshot AND retracts every prior
+    row through the CDF — so downstream incremental views (rollup,
+    checksum) stay exact across format-writer overwrites."""
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.pipeline.checksum_view import IncrementalChecksum
+
+    p = str(tmp_path / "w")
+    spark.range(40).select(F.col("id"), F.lit("x").alias("v")).write.format(
+        "versioned"
+    ).mode("append").save(p)
+    t = VersionedTable(spark, p)
+    cs = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    cs.refresh()
+
+    spark.range(7).select(F.col("id"), F.lit("z").alias("v")).write.format(
+        "versioned"
+    ).mode("overwrite").save(p)
+    assert t.get_commit().op == "overwrite"
+    assert t.read().count() == 7
+    cf = t.change_feed(0)
+    assert cf.filter("_change_type='delete'").count() == 40
+    assert cf.filter("_change_type='insert'").count() == 7
+    cs.refresh()
+    assert cs.current() == cs.compute_now()
+
+
+def test_writer_interops_with_native_merge(spark, tmp_path):
+    """A DS-written table is a first-class VersionedTable: native merge
+    lands on top of format-writer commits."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "w")
+    spark.range(10).select(F.col("id"), F.lit("a").alias("v")).write.format(
+        "versioned"
+    ).mode("append").save(p)
+    t = VersionedTable(spark, p)
+    t.merge(
+        spark.createDataFrame([(3, "upd"), (99, "new")], "id long, v string"),
+        ["id"],
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[3] == "upd" and got[99] == "new" and len(got) == 11
+
+
+def test_writer_rejects_type_change_and_guarded_tables(spark, tmp_path):
+    """Type changes and tables whose invariants need a SparkSession
+    (CHECK constraints, catalog registration) refuse the format write
+    path loudly instead of silently bypassing enforcement."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    p = str(tmp_path / "w")
+    spark.range(5).select(F.col("id"), (F.col("id") % 2).alias("grp")).write.format(
+        "versioned"
+    ).mode("append").save(p)
+    with pytest.raises(Exception, match="type change"):
+        spark.range(5).select(
+            F.col("id"), (F.col("id") % 2).cast("int").alias("grp")
+        ).write.format("versioned").mode("append").save(p)
+
+    t = VersionedTable(spark, p)
+    t.add_constraint("grp_nonneg", "grp >= 0")
+    with pytest.raises(Exception, match="CHECK"):
+        spark.range(5, 8).select(
+            F.col("id"), (F.col("id") % 2).alias("grp")
+        ).write.format("versioned").mode("append").save(p)
+    # constraint refusal left no new commit behind
+    assert t.latest_version() == 0
