@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -180,6 +181,43 @@ class _WriteResult(WriterCommitMessage):
     rows: int
 
 
+def _write_task_files(path: str, iterator) -> _WriteResult:
+    """Executor half of the write protocols: stream this task's Arrow
+    batches into one immutable data file + one insert-image CDF file.
+    Files become live only if a later driver commit references them."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return _WriteResult(None, None, 0)
+    tbl = pa.Table.from_batches(batches)
+    token = uuid.uuid4().hex
+    data_dir = os.path.join(path, "_data", f"ds-{token}")
+    cdf_dir = os.path.join(path, "_cdf", f"ds-{token}")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(cdf_dir, exist_ok=True)
+    data_file = os.path.join(data_dir, "part-00000.parquet")
+    cdf_file = os.path.join(cdf_dir, "part-00000.parquet")
+    pq.write_table(tbl, data_file)
+    pq.write_table(
+        tbl.append_column(CHANGE_TYPE_COL, pa.array(["insert"] * tbl.num_rows)),
+        cdf_file,
+    )
+    return _WriteResult(data_file, cdf_file, tbl.num_rows)
+
+
+def _drop_files(messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for f in (m.data_file, m.cdf_file):
+            if f and os.path.exists(f):
+                os.remove(f)
+
+
 class _VersionedWriter(DataSourceArrowWriter):
     """Distributed write with an atomic driver-side commit — the
     DataSource V2 writer protocol mapped 1:1 onto the table format's
@@ -220,30 +258,7 @@ class _VersionedWriter(DataSourceArrowWriter):
     # -- executor side ------------------------------------------------------
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _WriteResult(None, None, 0)
-        tbl = pa.Table.from_batches(batches)
-        token = uuid.uuid4().hex
-        data_dir = os.path.join(self.path, "_data", f"ds-{token}")
-        cdf_dir = os.path.join(self.path, "_cdf", f"ds-{token}")
-        os.makedirs(data_dir, exist_ok=True)
-        os.makedirs(cdf_dir, exist_ok=True)
-        data_file = os.path.join(data_dir, "part-00000.parquet")
-        cdf_file = os.path.join(cdf_dir, "part-00000.parquet")
-        pq.write_table(tbl, data_file)
-        pq.write_table(
-            tbl.append_column(
-                CHANGE_TYPE_COL, pa.array(["insert"] * tbl.num_rows)
-            ),
-            cdf_file,
-        )
-        return _WriteResult(data_file, cdf_file, tbl.num_rows)
+        return _write_task_files(self.path, iterator)
 
     # -- driver side ----------------------------------------------------------
 
@@ -356,10 +371,101 @@ class _VersionedWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages):
-        for m in messages:
-            for f in (m.data_file, m.cdf_file):
-                if f and os.path.exists(f):
-                    os.remove(f)
+        _drop_files(messages)
+
+
+_STREAM_TXN_APP = "__versioned_stream_sink"
+
+
+class _VersionedStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: every micro-batch is one append commit, made
+    exactly-once by the same writer-transaction watermark the native
+    API uses (``txn_app``/``txn_version``): the epoch id rides the
+    commit's txn stats, and a replayed epoch (restart from checkpoint
+    between sink commit and engine commit) is detected on the driver —
+    its freshly written task files are deleted as garbage instead of
+    committed twice."""
+
+    def __init__(self, path: str, schema: T.StructType):
+        self.path = os.path.abspath(path)
+        self.schema_json = schema.json()
+        if os.path.exists(os.path.join(self.path, "_constraints.json")):
+            raise ValueError(
+                "format('versioned') stream sink cannot enforce CHECK "
+                "constraints; use foreachBatch + VersionedTable"
+            )
+        if os.path.exists(os.path.join(self.path, "_registration.json")):
+            raise ValueError(
+                "table is catalog-registered; use foreachBatch + VersionedTable"
+            )
+
+    def write(self, iterator):
+        return _write_task_files(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import time
+
+        new_files = sorted(m.data_file for m in messages if m and m.data_file)
+        new_cdf = sorted(m.cdf_file for m in messages if m and m.cdf_file)
+        exists = os.path.isdir(_log_dir(self.path)) and _versions(self.path)
+        if not exists:
+            import tempfile
+
+            log = _log_dir(self.path)
+            os.makedirs(log, exist_ok=True)
+            record = {
+                "version": 0,
+                "op": "create",
+                "files": new_files,
+                "cdf_files": new_cdf,
+                "schema_json": self.schema_json,
+                "ts": time.time(),
+                "stats": {"txn": {_STREAM_TXN_APP: batchId}},
+            }
+            target = os.path.join(log, f"{0:020d}.json")
+            fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(record))
+            os.rename(tmp, target)
+            return
+        prev = _commit(self.path, _versions(self.path)[-1])
+        seen = (prev.get("stats", {}).get("txn") or {}).get(_STREAM_TXN_APP)
+        if seen is not None and batchId <= seen:
+            _drop_files(messages)  # replayed epoch: structural no-op
+            return
+        stats: dict = {"txn": dict(prev.get("stats", {}).get("txn") or {})}
+        stats["txn"][_STREAM_TXN_APP] = batchId
+        kept = {
+            f: s
+            for f, s in (prev.get("stats", {}).get("file_stats") or {}).items()
+            if f in set(prev["files"])
+        }
+        if kept:
+            stats["file_stats"] = kept
+        import tempfile
+
+        record = {
+            "version": prev["version"] + 1,
+            "op": "append",
+            "files": list(prev["files"]) + new_files,
+            "cdf_files": new_cdf,
+            "schema_json": prev["schema_json"],
+            "ts": time.time(),
+            "stats": stats,
+        }
+        log = _log_dir(self.path)
+        target = os.path.join(log, f"{record['version']:020d}.json")
+        if os.path.exists(target):
+            raise RuntimeError(
+                f"concurrent write detected: version {record['version']} exists"
+            )
+        fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(record))
+        os.rename(tmp, target)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_files(messages)
 
 
 class VersionedTableDataSource(DataSource):
@@ -398,6 +504,9 @@ class VersionedTableDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _VersionedWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _VersionedStreamWriter(self._path(), schema)
 
     def simpleStreamReader(self, schema):
         if self.options.get("feed") != "changes":

@@ -209,3 +209,65 @@ def test_writer_rejects_type_change_and_guarded_tables(spark, tmp_path):
         ).write.format("versioned").mode("append").save(p)
     # constraint refusal left no new commit behind
     assert t.latest_version() == 0
+
+
+def test_stream_sink_appends_with_epoch_idempotency(spark, tmp_path):
+    """writeStream.format('versioned'): each micro-batch is one append
+    commit stamped with the epoch id in the commit's txn stats; an idle
+    restart from the same checkpoint adds no commit, and a replayed
+    epoch is a structural no-op (the exactly-once contract)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.sources.datasource import (
+        _STREAM_TXN_APP,
+        _VersionedStreamWriter,
+        _WriteResult,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ck = str(tmp_path / "ck")
+    _os.makedirs(src)
+    spark.range(10).select(F.col("id"), F.lit("a").alias("v")).coalesce(
+        1
+    ).write.parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema("id long, v string").parquet(f"{src}/*.parquet")
+
+    def drain():
+        q = (
+            stream.writeStream.format("versioned")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(tgt)
+        )
+        q.awaitTermination()
+
+    drain()
+    t = VersionedTable(spark, tgt)
+    assert t.read().count() == 10
+    assert t.get_commit().stats["txn"][_STREAM_TXN_APP] == 0
+
+    spark.range(10, 25).select(F.col("id"), F.lit("b").alias("v")).coalesce(
+        1
+    ).write.parquet(f"{src}/b2.parquet")
+    drain()
+    assert t.read().count() == 25
+    assert t.latest_version() == 1
+    assert t.change_feed(-1).filter("_change_type='insert'").count() == 25
+
+    drain()  # idle restart: nothing new → no commit
+    assert t.latest_version() == 1
+
+    # replayed epoch (sink committed, engine checkpoint didn't): the
+    # driver detects batchId <= watermark and drops the replayed files
+    w = _VersionedStreamWriter(tgt, t.schema())
+    import pyarrow as pa
+
+    fake = w.write(iter([pa.record_batch({"id": pa.array([99], type=pa.int64()),
+                                          "v": pa.array(["r"])})]))
+    w.commit([fake], batchId=1)  # epoch 1 already applied
+    assert t.latest_version() == 1
+    assert t.read().filter("id = 99").count() == 0
+    assert not _os.path.exists(fake.data_file)
