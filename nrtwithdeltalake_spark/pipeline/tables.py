@@ -116,6 +116,13 @@ class ConstraintViolationError(RuntimeError):
     """A write contained rows that falsify a table CHECK constraint."""
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer published this commit version first. ``append``
+    retries automatically (blind appends never semantically conflict);
+    snapshot-dependent writers (merge/overwrite/delete/update/compact)
+    surface it — their read could be stale, the caller must re-run."""
+
+
 class VersionedTable:
     """A versioned parquet table rooted at ``path``."""
 
@@ -161,19 +168,31 @@ class VersionedTable:
         ]
 
     def _write_commit(self, commit: Commit) -> None:
-        """Atomic publish: tempfile + rename. A crash before the rename
-        leaves the previous version intact (data files without a commit
-        record are invisible garbage, as in any log-structured format)."""
+        """Atomic put-if-absent publish: the complete record is written
+        to a tempfile, then ``os.link``ed to the version path — link
+        fails with EEXIST atomically, so two racing writers can never
+        both believe they own a version (a bare ``rename`` would let the
+        second silently overwrite the first: a lost commit). A crash
+        before the link leaves the previous version intact (data files
+        without a commit record are invisible garbage, as in any
+        log-structured format)."""
         os.makedirs(self.log_dir, exist_ok=True)
         target = self._commit_path(commit.version)
         if os.path.exists(target):
-            raise RuntimeError(
+            raise CommitConflictError(
                 f"concurrent write detected: version {commit.version} exists"
             )
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(commit.to_json())
-        os.rename(tmp, target)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"concurrent write detected: version {commit.version} exists"
+            ) from None
+        finally:
+            os.unlink(tmp)
         reg = self._read_registration()
         if reg is not None:
             self._sync_registration(commit, reg)
@@ -563,39 +582,64 @@ class VersionedTable:
         df: DataFrame,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        retry_conflicts: int = 5,
     ) -> int:
         """Append — the reference's INSERT INTO...SELECT (O26).
 
         ``txn_app``/``txn_version`` give Delta-style idempotent writes
         (txnAppId/txnVersion): a retry carrying an already-committed
         (app, version) is a structural no-op — the at-least-once safety
-        a scheduler-restarted ingest job needs without a dedup pass."""
+        a scheduler-restarted ingest job needs without a dedup pass.
+
+        Concurrent writers: a blind append never semantically conflicts
+        with another commit, so a version collision (atomic put-if-
+        absent in ``_write_commit``) is resolved by re-reading the new
+        latest commit and re-publishing the SAME already-written data
+        files on top of it — no data is rewritten, only the metadata
+        record (Delta's optimistic-concurrency resolution for
+        AppendOnly ops). Retries re-check the txn watermark (another
+        attempt of this same job may have won) and stop if the schema
+        changed concurrently (that is a real conflict). Snapshot-
+        dependent writers (merge/delete/update/overwrite/compact) do
+        NOT retry — their result depends on what they read."""
         prev = self.get_commit()
         if self._txn_skip(prev, txn_app, txn_version):
             return prev.version
         df = _align_to(df, self._merged_schema(prev, df))
-        v = prev.version + 1
         new_files = self._write_files(df, self.data_dir)
         cdf = self._write_files(
             df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
         )
-        self._write_commit(
-            Commit(
-                v,
-                "append",
-                prev.files + new_files,
-                cdf,
-                df.schema.json(),
-                time.time(),
-                self._txn_record(
-                    self._carry_stats(prev, prev.files),
-                    prev,
-                    txn_app,
-                    txn_version,
-                ),
-            )
-        )
-        return v
+        attempt = 0
+        while True:
+            try:
+                self._write_commit(
+                    Commit(
+                        prev.version + 1,
+                        "append",
+                        prev.files + new_files,
+                        cdf,
+                        df.schema.json(),
+                        time.time(),
+                        self._txn_record(
+                            self._carry_stats(prev, prev.files),
+                            prev,
+                            txn_app,
+                            txn_version,
+                        ),
+                    )
+                )
+                return prev.version + 1
+            except CommitConflictError:
+                attempt += 1
+                if attempt > retry_conflicts:
+                    raise
+                fresh = self.get_commit()
+                if self._txn_skip(fresh, txn_app, txn_version):
+                    return fresh.version  # our own replay won the race
+                if fresh.schema_json != prev.schema_json:
+                    raise  # concurrent schema change: a real conflict
+                prev = fresh
 
     def _merged_schema(self, prev: Commit, df: DataFrame) -> T.StructType:
         """Schema evolution (README.md:8): union of target schema and new

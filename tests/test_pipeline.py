@@ -1018,3 +1018,57 @@ def test_alter_schema_metadata_only(spark, tmp_path):
     assert "v" in t.read(version=v_before_drop).columns  # time travel
     with pytest.raises(ValueError):
         t.drop_column("nope")
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Optimistic concurrency for blind appends: 6 racing writers (own
+    table handles, one path) must ALL commit — version collisions are
+    resolved by metadata-only retry on the atomic put-if-absent log,
+    and no rows or commits are lost or doubled."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "cc")
+    VersionedTable.create(
+        spark, p, spark.createDataFrame([(0, -1)], "writer long, i long")
+    )
+
+    def one(w: int) -> int:
+        t = VersionedTable(spark, p)
+        return t.append(
+            spark.createDataFrame([(w, i) for i in range(10)], "writer long, i long")
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = sorted(ex.map(one, range(1, 7)))
+    assert versions == [1, 2, 3, 4, 5, 6], versions
+    t = VersionedTable(spark, p)
+    assert t.read().count() == 61
+    got = {r.writer: r.n for r in t.read().groupBy("writer").count().withColumnRenamed("count", "n").collect()}
+    assert got == {0: 1, **{w: 10 for w in range(1, 7)}}
+    # every commit is an append on a contiguous version chain
+    assert [c.op for c in t.history()] == ["create"] + ["append"] * 6
+
+
+def test_snapshot_writers_surface_conflict(spark, tmp_path):
+    """merge does NOT auto-retry: publishing over a stale snapshot
+    could resurrect rewritten files, so the collision surfaces as
+    CommitConflictError for the caller to re-run."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "sc")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    # simulate a racing writer landing version 1 first
+    other = VersionedTable(spark, p)
+    other.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    stale = t.get_commit(0)
+
+    import time as _time
+
+    from nrtwithdeltalake_spark.pipeline.tables import Commit
+
+    with pytest.raises(CommitConflictError):
+        t._write_commit(
+            Commit(1, "merge", stale.files, [], stale.schema_json, _time.time(), {})
+        )
