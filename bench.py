@@ -79,7 +79,27 @@ HEADLINE = [
 assert len(HEADLINE) == 40, f"era-40 frozen; got {len(HEADLINE)} queries"
 
 
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "300"))
+
+
+def _await_quiet_host() -> float:
+    """Quiet-host discipline (BASELINE.md round-5 note): ambient load
+    spikes on this shared box have produced multi-second phantom
+    regressions. Wait (bounded) for 1-min loadavg to drop under the
+    gate; either way the measured loadavg is recorded in the output
+    JSON so a loaded-host artifact is self-annotating instead of
+    masquerading as a regression."""
+    deadline = time.time() + LOAD_WAIT_S
+    load = os.getloadavg()[0]
+    while load > LOAD_GATE and time.time() < deadline:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
+    load_at_start = _await_quiet_host()
     spark = build_spark(app_name="nrt_bench")
     queries = all_queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -108,6 +128,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": round(load_at_start, 2),
+                "loadavg_end": round(os.getloadavg()[0], 2),
+                "load_gate": LOAD_GATE,
             }
         )
     )

@@ -321,7 +321,11 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_price = orders.groupBy("o_totalprice").agg(
         F.max("o_orderdate").alias("best_at_price")
     )
-    n_part = 8
+    # the scale dial: one range partition per ~4 cores keeps each local
+    # window a real slab of work while the driver prefix-max stays ≤N_PART
+    # values (32 cores → 8, a 1000-executor cluster → thousands — still
+    # metadata-sized on the driver)
+    n_part = max(2, spark.sparkContext.defaultParallelism // 4)
     ranged = per_price.repartitionByRange(n_part, "o_totalprice").withColumn(
         "pid", F.spark_partition_id()
     ).persist()
