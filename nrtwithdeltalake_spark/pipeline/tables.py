@@ -119,8 +119,40 @@ class ConstraintViolationError(RuntimeError):
 class CommitConflictError(RuntimeError):
     """Another writer published this commit version first. ``append``
     retries automatically (blind appends never semantically conflict);
-    snapshot-dependent writers (merge/overwrite/delete/update/compact)
+    ``merge`` rebase-retries when the conflicting commit's file set is
+    provably disjoint from its read/write set (Delta VLDB'20 §3.2);
+    other snapshot-dependent writers (overwrite/delete/update/compact)
     surface it — their read could be stale, the caller must re-run."""
+
+
+def publish_commit_file(log_dir: str, version: int, payload: str) -> None:
+    """Atomic put-if-absent commit publish, shared by every writer of
+    the ``versioned`` log (the native API here and both DataSource
+    writers in ``sources/datasource.py``): the complete record is
+    written to a tempfile, then ``os.link``ed to the version path —
+    link fails with EEXIST atomically, so two racing writers can never
+    both believe they own a version (a bare ``rename`` would let the
+    second silently overwrite the first: a lost commit). A crash before
+    the link leaves the previous version intact (data files without a
+    commit record are invisible garbage, as in any log-structured
+    format)."""
+    os.makedirs(log_dir, exist_ok=True)
+    target = os.path.join(log_dir, f"{version:020d}.json")
+    if os.path.exists(target):
+        raise CommitConflictError(
+            f"concurrent write detected: version {version} exists"
+        )
+    fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent write detected: version {version} exists"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 class VersionedTable:
@@ -168,31 +200,8 @@ class VersionedTable:
         ]
 
     def _write_commit(self, commit: Commit) -> None:
-        """Atomic put-if-absent publish: the complete record is written
-        to a tempfile, then ``os.link``ed to the version path — link
-        fails with EEXIST atomically, so two racing writers can never
-        both believe they own a version (a bare ``rename`` would let the
-        second silently overwrite the first: a lost commit). A crash
-        before the link leaves the previous version intact (data files
-        without a commit record are invisible garbage, as in any
-        log-structured format)."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        target = self._commit_path(commit.version)
-        if os.path.exists(target):
-            raise CommitConflictError(
-                f"concurrent write detected: version {commit.version} exists"
-            )
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(commit.to_json())
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
-            raise CommitConflictError(
-                f"concurrent write detected: version {commit.version} exists"
-            ) from None
-        finally:
-            os.unlink(tmp)
+        """Atomic put-if-absent publish (see ``publish_commit_file``)."""
+        publish_commit_file(self.log_dir, commit.version, commit.to_json())
         reg = self._read_registration()
         if reg is not None:
             self._sync_registration(commit, reg)
@@ -678,6 +687,11 @@ class VersionedTable:
         ``exclude_cols``: marker columns (e.g. an op flag feeding
         ``delete_condition`` or ``dedup_order_col``) consumed here but
         not persisted to the table.
+
+        Concurrent writers: a version collision rebase-retries when the
+        conflicting commits provably commute with this merge (see
+        ``_commit_merge_with_rebase``); otherwise CommitConflictError
+        surfaces for the caller to re-run.
         """
         prev = self.get_commit()
         if self._txn_skip(prev, txn_app, txn_version):
@@ -742,7 +756,6 @@ class VersionedTable:
             )
         else:
             touched = []
-        carryover = [f for f in prev.files if f not in set(touched)]
 
         # 2. rewrite touched files: full outer join on keys. Side presence
         # is detected via explicit marker columns, NOT key nullness — a
@@ -789,30 +802,128 @@ class VersionedTable:
         )
         cdf_files = self._write_files(post.unionByName(pre), self.cdf_dir)
 
-        v = prev.version + 1
-        stats = self._txn_record(
-            self._carry_stats(
-                prev,
-                carryover,
-                {"touched_files": len(touched), "carryover_files": len(carryover)},
-            ),
+        src_keys = src.select(*keys).dropDuplicates(keys)
+        v, stats = self._commit_merge_with_rebase(
             prev,
+            touched,
+            new_files,
+            cdf_files,
+            schema,
+            src_keys,
+            keys,
             txn_app,
             txn_version,
         )
-        self._write_commit(
-            Commit(
-                v,
-                "merge",
-                carryover + new_files,
-                cdf_files,
-                schema.json(),
-                time.time(),
-                stats,
-            )
-        )
         src.unpersist()
         return {"version": v, **stats}
+
+    def _commit_merge_with_rebase(
+        self,
+        prev: Commit,
+        touched: list[str],
+        new_files: list[str],
+        cdf_files: list[str],
+        schema: T.StructType,
+        src_keys: DataFrame,
+        keys: list[str],
+        txn_app: str | None,
+        txn_version: int | None,
+        retry_conflicts: int = 5,
+    ) -> tuple[int, dict]:
+        """Optimistic-concurrency resolution for merge (Delta VLDB'20
+        §3.2): on a version collision, re-read the new latest commit
+        and REBASE — re-publish the already-written rewrite on top of
+        the fresh snapshot — iff the concurrent commits provably
+        commute with this merge under the serialization "them first,
+        us second":
+
+        * every file this merge rewrote is still live in the fresh
+          snapshot (a concurrent writer removing one means write-write
+          overlap: lost update — raise);
+        * the table schema is unchanged (a concurrent evolution could
+          invalidate the rewrite's column set — raise);
+        * files the concurrent commits ADDED contain no rows matching
+          this merge's keys — checked exactly with a semi-join that
+          scans ONLY the added files (a match means a serial execution
+          would have merged those rows too: our rewrite is stale —
+          raise). Blind appends of foreign keys, merges/deletes on
+          disjoint keys, and compactions of untouched files all pass.
+
+        The rebase itself rewrites no data: carryover is recomputed
+        from the fresh snapshot (so concurrent writers' files survive)
+        and the commit record is re-published — same cost model as the
+        append retry above."""
+        touched_set = set(touched)
+        prev_files = set(prev.files)
+        base = prev
+        attempt = 0
+        while True:
+            carryover = [f for f in base.files if f not in touched_set]
+            extra = {
+                "touched_files": len(touched),
+                "carryover_files": len(carryover),
+            }
+            if base.version != prev.version:
+                extra["rebased_from_version"] = prev.version
+            stats = self._txn_record(
+                self._carry_stats(base, carryover, extra),
+                base,
+                txn_app,
+                txn_version,
+            )
+            try:
+                self._write_commit(
+                    Commit(
+                        base.version + 1,
+                        "merge",
+                        carryover + new_files,
+                        cdf_files,
+                        schema.json(),
+                        time.time(),
+                        stats,
+                    )
+                )
+                return base.version + 1, stats
+            except CommitConflictError:
+                attempt += 1
+                if attempt > retry_conflicts:
+                    raise
+                fresh = self.get_commit()
+                if self._txn_skip(fresh, txn_app, txn_version):
+                    return fresh.version, {"txn_skipped": True}
+                if fresh.schema_json != prev.schema_json:
+                    raise CommitConflictError(
+                        "concurrent schema change during merge — re-run"
+                    ) from None
+                overlap_files = touched_set - set(fresh.files)
+                if overlap_files:
+                    raise CommitConflictError(
+                        "concurrent writer removed file(s) this merge "
+                        f"rewrote ({sorted(overlap_files)[:3]}…) — "
+                        "write-write conflict, re-run"
+                    ) from None
+                added = [f for f in fresh.files if f not in prev_files]
+                if added:
+                    probe = self._read_files(added, prev.schema_json).alias("t")
+                    hit = (
+                        probe.join(
+                            src_keys.alias("s"),
+                            [
+                                F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                                for k in keys
+                            ],
+                            "left_semi",
+                        )
+                        .limit(1)
+                        .count()
+                    )
+                    if hit:
+                        raise CommitConflictError(
+                            "concurrent commit added rows matching this "
+                            "merge's keys — result would differ from a "
+                            "serial execution, re-run"
+                        ) from None
+                base = fresh
 
     def add_column(self, name: str, dtype: str) -> int:
         """Metadata-only ``ALTER TABLE ADD COLUMN``: commits a widened

@@ -23,9 +23,16 @@ reads one parquet file via pyarrow and yields its record batches
 (Arrow end-to-end — the Python layer never touches rows). Schema
 evolution is honored the same way ``VersionedTable._read_files`` does
 it: carried-over files physically missing newer columns yield nulls.
-The native ``VersionedTable.read`` path stays the hot path (JVM parquet
-scan with pushdown); this format exists for ecosystem addressability —
-anything that can name a Spark format can now read the table.
+Pushdown (the reference's whole extract model,
+``COPY_MSQL_TO_SILVER.py:86-89``): ``pushFilters`` skips whole data
+files via the committed per-file min/max stats, surviving files hand
+the predicates to pyarrow for row-group skipping, and
+``option("columns", "a,b")`` prunes the projection so only those
+columns' bytes are decoded — Spark re-applies every filter after the
+scan, so stats are an IO reducer, never a correctness input. The
+native ``VersionedTable.read`` path remains available (JVM parquet
+scan); this format exists for ecosystem addressability — anything that
+can name a Spark format can read the table at full pushdown fidelity.
 """
 
 from __future__ import annotations
@@ -71,18 +78,46 @@ class _FilePartition(InputPartition):
     file: str
     schema_json: str
     extra: tuple = ()  # ((colname, value), ...) appended constants
+    # ((col, op, value), ...) conjunctive residual predicates forwarded to
+    # pyarrow for row-group/page skipping (Spark re-applies them after the
+    # scan, so they are purely an IO reducer — never a correctness input)
+    filters: tuple = ()
 
 
 def _arrow_batches(part: _FilePartition):
     """One parquet file → aligned Arrow batches: project to the commit
     schema by NAME, null-fill columns the file predates (schema
-    evolution), append constant columns (the CDF's commit version)."""
+    evolution), append constant columns (the CDF's commit version).
+
+    IO discipline (the reference's whole extract model is pushdown —
+    ``COPY_MSQL_TO_SILVER.py:86-89`` ships the entire SQL to the
+    source): only the columns present in BOTH the requested schema and
+    the file's footer are read (a schema-dropped or pruned column's
+    bytes are never decoded), and any pushed conjunctive filters are
+    handed to pyarrow, which skips whole row groups via footer
+    statistics before decoding a page."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
 
     want = T.StructType.fromJson(json.loads(part.schema_json))
-    tbl = pq.read_table(part.file)
+    pf = pq.ParquetFile(part.file)
+    file_cols = set(pf.schema_arrow.names)
+    pf.close()
+    read_cols = [f.name for f in want.fields if f.name in file_cols]
+    kwargs = {"columns": read_cols}
+    usable = [
+        (c, op, v) for (c, op, v) in part.filters if c in file_cols
+    ]
+    if usable:
+        kwargs["filters"] = usable  # conjunctive list → row-group skipping
+    try:
+        tbl = pq.read_table(part.file, **kwargs)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+        # a filter pyarrow can't evaluate on this column type: fall back
+        # to the unfiltered (still column-pruned) read — Spark's residual
+        # filter keeps the result exact either way
+        tbl = pq.read_table(part.file, columns=read_cols)
     n = tbl.num_rows
     cols = []
     names = []
@@ -104,27 +139,145 @@ def _arrow_batches(part: _FilePartition):
         yield batch
 
 
+_PYARROW_OPS = {
+    "EqualTo": "=",
+    "EqualNullSafe": "=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "In": "in",
+}
+
+
+def _simple_filter(f) -> tuple | None:
+    """Spark Filter → (col, op, value) for a top-level column and an
+    op both the stats pruner and pyarrow understand; None otherwise."""
+    op = _PYARROW_OPS.get(type(f).__name__)
+    if op is None:
+        return None
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None  # nested column paths: not stat-tracked
+    value = getattr(f, "value", None)
+    if value is None:
+        return None  # EqualNullSafe(None) etc.: min/max can't prune nulls
+    if op == "in":
+        value = [v for v in value if v is not None]
+        if not value:
+            return None
+    return (attr[0], op, value)
+
+
+def _parse_stat(probe, s: str):
+    """Committed stats are ``str()``-serialized — parse back as the
+    filter value's type; None (keep the file) when unparseable."""
+    import datetime
+
+    try:
+        if isinstance(probe, bool):
+            return s == "True"
+        if isinstance(probe, datetime.datetime):
+            return datetime.datetime.fromisoformat(s)
+        if isinstance(probe, datetime.date):
+            return datetime.date.fromisoformat(s)
+        return type(probe)(s)
+    except (TypeError, ValueError):
+        return None
+
+
+def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
+    """Driver-side data skipping: False only when a file's committed
+    [min, max] PROVES no row can satisfy the pushed conjunction."""
+    for col, op, value in pushed:
+        s = (stats or {}).get(col)
+        if not s:
+            continue
+        probe = value[0] if op == "in" else value
+        lo = _parse_stat(probe, s[0])
+        hi = _parse_stat(probe, s[1])
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and not (lo <= value <= hi):
+                return False
+            if op == ">" and not hi > value:
+                return False
+            if op == ">=" and not hi >= value:
+                return False
+            if op == "<" and not lo < value:
+                return False
+            if op == "<=" and not lo <= value:
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in value):
+                return False
+        except TypeError:
+            continue  # incomparable types: keep the file
+    return True
+
+
 class _BatchReader(DataSourceReader):
-    def __init__(self, path: str, version: int | None):
+    """Snapshot reader without ``pushFilters`` — the planner worker
+    REJECTS any reader that implements ``pushFilters`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default),
+    so the format keeps a pushdown-free base class and selects
+    ``_PushdownBatchReader`` unless ``option("pushdown", "false")`` is
+    set (the escape hatch for flag-off sessions; ``build_spark``
+    enables the flag). Column pruning via ``option("columns")`` works
+    on both."""
+
+    def __init__(self, path: str, version: int | None, schema_json: str | None):
         self.path = path
         self.version = version
+        self.schema_json = schema_json  # pruned via option('columns'), or None
+        self.pushed: list[tuple] = []
 
     def partitions(self):
         vs = _versions(self.path)
         v = self.version if self.version is not None else vs[-1]
         c = _commit(self.path, v)
-        return [
-            _FilePartition(file=f, schema_json=c["schema_json"])
+        schema_json = self.schema_json or c["schema_json"]
+        fstats = (c.get("stats") or {}).get("file_stats", {})
+        files = [
+            f
             for f in c["files"]
+            if not self.pushed or _file_may_match(fstats.get(f), self.pushed)
+        ]
+        return [
+            _FilePartition(
+                file=f, schema_json=schema_json, filters=tuple(self.pushed)
+            )
+            for f in files
         ] or [
-            # empty table: one empty partition keeps the scan well-formed
-            _FilePartition(file="", schema_json=c["schema_json"])
+            # empty table / all files skipped: one empty partition keeps
+            # the scan well-formed
+            _FilePartition(file="", schema_json=schema_json)
         ]
 
     def read(self, partition: _FilePartition):
         if not partition.file:
             return iter(())
         return _arrow_batches(partition)
+
+
+class _PushdownBatchReader(_BatchReader):
+    """Pushdown-aware snapshot reader. ``pushFilters`` (Spark 4.1)
+    records the conjunctive predicates; planning then skips every data
+    file whose committed per-file [min, max] stats (written by
+    ``VersionedTable`` compaction and carried across commits) disprove
+    the conjunction — the scan never pays listing/footer cost for cold
+    files, same contract as the native ``read_between``. Surviving
+    partitions forward the predicates to pyarrow for row-group
+    skipping. EVERY filter is also returned to Spark for re-evaluation,
+    so pruning is strictly an IO reducer: stale/absent stats only cost
+    bytes, never rows."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            c = _simple_filter(f)
+            if c is not None:
+                self.pushed.append(c)
+            yield f  # Spark re-applies everything: exactness never rides stats
 
 
 class _ChangeFeedStreamReader(SimpleDataSourceStreamReader):
@@ -209,6 +362,37 @@ def _write_task_files(path: str, iterator) -> _WriteResult:
     return _WriteResult(data_file, cdf_file, tbl.num_rows)
 
 
+def _publish_record(path: str, record: dict) -> None:
+    """Driver-side commit publish — delegates to the SAME os.link-based
+    put-if-absent helper the native ``VersionedTable`` uses
+    (``pipeline.tables.publish_commit_file``), so a DataSource writer
+    racing a native writer can never silently clobber the other's
+    commit: exactly one wins the link, the loser gets
+    ``CommitConflictError``. (A bare exists-check + rename — the old
+    code here — loses a commit on POSIX, where rename overwrites.)"""
+    from ..pipeline.tables import publish_commit_file
+
+    publish_commit_file(_log_dir(path), record["version"], json.dumps(record))
+
+
+def _check_type_compat(prev_schema: T.StructType, new_schema: T.StructType):
+    """Reject in-place type changes (evolve via VersionedTable);
+    returns the append-style merged schema (previous columns keep their
+    order, new columns append — the read path null-fills by name)."""
+    prev_names = {f.name: f for f in prev_schema.fields}
+    for f in new_schema.fields:
+        if f.name in prev_names and prev_names[f.name].dataType != f.dataType:
+            raise ValueError(
+                f"type change for column '{f.name}' "
+                f"({prev_names[f.name].dataType} → {f.dataType}) — "
+                "evolve via VersionedTable"
+            )
+    return T.StructType(
+        list(prev_schema.fields)
+        + [f for f in new_schema.fields if f.name not in prev_names]
+    )
+
+
 def _drop_files(messages) -> None:
     for m in messages:
         if m is None:
@@ -262,21 +446,6 @@ class _VersionedWriter(DataSourceArrowWriter):
 
     # -- driver side ----------------------------------------------------------
 
-    def _publish(self, record: dict) -> None:
-        import tempfile
-
-        log = _log_dir(self.path)
-        os.makedirs(log, exist_ok=True)
-        target = os.path.join(log, f"{record['version']:020d}.json")
-        if os.path.exists(target):
-            raise RuntimeError(
-                f"concurrent write detected: version {record['version']} exists"
-            )
-        fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(record))
-        os.rename(tmp, target)
-
     def _delete_preimages(self, prev: dict) -> list[str]:
         """Overwrite CDF: previous snapshot rows re-emitted as deletes,
         one CDF file per previous data file (pyarrow, driver-local)."""
@@ -311,7 +480,8 @@ class _VersionedWriter(DataSourceArrowWriter):
         new_cdf = sorted(m.cdf_file for m in messages if m.cdf_file)
         exists = os.path.isdir(_log_dir(self.path)) and _versions(self.path)
         if not exists:
-            self._publish(
+            _publish_record(
+                self.path,
                 {
                     "version": 0,
                     "op": "create",
@@ -320,32 +490,25 @@ class _VersionedWriter(DataSourceArrowWriter):
                     "schema_json": self.schema_json,
                     "ts": time.time(),
                     "stats": {},
-                }
+                },
             )
             return
         prev = _commit(self.path, _versions(self.path)[-1])
-        prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
-        new_schema = T.StructType.fromJson(json.loads(self.schema_json))
-        prev_names = {f.name: f for f in prev_schema.fields}
-        for f in new_schema.fields:
-            if f.name in prev_names and prev_names[f.name].dataType != f.dataType:
-                raise ValueError(
-                    f"type change for column '{f.name}' "
-                    f"({prev_names[f.name].dataType} → {f.dataType}) — "
-                    "evolve via VersionedTable"
-                )
-        # append-style evolution: previous columns keep their order, new
-        # columns append; the read path null-fills by name either way
-        merged = T.StructType(
-            list(prev_schema.fields)
-            + [f for f in new_schema.fields if f.name not in prev_names]
-        )
         stats: dict = {}
         if self.overwrite:
+            # full replace: the NEW dataframe's schema is the table's
+            # schema, exactly as native VersionedTable.overwrite commits
+            # df.schema — merging would resurrect dropped columns as
+            # phantom all-null columns, and a full replace may
+            # legitimately retype (no surviving rows to misread)
+            schema_json = self.schema_json
             files = new_files
             cdf = self._delete_preimages(prev) + new_cdf
             op = "overwrite"
         else:
+            prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
+            new_schema = T.StructType.fromJson(json.loads(self.schema_json))
+            schema_json = _check_type_compat(prev_schema, new_schema).json()
             files = list(prev["files"]) + new_files
             cdf = new_cdf
             op = "append"
@@ -358,16 +521,17 @@ class _VersionedWriter(DataSourceArrowWriter):
                 stats["file_stats"] = kept
         if prev.get("stats", {}).get("txn"):
             stats["txn"] = dict(prev["stats"]["txn"])
-        self._publish(
+        _publish_record(
+            self.path,
             {
                 "version": prev["version"] + 1,
                 "op": op,
                 "files": files,
                 "cdf_files": cdf,
-                "schema_json": merged.json(),
+                "schema_json": schema_json,
                 "ts": time.time(),
                 "stats": stats,
-            }
+            },
         )
 
     def abort(self, messages):
@@ -409,30 +573,31 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         new_cdf = sorted(m.cdf_file for m in messages if m and m.cdf_file)
         exists = os.path.isdir(_log_dir(self.path)) and _versions(self.path)
         if not exists:
-            import tempfile
-
-            log = _log_dir(self.path)
-            os.makedirs(log, exist_ok=True)
-            record = {
-                "version": 0,
-                "op": "create",
-                "files": new_files,
-                "cdf_files": new_cdf,
-                "schema_json": self.schema_json,
-                "ts": time.time(),
-                "stats": {"txn": {_STREAM_TXN_APP: batchId}},
-            }
-            target = os.path.join(log, f"{0:020d}.json")
-            fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                f.write(json.dumps(record))
-            os.rename(tmp, target)
+            _publish_record(
+                self.path,
+                {
+                    "version": 0,
+                    "op": "create",
+                    "files": new_files,
+                    "cdf_files": new_cdf,
+                    "schema_json": self.schema_json,
+                    "ts": time.time(),
+                    "stats": {"txn": {_STREAM_TXN_APP: batchId}},
+                },
+            )
             return
         prev = _commit(self.path, _versions(self.path)[-1])
         seen = (prev.get("stats", {}).get("txn") or {}).get(_STREAM_TXN_APP)
         if seen is not None and batchId <= seen:
             _drop_files(messages)  # replayed epoch: structural no-op
             return
+        # same schema discipline as the batch append path: reject type
+        # changes loudly at commit time (not as an Arrow cast failure at
+        # read time) and union-evolve added columns so their data is
+        # visible instead of silently hidden by a stale commit schema
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
+        new_schema = T.StructType.fromJson(json.loads(self.schema_json))
+        merged = _check_type_compat(prev_schema, new_schema)
         stats: dict = {"txn": dict(prev.get("stats", {}).get("txn") or {})}
         stats["txn"][_STREAM_TXN_APP] = batchId
         kept = {
@@ -442,27 +607,18 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         }
         if kept:
             stats["file_stats"] = kept
-        import tempfile
-
-        record = {
-            "version": prev["version"] + 1,
-            "op": "append",
-            "files": list(prev["files"]) + new_files,
-            "cdf_files": new_cdf,
-            "schema_json": prev["schema_json"],
-            "ts": time.time(),
-            "stats": stats,
-        }
-        log = _log_dir(self.path)
-        target = os.path.join(log, f"{record['version']:020d}.json")
-        if os.path.exists(target):
-            raise RuntimeError(
-                f"concurrent write detected: version {record['version']} exists"
-            )
-        fd, tmp = tempfile.mkstemp(dir=log, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(record))
-        os.rename(tmp, target)
+        _publish_record(
+            self.path,
+            {
+                "version": prev["version"] + 1,
+                "op": "append",
+                "files": list(prev["files"]) + new_files,
+                "cdf_files": new_cdf,
+                "schema_json": merged.json(),
+                "ts": time.time(),
+                "stats": stats,
+            },
+        )
 
     def abort(self, messages, batchId: int) -> None:
         _drop_files(messages)
@@ -496,11 +652,37 @@ class VersionedTableDataSource(DataSource):
             return base.add(CHANGE_TYPE_COL, T.StringType()).add(
                 VERSION_COL, T.LongType()
             )
+        cols = self.options.get("columns")
+        if cols:
+            want = [c.strip() for c in cols.split(",") if c.strip()]
+            have = {f.name for f in base.fields}
+            missing = [c for c in want if c not in have]
+            if missing:
+                raise ValueError(
+                    f"option 'columns' names unknown columns {missing} "
+                    f"(table has {sorted(have)})"
+                )
+            keep = set(want)
+            # explicit projection pruning: the Python DataSource API has
+            # no column-pruning hook (only pushFilters), so the format
+            # offers it as an option — only these columns' bytes are
+            # read/decoded/shipped
+            return T.StructType([f for f in base.fields if f.name in keep])
         return base
 
     def reader(self, schema):
         v = self.options.get("version")
-        return _BatchReader(self._path(), int(v) if v is not None else None)
+        # pushdown needs spark.sql.python.filterPushdown.enabled (set by
+        # build_spark); Spark REJECTS a pushFilters-implementing reader
+        # when the flag is off, so option("pushdown","false") selects
+        # the plain reader for flag-off sessions
+        want_pushdown = str(self.options.get("pushdown", "true")).lower() != "false"
+        cls = _PushdownBatchReader if want_pushdown else _BatchReader
+        return cls(
+            self._path(),
+            int(v) if v is not None else None,
+            schema.json() if self.options.get("columns") else None,
+        )
 
     def writer(self, schema, overwrite: bool):
         return _VersionedWriter(self._path(), schema, overwrite)

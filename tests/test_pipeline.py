@@ -1050,9 +1050,9 @@ def test_concurrent_appends_all_land(spark, tmp_path):
 
 
 def test_snapshot_writers_surface_conflict(spark, tmp_path):
-    """merge does NOT auto-retry: publishing over a stale snapshot
-    could resurrect rewritten files, so the collision surfaces as
-    CommitConflictError for the caller to re-run."""
+    """The commit log's put-if-absent contract: publishing a version
+    that already exists surfaces CommitConflictError — the primitive
+    both the append retry and the merge rebase are built on."""
     from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
 
     p = str(tmp_path / "sc")
@@ -1072,3 +1072,143 @@ def test_snapshot_writers_surface_conflict(spark, tmp_path):
         t._write_commit(
             Commit(1, "merge", stale.files, [], stale.schema_json, _time.time(), {})
         )
+
+
+def _inject_before_merge_commit(t, fn):
+    """Run ``fn`` once, just before the merge's FIRST commit attempt —
+    a deterministic race: the injected writer's commit lands first, so
+    the merge hits CommitConflictError and enters rebase resolution."""
+    orig = t._write_commit
+    state = {"fired": False}
+
+    def wrapper(commit):
+        if not state["fired"] and commit.op == "merge":
+            state["fired"] = True
+            fn()
+        return orig(commit)
+
+    t._write_commit = wrapper
+
+
+def test_merge_rebases_over_concurrent_foreign_append(spark, tmp_path):
+    """Merge OCC (Delta VLDB'20 §3.2): a concurrent blind append of
+    NON-matching keys commutes with the merge, so the collision is
+    resolved by a metadata-only rebase — both commits land, the
+    appended rows survive, and the commit stats record the rebase."""
+    p = str(tmp_path / "mr")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+
+    def racing_append():
+        VersionedTable(spark, p).append(
+            spark.createDataFrame([(50, "x")], "id long, v string")
+        )
+
+    _inject_before_merge_commit(t, racing_append)
+    out = t.merge(
+        spark.createDataFrame([(1, "upd"), (9, "new")], "id long, v string"),
+        ["id"],
+    )
+    assert out["rebased_from_version"] == 0
+    assert out["version"] == 2  # append took 1, merge rebased onto it
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "upd", 2: "b", 9: "new", 50: "x"}
+    assert [c.op for c in t.history()] == ["create", "append", "merge"]
+
+
+def test_merge_conflicts_on_concurrent_matching_append(spark, tmp_path):
+    """A concurrent append whose rows MATCH the merge's keys does not
+    commute (a serial execution would have merged them too): the rebase
+    check semi-joins the added files and surfaces the conflict."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "mc")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+
+    def racing_matching_append():
+        VersionedTable(spark, p).append(
+            spark.createDataFrame([(1, "race")], "id long, v string")
+        )
+
+    _inject_before_merge_commit(t, racing_matching_append)
+    with pytest.raises(CommitConflictError, match="matching this merge's keys"):
+        t.merge(
+            spark.createDataFrame([(1, "upd")], "id long, v string"), ["id"]
+        )
+    # re-running on the fresh snapshot succeeds and updates BOTH copies
+    t2 = VersionedTable(spark, p)
+    t2.merge(spark.createDataFrame([(1, "upd")], "id long, v string"), ["id"])
+    assert sorted((r.id, r.v) for r in t2.read().collect()) == [
+        (1, "upd"),
+        (1, "upd"),  # the appended duplicate is updated too
+        (2, "b"),
+    ]
+
+
+def test_merge_conflicts_when_touched_file_rewritten(spark, tmp_path):
+    """A concurrent merge that rewrote a file this merge ALSO rewrote is
+    a write-write conflict — rebasing would silently drop one writer's
+    update (lost update), so it must surface."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "ww")
+    # one physical file holding BOTH keys → the two merges contend on it
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+    )
+
+    def racing_same_key_merge():
+        VersionedTable(spark, p).merge(
+            spark.createDataFrame([(2, "theirs")], "id long, v string"), ["id"]
+        )
+
+    _inject_before_merge_commit(t, racing_same_key_merge)
+    with pytest.raises(CommitConflictError, match="write-write conflict|rewrote"):
+        t.merge(
+            spark.createDataFrame([(1, "mine")], "id long, v string"), ["id"]
+        )
+    assert {r.id: r.v for r in VersionedTable(spark, p).read().collect()} == {
+        1: "a",
+        2: "theirs",
+    }
+
+
+def test_concurrent_merges_disjoint_keys_both_commit(spark, tmp_path):
+    """Two racing merges on key ranges living in disjoint files both
+    commit (one may rebase over the other) — the VERDICT r5 #2 'done'
+    criterion — and the final state reflects both writers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "dj")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([(i, "lo") for i in range(5)], "id long, v string"),
+    )
+    # second append → the two key ranges live in physically distinct files
+    t.append(
+        spark.createDataFrame([(i, "hi") for i in range(100, 105)], "id long, v string")
+    )
+
+    def one(lo: int) -> dict:
+        return VersionedTable(spark, p).merge(
+            spark.createDataFrame(
+                [(lo, f"upd{lo}"), (lo + 900, f"new{lo}")], "id long, v string"
+            ),
+            ["id"],
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        outs = list(ex.map(one, [0, 100]))
+    assert sorted(o["version"] for o in outs) == [2, 3]
+    got = {r.id: r.v for r in VersionedTable(spark, p).read().collect()}
+    assert got[0] == "upd0" and got[100] == "upd100"
+    assert got[900] == "new0" and got[1000] == "new100"
+    assert len(got) == 12
