@@ -27,20 +27,18 @@ Overflow: fps < 2^60 ≈ 1.15e18; decimal(38,0) holds the sum for ~1e19
 rows — the running sum is renormalized nowhere because it never needs
 to be.
 
-Crash posture: the reflected base version is stamped into the state
-table's commit record AFTER the state write (same pattern as
-``IncrementalRollup``). A crash between the two leaves a state commit
-without a stamp → ``last_refreshed_version`` returns -1 → the next
-refresh re-bootstraps from the snapshot: self-healing, never silently
-wrong.
+Crash posture: the reflected base version rides the state table's own
+commit record (``extra_stats`` on create/overwrite) — stamp and state
+are ONE atomic put-if-absent publish, so no crash window can leave a
+state commit whose stamp lies, and no published commit is ever mutated
+in place.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .tables import VersionedTable
 
@@ -49,14 +47,24 @@ _SUB_TYPES = ("delete", "update_preimage")
 _NULL_MARK = "\x00"  # distinguishes NULL from absent in the canonical string
 
 
-def fingerprint_expr(cols: list[str]) -> F.Column:
+def fingerprint_expr(
+    cols: list[str], dtypes: dict[str, T.DataType] | None = None
+) -> F.Column:
     """60-bit per-row fingerprint over the named columns, in declared
-    order. Each column is cast to string with NULL marked explicitly
-    (concat_ws silently drops NULLs, which would collide ('a',NULL,'b')
-    with ('a','b'))."""
-    canon = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_MARK)) for c in cols
-    ]
+    order — the same md5→60-bit→decimal construction as
+    ``operators/reshape.py::_row_fp``. Each column is cast to string
+    with NULL marked explicitly (concat_ws silently drops NULLs, which
+    would collide ('a',NULL,'b') with ('a','b')). Session-timezone
+    timestamps canonicalize to epoch microseconds when ``dtypes`` is
+    supplied — a plain string cast renders in the session timezone, so
+    the same table would checksum differently across sessions/engines;
+    dates, decimals, and strings already render timezone-free."""
+    canon = []
+    for c in cols:
+        col = F.col(c)
+        if isinstance((dtypes or {}).get(c), T.TimestampType):
+            col = F.unix_micros(col)
+        canon.append(F.coalesce(col.cast("string"), F.lit(_NULL_MARK)))
     return F.conv(
         F.substring(F.md5(F.concat_ws("|", *canon).cast("binary")), 1, 15), 16, 10
     ).cast("decimal(38,0)")
@@ -80,7 +88,9 @@ class IncrementalChecksum:
         self.spark = spark
         self.base = base
         self.path = path
-        self.cols = list(cols) if cols else [f.name for f in base.schema().fields]
+        schema = base.schema()
+        self.cols = list(cols) if cols else [f.name for f in schema.fields]
+        self.dtypes = {f.name: f.dataType for f in schema.fields}
 
     # -- state ----------------------------------------------------------------
 
@@ -105,7 +115,9 @@ class IncrementalChecksum:
     def _full(self, snapshot: DataFrame) -> DataFrame:
         return snapshot.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(F.sum(fingerprint_expr(self.cols)), F.lit(0))
+            F.coalesce(
+                F.sum(fingerprint_expr(self.cols, self.dtypes)), F.lit(0)
+            )
             .cast("decimal(38,0)")
             .alias("checksum"),
         )
@@ -124,7 +136,9 @@ class IncrementalChecksum:
         )
         return changes.agg(
             F.coalesce(F.sum(row_delta), F.lit(0)).cast("long").alias("d_rows"),
-            F.coalesce(F.sum(sign * fingerprint_expr(self.cols)), F.lit(0))
+            F.coalesce(
+                F.sum(sign * fingerprint_expr(self.cols, self.dtypes)), F.lit(0)
+            )
             .cast("decimal(38,0)")
             .alias("d_checksum"),
         )
@@ -152,18 +166,24 @@ class IncrementalChecksum:
 
         if last >= 0:
             try:
-                changes = self.base.change_feed(last)
+                # bound the slice to the CAPTURED version: a concurrent
+                # base commit landing after latest_version() must not
+                # leak into a delta stamped with the older base_version
+                # (it would be re-applied next refresh and silently
+                # diverge the checksum)
+                changes = self.base.change_feed(last).filter(
+                    F.col("_commit_version") <= base_version
+                )
             except ValueError:
                 last = -1  # vacuumed past the watermark → rebuild
 
+        stamp = {"base_version": base_version}
         if last < 0:
             state = self._full(self.base.read(base_version))
             if self.exists():
-                t = self._table()
-                t.overwrite(state)
+                self._table().overwrite(state, extra_stats=stamp)
             else:
-                t = VersionedTable.create(self.spark, self.path, state)
-            self._stamp(t, base_version)
+                VersionedTable.create(self.spark, self.path, state, extra_stats=stamp)
             return {
                 "refreshed": True,
                 "bootstrap": True,
@@ -176,9 +196,7 @@ class IncrementalChecksum:
             [(n_rows + int(d["d_rows"]), str(checksum + int(d["d_checksum"])))],
             "n_rows bigint, checksum string",
         ).select("n_rows", F.col("checksum").cast("decimal(38,0)").alias("checksum"))
-        t = self._table()
-        t.overwrite(state)
-        self._stamp(t, base_version)
+        self._table().overwrite(state, extra_stats=stamp)
         return {
             "refreshed": True,
             "bootstrap": False,
@@ -198,11 +216,3 @@ class IncrementalChecksum:
             "actual": {"n_rows": actual[0], "checksum": str(actual[1])},
         }
 
-    def _stamp(self, t: VersionedTable, base_version: int) -> None:
-        c = t.get_commit()
-        c.stats = {**c.stats, "base_version": base_version}
-        path = t._commit_path(c.version)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(c.to_json())
-        os.replace(tmp, path)

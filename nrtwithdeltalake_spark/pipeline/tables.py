@@ -436,10 +436,17 @@ class VersionedTable:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        extra_stats: dict | None = None,
     ) -> "VersionedTable":
         """Initial full load — the reference's overwrite branch (O4,
-        ``COPY_MSQL_TO_SILVER.py:193``)."""
+        ``COPY_MSQL_TO_SILVER.py:193``). ``extra_stats`` rides the
+        commit record itself (atomic with the data), for callers that
+        stamp provenance — e.g. IncrementalChecksum's base_version —
+        without mutating a published commit afterwards."""
         t = cls(spark, path)
         if cls.exists(path):
             raise RuntimeError(f"table already exists at {path}")
@@ -448,12 +455,26 @@ class VersionedTable:
             df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), t.cdf_dir
         )
         t._write_commit(
-            Commit(0, "create", files, cdf, df.schema.json(), time.time(), {})
+            Commit(
+                0,
+                "create",
+                files,
+                cdf,
+                df.schema.json(),
+                time.time(),
+                dict(extra_stats or {}),
+            )
         )
         return t
 
-    def overwrite(self, df: DataFrame, replace_where: str | None = None) -> int:
-        """Full or predicate-scoped replace.
+    def overwrite(
+        self,
+        df: DataFrame,
+        replace_where: str | None = None,
+        extra_stats: dict | None = None,
+    ) -> int:
+        """Full or predicate-scoped replace. ``extra_stats`` rides the
+        commit record (atomic with the data) — see ``create``.
 
         ``replace_where=None``: full replace. The change feed gets a
         ``delete`` row for every row of the previous snapshot plus an
@@ -489,7 +510,7 @@ class VersionedTable:
                     cdf,
                     df.schema.json(),
                     time.time(),
-                    self._carry_stats(prev, []),
+                    {**self._carry_stats(prev, []), **(extra_stats or {})},
                 )
             )
             return v
@@ -541,6 +562,7 @@ class VersionedTable:
                 {
                     "replace_where": replace_where,
                     **self._carry_stats(prev, carryover),
+                    **(extra_stats or {}),
                 },
             )
         )

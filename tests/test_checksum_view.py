@@ -199,3 +199,91 @@ def test_checksum_property_random_histories(spark_global, cksum_tmp, batches, re
             assert cs.current() == cs.compute_now(), batches
     cs.refresh()
     assert cs.current() == cs.compute_now(), batches
+
+
+def test_refresh_bounds_delta_to_captured_version(spark, tmp_path):
+    """A base commit landing BETWEEN latest_version() capture and the
+    change-feed read must not leak into the delta (the stamp records
+    the older version — re-applying that commit's slice next refresh
+    would silently diverge the checksum). The slice is bounded to the
+    captured version, so the late commit is picked up exactly once, by
+    the NEXT refresh."""
+    p = str(tmp_path / "base")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    cs = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    cs.refresh()
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+
+    real_feed = t.change_feed
+    fired = {"n": 0}
+
+    def racing_feed(starting_version):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # lands AFTER refresh() captured base_version
+            VersionedTable(spark, p).append(
+                spark.createDataFrame([(3, "late")], "id long, v string")
+            )
+        return real_feed(starting_version)
+
+    t.change_feed = racing_feed
+    out = cs.refresh()
+    assert out["d_rows"] == 1  # only (2,'b') — the late commit excluded
+    t.change_feed = real_feed
+
+    # the late commit arrives exactly once, on the next refresh
+    cs.refresh()
+    assert cs.verify()["match"]
+
+
+def test_stamp_is_atomic_with_state_commit(spark, tmp_path):
+    """The base_version stamp rides the state table's own commit record
+    (extra_stats) — no published commit is ever rewritten in place, and
+    the put-if-absent publish covers stamp+state as one unit."""
+    p = str(tmp_path / "base")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    cs = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    cs.refresh()
+    state = VersionedTable(spark, str(tmp_path / "cs"))
+    assert state.get_commit().stats["base_version"] == 0
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    cs.refresh()
+    assert state.get_commit().stats["base_version"] == 1
+    assert cs.last_refreshed_version() == 1
+    # no leftover tmp artifacts from in-place commit mutation
+    assert not [
+        f for f in os.listdir(state.log_dir) if f.endswith(".json.tmp")
+    ]
+
+
+def test_fingerprint_timestamp_is_timezone_free(spark, tmp_path):
+    """Timestamp columns canonicalize to epoch micros: the checksum of
+    the same table content is identical under different session
+    timezones (a plain string cast would render wall-clock strings and
+    diverge across engines/sessions)."""
+    import datetime
+
+    p = str(tmp_path / "base")
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, ts)], "id long, evt timestamp"),
+    )
+    cs = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    cs.refresh()
+    n, chk = cs.current()
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        cs2 = IncrementalChecksum(spark, t, str(tmp_path / "cs2"))
+        cs2.refresh()
+        assert cs2.current() == (n, chk)
+        assert cs2.verify()["match"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
