@@ -466,6 +466,48 @@ FROM g
 """
 
 
+def q_agg_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe twin of ``q_agg_ewma``: the same per-user EWMA
+    (α = 0.5, total order by (t, event_id), floor-quantized at 6 dp)
+    computed with ``applyInPandas`` instead of a ``collect_list`` fold.
+    Why it scales where the array fold doesn't: ``collect_list`` builds
+    one JVM array-of-structs per key inside a single aggregation buffer
+    — a whale key (say 10⁸ events for one user at 100 TB) blows that
+    task's heap. Here each group's raw columns arrive as Arrow-batched
+    numpy vectors (~16 bytes/row columnar, no per-element object
+    headers) and the fold itself carries O(1) state — two doubles — per
+    step. The arithmetic is the IDENTICAL IEEE sequence
+    (v·0.5 + acc·0.5, left to right), so results are bit-equal to
+    ``q_agg_ewma`` and the same DuckDB oracle applies."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").cast("double").alias("v"),
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["t", "e"], kind="mergesort")
+        acc = None
+        for v in pdf["v"].to_numpy():
+            acc = float(v) if acc is None else float(v) * 0.5 + acc * 0.5
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma": [math.floor(acc * 1e6 + 0.5) / 1e6],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold, "user_id long, n_events long, ewma double"
+    )
+
+
 _PATTERN = "c[ve]*p"  # click → purchase with only views/errors… see docstring
 
 
@@ -953,6 +995,7 @@ QUERIES = {
     "q_events_anomaly": q_events_anomaly,
     "q_agg_twap": q_agg_twap,
     "q_agg_ewma": q_agg_ewma,
+    "q_agg_ewma_bounded": q_agg_ewma_bounded,
     "q_events_transition": q_events_transition,
     "q_events_heatmap": q_events_heatmap,
     "q_group_minmax_norm": q_group_minmax_norm,
@@ -972,6 +1015,7 @@ ORACLES = {
     "q_events_anomaly": ORACLE_EVENTS_ANOMALY,
     "q_agg_twap": ORACLE_AGG_TWAP,
     "q_agg_ewma": ORACLE_AGG_EWMA,
+    "q_agg_ewma_bounded": ORACLE_AGG_EWMA,
     "q_events_transition": ORACLE_EVENTS_TRANSITION,
     "q_events_heatmap": ORACLE_EVENTS_HEATMAP,
     "q_group_minmax_norm": ORACLE_GROUP_MINMAX_NORM,

@@ -55,3 +55,47 @@ def test_attribution_conserves_purchase_value(spark, sf_dir):
     out = behavior.q_attribution_multitouch(spark, sf_dir)
     total = out.agg(F.sum("credited_micro")).collect()[0][0] or 0
     assert total == expected
+
+
+def test_ewma_bounded_matches_array_fold_on_hot_key(spark, tmp_path):
+    """q_agg_ewma_bounded is the hot-key-safe twin of q_agg_ewma: on a
+    deliberately skewed table (one user owning 50k events — the shape
+    that blows the collect_list fold's task heap at 100 TB) the two
+    formulations agree bit-for-bit, because the applyInPandas fold runs
+    the identical IEEE sequence with O(1) state per step."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.operators.behavior import (
+        q_agg_ewma,
+        q_agg_ewma_bounded,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    hot = spark.range(50_000).select(
+        F.col("id").alias("event_id"),
+        (F.lit(t0) + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.sin(F.col("id").cast("double")) * 100).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    cold = spark.range(50_000, 50_200).select(
+        F.col("id").alias("event_id"),
+        (F.lit(t0) + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        (F.col("id") % 40 + 100).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        (F.cos(F.col("id").cast("double")) * 100).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    hot.unionByName(cold).write.parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    a = {r.user_id: (r.n_events, r.ewma) for r in q_agg_ewma(spark, sf).collect()}
+    b = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in q_agg_ewma_bounded(spark, sf).collect()
+    }
+    assert a == b
+    assert a[7][0] == 50_000
