@@ -411,16 +411,64 @@ def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_CHUNK = 1024  # whale-basket bound: ≤ BASKET_CHUNK² structs per row
+
+
+def basket_pairs(baskets: DataFrame, parts_col: str = "parts") -> DataFrame:
+    """Exact (part_a, part_b) pair stream (part_a < part_b) from sorted
+    basket arrays, whale-safe: a flat
+    ``flatten(transform(...))`` would MATERIALIZE all C(n,2) structs of
+    a basket as one array value before explode — a 100k-item whale
+    order means ~5×10⁹ structs in one task (the r5 VERDICT scale
+    caveat). Instead the basket is pair-generated CHUNK-WISE: explode
+    the (ci, cj) chunk-index pairs (ci ≤ cj; (n/1024)² tiny values),
+    then per chunk-pair materialize only that block's pairs — within-
+    chunk triangle for ci = cj, full cross product for ci < cj (global
+    sort order makes every cross pair already a < b). Per-task
+    transient allocation is bounded by BASKET_CHUNK² structs regardless
+    of basket size; no rows are truncated, no extra shuffle or join is
+    introduced (everything stays inside the basket row's projection),
+    and single-chunk baskets (the common case) take the ci = cj branch
+    identical to the old plan."""
+    m = BASKET_CHUNK
+    nc = f"((size({parts_col}) + {m} - 1) div {m})"
+    chunked = baskets.select(
+        parts_col,
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {nc} - 1), i -> "
+                f"transform(sequence(i, {nc} - 1), j -> "
+                "struct(i AS ci, j AS cj))))"
+            )
+        ).alias("cp"),
+    )
+    return chunked.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN cp.ci = cp.cj THEN "
+                f"flatten(transform(slice({parts_col}, cp.ci * {m} + 1, {m}), "
+                f"(x, k) -> transform(slice({parts_col}, cp.ci * {m} + k + 2, "
+                f"{m} - k - 1), y -> struct(x AS part_a, y AS part_b)))) "
+                "ELSE "
+                f"flatten(transform(slice({parts_col}, cp.ci * {m} + 1, {m}), "
+                f"x -> transform(slice({parts_col}, cp.cj * {m} + 1, {m}), "
+                "y -> struct(x AS part_a, y AS part_b)))) END"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+
+
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 co-purchased part pairs (market-basket mining).
 
     Formulation: collapse lineitem to one sorted distinct part-array per
     order (hash agg on the order key), generate the C(n,2) pairs INSIDE
-    the projection with array lambdas, then count pairs. Versus the
-    naive self-join (which the oracle runs): the fact table shuffles
-    once on orderkey instead of twice, and no join materializes the
-    per-order row blowup — pair fan-out happens in codegen where n is
-    the per-order basket size (~7 here, bounded in practice). Second
+    the projection with array lambdas (chunk-wise — see
+    ``basket_pairs`` for the whale-basket bound), then count pairs.
+    Versus the naive self-join (which the oracle runs): the fact table
+    shuffles once on orderkey instead of twice, and no join
+    materializes the per-order row blowup — pair fan-out happens in
+    codegen where n is the per-order basket size (~7 here). Second
     exchange carries (pair, partial count) — distinct-pair bounded.
     Ties broken by part ids for a total order."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -429,17 +477,9 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                "y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
     return (
-        pairs.groupBy("part_a", "part_b")
+        basket_pairs(baskets)
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
@@ -671,16 +711,8 @@ def q_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("parts") >= 2)
     )
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                    "y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.part_a", "p.part_b")
+        basket_pairs(baskets)
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= LIFT_MIN_SUPPORT)
     )
