@@ -88,9 +88,15 @@ def test_multimodal_decode_shape(spark, sf_dir):
     rows = df.collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == n_docs
-    assert all(64 <= r.width < 64 + 1024 for r in rows)
-    assert all(r.n_bytes > 0 for r in rows)
-    # deterministic stub: same payload → same fake dimensions
+    assert all(8 <= r.width <= 32 and 8 <= r.height <= 32 for r in rows)
+    assert all(r.channels == 3 and r.n_bytes > 0 for r in rows)
+    # both real codecs exercised in-pipeline: even doc_ids BMP, odd PNG
+    fmts = {r.doc_id: r.img_format for r in rows}
+    assert all(
+        f == ("bmp" if did % 2 == 0 else "png") for did, f in fmts.items()
+    )
+    assert all(0.0 <= r.mean_pixel <= 255.0 for r in rows)
+    # deterministic: same payload → same decoded dimensions
     again = {r.doc_id: (r.width, r.height) for r in df.collect()}
     assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
 
@@ -197,12 +203,19 @@ def test_connected_components_matches_union_find(spark_global, edges):
 
 
 def test_resize_produces_fixed_size_binary(spark, sf_dir):
+    """Every thumb is a decodable 8x8 BMP of fixed byte size (54-byte
+    header + 8 rows padded to 24 bytes = 246)."""
+    from nrtwithdeltalake_spark.operators.imagecodec import decode_image
+    from nrtwithdeltalake_spark.operators.multimodal import THUMB_H, THUMB_W
+
     rows = multimodal.q_multimodal_resize(spark, sf_dir).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == n_docs
-    assert all(r.thumb_w == 64 and r.thumb_h == 64 for r in rows)
-    assert all(isinstance(r.thumb, (bytes, bytearray)) for r in rows)
-    assert all(r.n_bytes == len(r.thumb) == 4096 for r in rows)
+    assert all(r.thumb_w == THUMB_W and r.thumb_h == THUMB_H for r in rows)
+    for r in rows:
+        img = decode_image(bytes(r.thumb))
+        assert img.shape == (THUMB_H, THUMB_W, 3)
+        assert r.n_bytes == len(r.thumb) == 246
 
 
 def test_kmeans_monotone_deterministic(spark, sf_dir):
@@ -908,30 +921,50 @@ def test_fingerprint_shingles_matches_python_stride(spark, sf_dir):
 
 
 def test_multimodal_decode_matches_python_recompute(spark, sf_dir):
-    """Closes the rows-only gap for q_multimodal_decode: the stub codec
-    is a pure python function — apply it per document on the driver and
-    require exact row equality through the mapInPandas plumbing."""
+    """Closes the rows-only gap for q_multimodal_decode with REAL image
+    payloads: re-synthesize each document's BMP/PNG in pure Python,
+    decode it with the same codec, and require exact row equality —
+    including mean_pixel, which needs every pixel decoded correctly —
+    through the mapInPandas plumbing."""
+    from nrtwithdeltalake_spark.operators.imagecodec import decode_image
+    from nrtwithdeltalake_spark.operators.multimodal import synth_payload
+
     texts = {
         r.doc_id: r.text
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     }
     got = {
-        r.doc_id: (r.width, r.height, r.n_frames, r.n_bytes)
+        r.doc_id: (
+            r.width, r.height, r.channels, r.img_format, r.n_bytes,
+            r.mean_pixel,
+        )
         for r in multimodal.q_multimodal_decode(spark, sf_dir).collect()
     }
     want = {}
     for did, text in texts.items():
-        payload = text.encode()
-        w, h, n = multimodal._fake_decode(payload)
-        want[did] = (w, h, n, len(payload))
+        payload = synth_payload(did, text.encode())
+        img = decode_image(payload)
+        want[did] = (
+            img.shape[1], img.shape[0], img.shape[2],
+            "bmp" if did % 2 == 0 else "png", len(payload),
+            round(float(img.mean()), 6),
+        )
     assert got == want
 
 
 def test_multimodal_resize_matches_python_recompute(spark, sf_dir):
-    """Exact thumb bytes: digest-seeded fake resize recomputed per doc."""
-    import hashlib
-
-    from nrtwithdeltalake_spark.operators.multimodal import THUMB_H, THUMB_W
+    """Exact thumb bytes: real decode → box downsample → BMP re-encode
+    recomputed per doc in pure Python."""
+    from nrtwithdeltalake_spark.operators.imagecodec import (
+        decode_image,
+        encode_bmp,
+    )
+    from nrtwithdeltalake_spark.operators.multimodal import (
+        THUMB_H,
+        THUMB_W,
+        box_resize,
+        synth_payload,
+    )
 
     texts = {
         r.doc_id: r.text
@@ -943,36 +976,123 @@ def test_multimodal_resize_matches_python_recompute(spark, sf_dir):
     }
     want = {}
     for did, text in texts.items():
-        seed = hashlib.md5(text.encode()).digest()
-        thumb = seed * ((THUMB_W * THUMB_H) // len(seed))
+        img = decode_image(synth_payload(did, text.encode()))
+        thumb = encode_bmp(box_resize(img[:, :, :3], THUMB_W, THUMB_H))
         want[did] = (thumb, THUMB_W, THUMB_H, len(thumb))
     assert got == want
 
 
 def test_multimodal_frame_sample_matches_python_recompute(spark, sf_dir):
-    """Exact frame rows: stride schedule and digest(payload‖idx) frame
-    bytes recomputed per doc."""
+    """Exact frame rows on real pixels: decode, cut the 4-row bands,
+    re-encode each sampled band as BMP, and compare md5 AND raw frame
+    bytes per (doc, index)."""
     import hashlib
 
-    from nrtwithdeltalake_spark.operators.multimodal import MAX_SAMPLED_FRAMES
+    from nrtwithdeltalake_spark.operators.multimodal import (
+        sample_frames,
+        synth_payload,
+    )
 
     texts = {
         r.doc_id: r.text
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     }
     got = {
-        (r.doc_id, r.frame_index): (r.frame_md5, r.n_frames_total)
+        (r.doc_id, r.frame_index): (r.frame_md5, bytes(r.frame_bytes), r.n_frames_total)
         for r in multimodal.q_multimodal_frame_sample(spark, sf_dir).collect()
     }
     want = {}
     for did, text in texts.items():
-        payload = text.encode()
-        _, _, n_frames = multimodal._fake_decode(payload)
-        stride = max(1, -(-n_frames // MAX_SAMPLED_FRAMES))
-        for idx in range(0, n_frames, stride):
-            md5 = hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
-            want[(did, idx)] = (md5, n_frames)
+        n_frames, frames = sample_frames(synth_payload(did, text.encode()))
+        for idx, frame in frames:
+            want[(did, idx)] = (
+                hashlib.md5(frame).hexdigest(), frame, n_frames,
+            )
     assert got == want
+
+
+def test_image_codec_roundtrip_and_known_pixels(spark):
+    """The engine's own BMP/PNG codecs against hand-crafted fixtures:
+    pixel-exact encode→decode round-trips (RGB BMP; grey/RGB/RGBA PNG)
+    and a PNG assembled byte-by-byte with all five scanline filter
+    types (None/Sub/Up/Average/Paeth) decoded against a scalar
+    reference unfilter — proving the decoder handles files OUR encoder
+    never writes (it emits filter 0 only)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nrtwithdeltalake_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_image,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7, 3), (1, 1, 3), (16, 16, 3)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(a)) == a).all()
+        assert (decode_image(encode_bmp(a)) == a).all()
+        assert (decode_png(encode_png(a)) == a).all()
+    grey = rng.integers(0, 256, (4, 6, 1), dtype=np.uint8)
+    assert (decode_png(encode_png(grey)) == grey).all()
+    rgba = rng.integers(0, 256, (3, 5, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+
+    # all-filters PNG, assembled from the spec by hand
+    h, w, c = 6, 5, 3
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+
+    def filt(ftype, cur, prev):
+        line = cur.astype(np.int16).ravel()
+        stride = len(line)
+        out = np.zeros(stride, dtype=np.int16)
+        for i in range(stride):
+            left = line[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                )
+            out[i] = (line[i] - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    raw = b""
+    prev = np.zeros(w * c, dtype=np.int16)
+    for r in range(h):
+        ftype = r % 5
+        raw += bytes([ftype]) + filt(ftype, img[r], prev).tobytes()
+        prev = img[r].astype(np.int16).ravel()
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img).all()
 
 
 def test_ann_pq_matches_python_recompute(spark, sf_dir):
