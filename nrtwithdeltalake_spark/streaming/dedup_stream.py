@@ -27,6 +27,16 @@ Scale + crash posture (both previously flagged, both fixed here):
   self-matches and completes only the missing appends (anti-joined per
   table), making replay idempotent for every crash point — not just
   the all-appends-completed case.
+* The (band, bkey) index is probed through a BUCKETED catalog mirror
+  (``bucketBy(band, bkey)`` parquet table): the index side of every
+  micro-batch's classify join arrives pre-partitioned on the join key,
+  so only the small batch side shuffles — at a 10⁹-doc corpus the
+  index is the big side, and reshuffling it per micro-batch would
+  dominate gate cost. The versioned table stays authoritative (the
+  mirror is a pure projection, rebuilt by ``rebuild_bands_mirror`` on
+  the maintenance cadence); mirror writes precede versioned writes so
+  the mirror can only ever over-approximate (spurious candidates die
+  in the signature verify; missing ones would miss duplicates).
 """
 
 from __future__ import annotations
@@ -47,10 +57,39 @@ from ..operators.dedup import (
 from ..pipeline.tables import VersionedTable
 
 _INDEX_PARTS = ("exact", "sigs", "bands")
+_MIRROR_BUCKETS = 16
 
 
 def index_paths(root: str) -> dict[str, str]:
     return {k: f"{root}/idx_{k}" for k in _INDEX_PARTS}
+
+
+def bands_mirror_name(index_root: str) -> str:
+    """Catalog name of the bucketed bands-index mirror for one ingest
+    gate (root-hashed: catalog names are global, index roots aren't)."""
+    import hashlib as _hl
+
+    return "dedup_bands_" + _hl.md5(index_root.encode()).hexdigest()[:12]
+
+
+def _mirror_write(df: DataFrame, name: str, mode: str) -> None:
+    (
+        df.write.bucketBy(_MIRROR_BUCKETS, "band", "bkey")
+        .sortBy("band", "bkey")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def rebuild_bands_mirror(spark, index_root: str) -> None:
+    """Re-derive the bucketed mirror from the authoritative versioned
+    bands table — the compaction/self-heal path (each micro-batch
+    append adds ``_MIRROR_BUCKETS`` files; run this on the maintenance
+    cadence to re-pack them, or whenever the mirror is suspected stale:
+    the mirror is a pure projection, always rebuildable)."""
+    bands = VersionedTable(spark, index_paths(index_root)["bands"]).read()
+    _mirror_write(bands, bands_mirror_name(index_root), "overwrite")
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:
@@ -158,14 +197,30 @@ def dedup_ingest_batch(
         return
     spark = batch_df.sparkSession
     paths = index_paths(index_root)
+    mirror = bands_mirror_name(index_root)
     if not VersionedTable.exists(paths["exact"]):
         novel = intra_batch_dedup(batch_df, threshold)
         idx = build_dedup_index(novel)
         for k in _INDEX_PARTS:
             VersionedTable.create(spark, paths[k], idx[k])
+        _mirror_write(idx["bands"], mirror, "overwrite")
         VersionedTable.create(spark, corpus_path, novel)
         return
     index = {k: VersionedTable(spark, p).read() for k, p in paths.items()}
+    # auth_bands stays the versioned read (file list pinned at .read()
+    # time) for the recovery anti-joins below: a catalog-table reference
+    # resolves lazily by NAME, so after this batch's own mirror append
+    # it would already contain the rows being anti-joined away
+    auth_bands = index["bands"]
+    if spark.catalog.tableExists(mirror):
+        # probe the BUCKETED mirror: the index side of the steady-state
+        # classify join arrives pre-partitioned on (band, bkey), so only
+        # the (small) batch side shuffles — the index is never
+        # reshuffled per micro-batch (plan-pinned in
+        # tests/test_streaming.py::test_dedup_bands_mirror_join_no_index_shuffle).
+        # Safe under recompute: bands only GENERATE candidates, which the
+        # sig verify checks against the pinned versioned sigs frame.
+        index["bands"] = spark.table(mirror)
     classified = incremental_dedup(batch_df, index, threshold=threshold).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -201,7 +256,7 @@ def dedup_ingest_batch(
         )
         bands_add = bands_add.unionByName(
             ridx["bands"].join(
-                index["bands"].select("corpus_id").distinct(),
+                auth_bands.select("corpus_id").distinct(),
                 "corpus_id",
                 "left_anti",
             )
@@ -215,6 +270,17 @@ def dedup_ingest_batch(
         )
     VersionedTable(spark, paths["exact"]).append(idx["exact"])
     VersionedTable(spark, paths["sigs"]).append(sigs_add)
+    if spark.catalog.tableExists(mirror):
+        # mirror BEFORE the versioned append: the mirror may only ever be
+        # a superset of the authoritative table (extra rows cost spurious
+        # candidates, discarded by the sig verify; missing rows would
+        # miss duplicates). Replay can re-append the same band rows —
+        # candidates are .distinct()ed, and rebuild_bands_mirror
+        # re-packs/dedups on the maintenance cadence. bands_add's plan
+        # anti-joins only pinned versioned reads (auth_bands), so its
+        # recompute for the versioned append below is unaffected by this
+        # write's cache invalidation.
+        _mirror_write(bands_add, mirror, "append")
     VersionedTable(spark, paths["bands"]).append(bands_add)
     VersionedTable(spark, corpus_path).append(corpus_add)
     classified.unpersist()
