@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -125,6 +126,83 @@ class CommitConflictError(RuntimeError):
     surface it — their read could be stale, the caller must re-run."""
 
 
+_FIELD_ID = "parquet.field.id"  # Spark's parquet field-id metadata key
+
+
+def _max_field_id(schema: T.StructType) -> int:
+    return max(
+        (
+            int(f.metadata[_FIELD_ID])
+            for f in schema.fields
+            if f.metadata and _FIELD_ID in f.metadata
+        ),
+        default=0,
+    )
+
+
+def _strip_ids(schema: T.StructType) -> T.StructType:
+    """Drop inherited field-id metadata: a dataframe built FROM table
+    reads (a join of two VersionedTables, say) carries each source's
+    ids in its column metadata — committing them verbatim can collide
+    (two sources both have an id 2). New tables and new columns always
+    get fresh ids of their own."""
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {k: v for k, v in (f.metadata or {}).items() if k != _FIELD_ID}
+                or None,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _with_field_ids(schema: T.StructType, floor: int = 0) -> T.StructType:
+    """Column mapping (Delta VLDB'20 §4 / Iceberg field IDs): assign a
+    stable integer id to every field that lacks one. Files written
+    under an id-bearing schema carry the ids in their parquet footers
+    (Spark's ``parquet.field.id`` support), so the read path can match
+    columns BY ID — which is what makes ``rename_column`` a pure
+    metadata commit: old files keep their old physical column names,
+    the id still finds them. ``floor`` is the table's id high-water
+    mark (commit stats ``max_field_id``): new ids start above it so a
+    dropped column's id is never reissued."""
+    nxt = max(_max_field_id(schema), floor) + 1
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if _FIELD_ID not in md:
+            md[_FIELD_ID] = nxt
+            nxt += 1
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return T.StructType(fields)
+
+
+def _attach_ids(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Re-alias df columns with the target schema's field-id metadata
+    (matched by name) so written parquet footers carry the ids —
+    projections (merge's CASE select, _align_to) strip column metadata,
+    so this runs as the last step before every file write. Extra
+    columns (CDF change-type) pass through id-free; no-op for id-free
+    (legacy) schemas."""
+    ids = {
+        f.name: int(f.metadata[_FIELD_ID])
+        for f in schema.fields
+        if f.metadata and _FIELD_ID in f.metadata
+    }
+    if not ids or not any(c in ids for c in df.columns):
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={_FIELD_ID: ids[c]}) if c in ids else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def publish_commit_file(log_dir: str, version: int, payload: str) -> None:
     """Atomic put-if-absent commit publish, shared by every writer of
     the ``versioned`` log (the native API here and both DataSource
@@ -200,7 +278,16 @@ class VersionedTable:
         ]
 
     def _write_commit(self, commit: Commit) -> None:
-        """Atomic put-if-absent publish (see ``publish_commit_file``)."""
+        """Atomic put-if-absent publish (see ``publish_commit_file``).
+        Every commit re-stamps the field-id high-water mark from its own
+        schema ∨ the carried value, keeping ``_next_field_floor`` exact
+        across drops."""
+        m = max(
+            _max_field_id(T.StructType.fromJson(json.loads(commit.schema_json))),
+            int(commit.stats.get("max_field_id", 0)),
+        )
+        if m:
+            commit.stats["max_field_id"] = m
         publish_commit_file(self.log_dir, commit.version, commit.to_json())
         reg = self._read_registration()
         if reg is not None:
@@ -381,16 +468,33 @@ class VersionedTable:
         return stats
 
     def _write_files(
-        self, df: DataFrame, base: str, enforce: bool = True
+        self,
+        df: DataFrame,
+        base: str,
+        enforce: bool = True,
+        schema: T.StructType | None = None,
     ) -> list[str]:
         """Write a batch as immutable parquet files in a fresh uuid dir;
         returns the file list (metadata only — no data on the driver).
         Data-file writes are gated on the table's CHECK constraints
         (CDF files carry pre-images/deletes and are exempt); ``enforce=
         False`` skips the probe for rewrites of already-validated rows
-        (compaction)."""
+        (compaction). ``schema`` names the commit schema these files
+        will live under (defaults to the current one): its field-id
+        metadata is stamped into the parquet footers so id-mapped reads
+        (and renames) keep finding the columns — callers evolving the
+        schema in the same commit MUST pass the evolved schema, or the
+        new columns' files would miss their ids."""
         if enforce and base == self.data_dir:
             self._probe_violations(self.constraints(), df)
+        if schema is None:
+            try:
+                schema = self.schema()
+            except FileNotFoundError:
+                schema = None
+        if schema is not None:
+            df = _attach_ids(df, schema)
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         out = os.path.join(base, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(out)
         return sorted(
@@ -403,10 +507,15 @@ class VersionedTable:
         """Read with the commit's schema applied explicitly: after schema
         evolution, carried-over files physically lack new columns (they are
         never rewritten) — the log schema is authoritative and fills them
-        with nulls. Also skips footer schema inference."""
+        with nulls. Also skips footer schema inference. When the schema
+        carries field-id metadata, columns are matched BY ID (so renamed
+        columns still find their data in old files); id-free legacy
+        schemas keep name matching — the flag below only changes
+        behavior for id-bearing read schemas."""
         schema = T.StructType.fromJson(json.loads(schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
+        self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         return self.spark.read.schema(schema).parquet(*files)
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -430,6 +539,11 @@ class VersionedTable:
         # one would silently re-open the door to a duplicate replay
         if "txn" not in out and prev.stats.get("txn"):
             out["txn"] = dict(prev.stats["txn"])
+        # the field-id high-water mark survives too: a dropped column's id
+        # must NEVER be reissued (an old file still stores its data under
+        # that id — reuse would resurrect it under the new column)
+        if "max_field_id" not in out and prev.stats.get("max_field_id"):
+            out["max_field_id"] = prev.stats["max_field_id"]
         return out
 
     # -- writes ------------------------------------------------------------
@@ -450,9 +564,12 @@ class VersionedTable:
         t = cls(spark, path)
         if cls.exists(path):
             raise RuntimeError(f"table already exists at {path}")
-        files = t._write_files(df, t.data_dir)
+        schema = _with_field_ids(_strip_ids(df.schema))  # mapping from birth
+        files = t._write_files(df, t.data_dir, schema=schema)
         cdf = t._write_files(
-            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), t.cdf_dir
+            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
+            t.cdf_dir,
+            schema=schema,
         )
         t._write_commit(
             Commit(
@@ -460,7 +577,7 @@ class VersionedTable:
                 "create",
                 files,
                 cdf,
-                df.schema.json(),
+                schema.json(),
                 time.time(),
                 dict(extra_stats or {}),
             )
@@ -493,14 +610,46 @@ class VersionedTable:
         with its data-skipping stats intact. Rows where the predicate is
         NULL are kept (not matched), mirroring SQL filter semantics."""
         prev = self.get_commit()
+        prev_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         v = prev.version + 1
         if replace_where is None:
-            files = self._write_files(df, self.data_dir)
+            # full replace commits the NEW dataframe's schema; same-named
+            # columns keep their field ids (they are the same logical
+            # column), brand-new ones get fresh ids
+            prev_fields = {f.name: f for f in prev_schema.fields}
+            schema = _with_field_ids(
+                T.StructType(
+                    [
+                        T.StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            dict(prev_fields[f.name].metadata or {})
+                            if f.name in prev_fields
+                            and prev_fields[f.name].dataType == f.dataType
+                            # strip inherited ids (may come from another
+                            # table's read and collide) — fresh ones below
+                            else {
+                                k: v
+                                for k, v in (f.metadata or {}).items()
+                                if k != _FIELD_ID
+                            },
+                        )
+                        for f in df.schema.fields
+                    ]
+                ),
+                int(prev.stats.get("max_field_id", 0)),
+            )
+            files = self._write_files(df, self.data_dir, schema=schema)
             old = self._read_files(prev.files, prev.schema_json)
             cdf = self._write_files(
-                old.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
+                old.withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+                self.cdf_dir,
+                schema=prev_schema,
             ) + self._write_files(
-                df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
+                df.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
+                self.cdf_dir,
+                schema=schema,
             )
             self._write_commit(
                 Commit(
@@ -508,7 +657,7 @@ class VersionedTable:
                     "overwrite",
                     files,
                     cdf,
-                    df.schema.json(),
+                    schema.json(),
                     time.time(),
                     {**self._carry_stats(prev, []), **(extra_stats or {})},
                 )
@@ -533,23 +682,27 @@ class VersionedTable:
             .collect()
         )
         carryover = [f for f in prev.files if f not in set(touched)]
-        new_files = self._write_files(df, self.data_dir)
+        new_files = self._write_files(df, self.data_dir, schema=schema)
         files = carryover + new_files
         if touched:
             touched_df = self._read_files(touched, prev.schema_json)
             kept = touched_df.filter(~pred)
             if kept.take(1):
                 files = files + self._write_files(
-                    kept, self.data_dir, enforce=False
+                    kept, self.data_dir, enforce=False, schema=schema
                 )
             removed = touched_df.filter(pred)
         else:
             removed = self.spark.createDataFrame([], self.schema())
         removed = _align_to(removed, schema)
         cdf = self._write_files(
-            removed.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
+            removed.withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+            self.cdf_dir,
+            schema=schema,
         ) + self._write_files(
-            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
+            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
+            self.cdf_dir,
+            schema=schema,
         )
         self._write_commit(
             Commit(
@@ -636,10 +789,13 @@ class VersionedTable:
         prev = self.get_commit()
         if self._txn_skip(prev, txn_app, txn_version):
             return prev.version
-        df = _align_to(df, self._merged_schema(prev, df))
-        new_files = self._write_files(df, self.data_dir)
+        schema = self._merged_schema(prev, df)
+        df = _align_to(df, schema)
+        new_files = self._write_files(df, self.data_dir, schema=schema)
         cdf = self._write_files(
-            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
+            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
+            self.cdf_dir,
+            schema=schema,
         )
         attempt = 0
         while True:
@@ -650,7 +806,7 @@ class VersionedTable:
                         "append",
                         prev.files + new_files,
                         cdf,
-                        df.schema.json(),
+                        schema.json(),
                         time.time(),
                         self._txn_record(
                             self._carry_stats(prev, prev.files),
@@ -674,13 +830,25 @@ class VersionedTable:
 
     def _merged_schema(self, prev: Commit, df: DataFrame) -> T.StructType:
         """Schema evolution (README.md:8): union of target schema and new
-        source columns, target first."""
+        source columns, target first. On an id-mapped table the appended
+        columns receive fresh field ids (existing columns keep theirs)."""
         existing = T.StructType.fromJson(json.loads(prev.schema_json))
         names = {f.name for f in existing.fields}
-        merged = list(existing.fields) + [
-            f for f in df.schema.fields if f.name not in names
-        ]
-        return T.StructType(merged)
+        merged = T.StructType(
+            list(existing.fields)
+            + list(
+                _strip_ids(
+                    T.StructType(
+                        [f for f in df.schema.fields if f.name not in names]
+                    )
+                ).fields
+            )
+        )
+        if _max_field_id(existing):
+            merged = _with_field_ids(
+                merged, int(prev.stats.get("max_field_id", 0))
+            )
+        return merged
 
     def merge(
         self,
@@ -800,7 +968,7 @@ class VersionedTable:
             for f in schema.fields
         ]
         result = joined.filter(~(s_present & is_delete)).select(*merged_cols)
-        new_files = self._write_files(result, self.data_dir)
+        new_files = self._write_files(result, self.data_dir, schema=schema)
 
         # 3. change feed: Delta-CDF-shaped rows.
         #    insert / update_postimage carry SOURCE (new) values;
@@ -822,7 +990,9 @@ class VersionedTable:
             .otherwise("update_preimage")
             .alias(CHANGE_TYPE_COL),
         )
-        cdf_files = self._write_files(post.unionByName(pre), self.cdf_dir)
+        cdf_files = self._write_files(
+            post.unionByName(pre), self.cdf_dir, schema=schema
+        )
 
         src_keys = src.select(*keys).dropDuplicates(keys)
         v, stats = self._commit_merge_with_rebase(
@@ -958,6 +1128,12 @@ class VersionedTable:
         if name in {f.name for f in schema.fields}:
             raise ValueError(f"column {name!r} already exists")
         schema = schema.add(name, dtype)
+        if _max_field_id(schema):
+            # fresh id for the new column, above the high-water mark so a
+            # previously-dropped column's id can't be reissued
+            schema = _with_field_ids(
+                schema, int(prev.stats.get("max_field_id", 0))
+            )
         v = prev.version + 1
         self._write_commit(
             Commit(
@@ -972,15 +1148,78 @@ class VersionedTable:
         )
         return v
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only ``ALTER TABLE RENAME COLUMN`` via column
+        mapping (Delta column-mapping / Iceberg field-id semantics):
+        the committed schema renames the field but keeps its stable
+        field id, and the read path matches parquet columns BY ID — so
+        not a single data file is rewritten, old files answer to the
+        new name, and time travel still shows the old name. Data-
+        skipping stats are carried under the new key so range pruning
+        keeps working. Tables created before column mapping (id-free
+        schemas) must be upgraded first — one full ``overwrite`` with
+        their own rows assigns ids — because their files carry no ids
+        to match on; renaming by name-matching would silently null the
+        column."""
+        prev = self.get_commit()
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        names = {f.name for f in schema.fields}
+        if old not in names:
+            raise ValueError(f"column {old!r} does not exist")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        field = schema[old]
+        if not (field.metadata and _FIELD_ID in field.metadata):
+            raise ValueError(
+                f"column {old!r} has no field id (table predates column "
+                "mapping) — upgrade first: t.overwrite(t.read()) rewrites "
+                "the table with ids, then rename"
+            )
+        for cname, sql in self.constraints().items():
+            if re.search(rf"\b{re.escape(old)}\b", sql):
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({sql}) — drop the constraint, rename, "
+                    "and re-add it against the new name"
+                )
+        renamed = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        stats = self._carry_stats(
+            prev, prev.files, {"renamed_column": f"{old}->{new}"}
+        )
+        # data-skipping stats follow the logical name: re-key them
+        if "file_stats" in stats:
+            stats["file_stats"] = {
+                f: {(new if c == old else c): v for c, v in s.items()}
+                for f, s in stats["file_stats"].items()
+            }
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "rename_column",
+                prev.files,
+                [],
+                renamed.json(),
+                time.time(),
+                stats,
+            )
+        )
+        return v
+
     def drop_column(self, name: str) -> int:
         """Metadata-only ``ALTER TABLE DROP COLUMN``: the column leaves
         the committed schema so every read (current and future writes'
         merged schemas) stops seeing it; file bytes are untouched until
         files are naturally rewritten (Delta column-mapping drop works
         the same way). Time travel to an earlier version still shows
-        the column. Renames are deliberately unsupported: the read path
-        matches parquet columns by NAME, so a rename without rewrite
-        would silently null the data."""
+        the column."""
         prev = self.get_commit()
         schema = T.StructType.fromJson(json.loads(prev.schema_json))
         if name not in {f.name for f in schema.fields}:

@@ -54,6 +54,17 @@ from pyspark.sql.datasource import (
 
 CHANGE_TYPE_COL = "_change_type"
 VERSION_COL = "_commit_version"
+FIELD_ID_KEY = "parquet.field.id"  # column-mapping id in schema metadata
+
+
+def _strip_field_ids(schema: T.StructType) -> T.StructType:
+    """Drop the field-id metadata key from every field — the logical
+    schema surfaced to users/Spark carries no storage concerns."""
+    fields = []
+    for f in schema.fields:
+        md = {k: v for k, v in (f.metadata or {}).items() if k != FIELD_ID_KEY}
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md or None))
+    return T.StructType(fields)
 
 
 def _log_dir(path: str) -> str:
@@ -103,11 +114,29 @@ def _arrow_batches(part: _FilePartition):
     want = T.StructType.fromJson(json.loads(part.schema_json))
     pf = pq.ParquetFile(part.file)
     file_cols = set(pf.schema_arrow.names)
+    file_by_id = {}
+    for fld in pf.schema_arrow:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            file_by_id[int(fid)] = fld.name
     pf.close()
-    read_cols = [f.name for f in want.fields if f.name in file_cols]
+    # column mapping: a field that carries a field id reading an
+    # id-bearing file matches BY ID ONLY (a renamed column finds its
+    # data under the old physical name; a re-added column must NOT
+    # name-match a dropped column's leftover bytes). Name matching
+    # applies to id-free fields and id-free (legacy) files.
+    phys: dict[str, str] = {}
+    for f in want.fields:
+        fid = (f.metadata or {}).get(FIELD_ID_KEY)
+        if fid is not None and file_by_id:
+            if int(fid) in file_by_id:
+                phys[f.name] = file_by_id[int(fid)]
+        elif f.name in file_cols:
+            phys[f.name] = f.name
+    read_cols = sorted(set(phys.values()))
     kwargs = {"columns": read_cols}
     usable = [
-        (c, op, v) for (c, op, v) in part.filters if c in file_cols
+        (phys[c], op, v) for (c, op, v) in part.filters if c in phys
     ]
     if usable:
         kwargs["filters"] = usable  # conjunctive list → row-group skipping
@@ -124,8 +153,8 @@ def _arrow_batches(part: _FilePartition):
     for f in want.fields:
         names.append(f.name)
         at = to_arrow_type(f.dataType)
-        if f.name in tbl.column_names:
-            col = tbl.column(f.name)
+        if f.name in phys:
+            col = tbl.column(phys[f.name])
             if col.type != at:
                 col = col.cast(at)
             cols.append(col)
@@ -226,17 +255,27 @@ class _BatchReader(DataSourceReader):
     enables the flag). Column pruning via ``option("columns")`` works
     on both."""
 
-    def __init__(self, path: str, version: int | None, schema_json: str | None):
+    def __init__(self, path: str, version: int | None, columns: list[str] | None):
         self.path = path
         self.version = version
-        self.schema_json = schema_json  # pruned via option('columns'), or None
+        self.columns = columns  # pruned via option('columns'), or None
         self.pushed: list[tuple] = []
 
     def partitions(self):
         vs = _versions(self.path)
         v = self.version if self.version is not None else vs[-1]
         c = _commit(self.path, v)
-        schema_json = self.schema_json or c["schema_json"]
+        if self.columns:
+            # prune from the COMMIT schema so field-id metadata survives
+            # into the per-file column matching (the declared schema is
+            # deliberately id-free)
+            keep = set(self.columns)
+            full = T.StructType.fromJson(json.loads(c["schema_json"]))
+            schema_json = T.StructType(
+                [f for f in full.fields if f.name in keep]
+            ).json()
+        else:
+            schema_json = c["schema_json"]
         fstats = (c.get("stats") or {}).get("file_stats", {})
         files = [
             f
@@ -334,6 +373,41 @@ class _WriteResult(WriterCommitMessage):
     rows: int
 
 
+def _stamp_field_ids(tbl, path: str):
+    """Stamp the table's committed field ids (matched by logical name)
+    into the Arrow schema so pyarrow writes real parquet field_ids —
+    without this, format-writer appends into an id-mapped table would
+    produce id-free files that the id-matching read path hard-rejects.
+    No-op for new or legacy (id-free) tables."""
+    import pyarrow as pa
+
+    try:
+        vs = _versions(path)
+    except (FileNotFoundError, OSError):
+        return tbl
+    if not vs:
+        return tbl
+    schema = T.StructType.fromJson(
+        json.loads(_commit(path, vs[-1])["schema_json"])
+    )
+    ids = {
+        f.name: int(f.metadata[FIELD_ID_KEY])
+        for f in schema.fields
+        if f.metadata and FIELD_ID_KEY in f.metadata
+    }
+    if not ids:
+        return tbl
+    fields = []
+    for fld in tbl.schema:
+        if fld.name in ids:
+            md = dict(fld.metadata or {})
+            md[b"PARQUET:field_id"] = str(ids[fld.name]).encode()
+            fields.append(fld.with_metadata(md))
+        else:
+            fields.append(fld)
+    return tbl.cast(pa.schema(fields))
+
+
 def _write_task_files(path: str, iterator) -> _WriteResult:
     """Executor half of the write protocols: stream this task's Arrow
     batches into one immutable data file + one insert-image CDF file.
@@ -346,7 +420,7 @@ def _write_task_files(path: str, iterator) -> _WriteResult:
     batches = [b for b in iterator if b.num_rows]
     if not batches:
         return _WriteResult(None, None, 0)
-    tbl = pa.Table.from_batches(batches)
+    tbl = _stamp_field_ids(pa.Table.from_batches(batches), path)
     token = uuid.uuid4().hex
     data_dir = os.path.join(path, "_data", f"ds-{token}")
     cdf_dir = os.path.join(path, "_cdf", f"ds-{token}")
@@ -372,13 +446,31 @@ def _publish_record(path: str, record: dict) -> None:
     code here — loses a commit on POSIX, where rename overwrites.)"""
     from ..pipeline.tables import publish_commit_file
 
+    # re-stamp the field-id high-water mark (schema ids ∨ carried value),
+    # same as the native _write_commit — keeps dropped ids retired
+    ids = [
+        int(f.metadata[FIELD_ID_KEY])
+        for f in T.StructType.fromJson(json.loads(record["schema_json"])).fields
+        if f.metadata and FIELD_ID_KEY in f.metadata
+    ]
+    m = max(
+        max(ids, default=0), int(record.get("stats", {}).get("max_field_id", 0))
+    )
+    if m:
+        record.setdefault("stats", {})["max_field_id"] = m
     publish_commit_file(_log_dir(path), record["version"], json.dumps(record))
 
 
-def _check_type_compat(prev_schema: T.StructType, new_schema: T.StructType):
+def _check_type_compat(
+    prev_schema: T.StructType, new_schema: T.StructType, id_floor: int = 0
+):
     """Reject in-place type changes (evolve via VersionedTable);
     returns the append-style merged schema (previous columns keep their
-    order, new columns append — the read path null-fills by name)."""
+    order, new columns append — the read path null-fills by name). On
+    an id-mapped table the appended columns receive fresh field ids
+    above ``id_floor`` (the table's high-water mark), matching the
+    native ``_merged_schema`` discipline — mixed id/no-id schemas are
+    never committed."""
     prev_names = {f.name: f for f in prev_schema.fields}
     for f in new_schema.fields:
         if f.name in prev_names and prev_names[f.name].dataType != f.dataType:
@@ -387,10 +479,23 @@ def _check_type_compat(prev_schema: T.StructType, new_schema: T.StructType):
                 f"({prev_names[f.name].dataType} → {f.dataType}) — "
                 "evolve via VersionedTable"
             )
-    return T.StructType(
-        list(prev_schema.fields)
-        + [f for f in new_schema.fields if f.name not in prev_names]
-    )
+    prev_ids = [
+        int(f.metadata[FIELD_ID_KEY])
+        for f in prev_schema.fields
+        if f.metadata and FIELD_ID_KEY in f.metadata
+    ]
+    added = [f for f in new_schema.fields if f.name not in prev_names]
+    if prev_ids and added:
+        nxt = max(max(prev_ids), id_floor) + 1
+        stamped = []
+        for f in added:
+            md = dict(f.metadata or {})
+            if FIELD_ID_KEY not in md:
+                md[FIELD_ID_KEY] = nxt
+                nxt += 1
+            stamped.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        added = stamped
+    return T.StructType(list(prev_schema.fields) + added)
 
 
 def _drop_files(messages) -> None:
@@ -426,7 +531,11 @@ class _VersionedWriter(DataSourceArrowWriter):
 
     def __init__(self, path: str, schema: T.StructType, overwrite: bool):
         self.path = os.path.abspath(path)
-        self.schema_json = schema.json()
+        # strip inherited field ids: the input df may come from reading
+        # other versioned tables (ids in column metadata, possibly
+        # colliding), while this writer's task files carry only the ids
+        # the TARGET table's commit schema defines (_stamp_field_ids)
+        self.schema_json = _strip_field_ids(schema).json()
         self.overwrite = overwrite
         if os.path.exists(os.path.join(self.path, "_constraints.json")):
             raise ValueError(
@@ -508,7 +617,11 @@ class _VersionedWriter(DataSourceArrowWriter):
         else:
             prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
             new_schema = T.StructType.fromJson(json.loads(self.schema_json))
-            schema_json = _check_type_compat(prev_schema, new_schema).json()
+            schema_json = _check_type_compat(
+                prev_schema,
+                new_schema,
+                int(prev.get("stats", {}).get("max_field_id", 0)),
+            ).json()
             files = list(prev["files"]) + new_files
             cdf = new_cdf
             op = "append"
@@ -521,6 +634,8 @@ class _VersionedWriter(DataSourceArrowWriter):
                 stats["file_stats"] = kept
         if prev.get("stats", {}).get("txn"):
             stats["txn"] = dict(prev["stats"]["txn"])
+        if prev.get("stats", {}).get("max_field_id"):
+            stats["max_field_id"] = prev["stats"]["max_field_id"]
         _publish_record(
             self.path,
             {
@@ -552,7 +667,7 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, path: str, schema: T.StructType):
         self.path = os.path.abspath(path)
-        self.schema_json = schema.json()
+        self.schema_json = _strip_field_ids(schema).json()  # see batch writer
         if os.path.exists(os.path.join(self.path, "_constraints.json")):
             raise ValueError(
                 "format('versioned') stream sink cannot enforce CHECK "
@@ -597,9 +712,15 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         # visible instead of silently hidden by a stale commit schema
         prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
         new_schema = T.StructType.fromJson(json.loads(self.schema_json))
-        merged = _check_type_compat(prev_schema, new_schema)
+        merged = _check_type_compat(
+            prev_schema,
+            new_schema,
+            int(prev.get("stats", {}).get("max_field_id", 0)),
+        )
         stats: dict = {"txn": dict(prev.get("stats", {}).get("txn") or {})}
         stats["txn"][_STREAM_TXN_APP] = batchId
+        if prev.get("stats", {}).get("max_field_id"):
+            stats["max_field_id"] = prev["stats"]["max_field_id"]
         kept = {
             f: s
             for f, s in (prev.get("stats", {}).get("file_stats") or {}).items()
@@ -640,21 +761,30 @@ class VersionedTableDataSource(DataSource):
             raise ValueError("option 'path' is required for format 'versioned'")
         return p
 
+    def _columns(self) -> list[str] | None:
+        cols = self.options.get("columns")
+        if not cols:
+            return None
+        return [c.strip() for c in cols.split(",") if c.strip()]
+
     def schema(self):
         path = self._path()
         v = self.options.get("version")
         vs = _versions(path)
         ver = int(v) if v is not None else vs[-1]
-        base = T.StructType.fromJson(
-            json.loads(_commit(path, ver)["schema_json"])
+        # the DECLARED schema is metadata-free: Spark's streaming runner
+        # asserts arrow-batch schemas against it byte-for-byte, and field
+        # ids are an internal storage concern — partition planning
+        # re-reads the commit schema (ids intact) for column matching
+        base = _strip_field_ids(
+            T.StructType.fromJson(json.loads(_commit(path, ver)["schema_json"]))
         )
         if self.options.get("feed") == "changes":
             return base.add(CHANGE_TYPE_COL, T.StringType()).add(
                 VERSION_COL, T.LongType()
             )
-        cols = self.options.get("columns")
-        if cols:
-            want = [c.strip() for c in cols.split(",") if c.strip()]
+        want = self._columns()
+        if want:
             have = {f.name for f in base.fields}
             missing = [c for c in want if c not in have]
             if missing:
@@ -681,7 +811,7 @@ class VersionedTableDataSource(DataSource):
         return cls(
             self._path(),
             int(v) if v is not None else None,
-            schema.json() if self.options.get("columns") else None,
+            self._columns(),
         )
 
     def writer(self, schema, overwrite: bool):

@@ -1212,3 +1212,135 @@ def test_concurrent_merges_disjoint_keys_both_commit(spark, tmp_path):
     assert got[0] == "upd0" and got[100] == "upd100"
     assert got[900] == "new0" and got[1000] == "new100"
     assert len(got) == 12
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """Column mapping (VERDICT r6 #8): rename commits only metadata —
+    the stable field id matches old files' columns, so data written
+    under the old name reads under the new one, no file is rewritten,
+    and time travel still shows the old name."""
+    p = str(tmp_path / "rn")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, v string, w double"),
+    )
+    t.append(spark.createDataFrame([(3, "c", 3.0)], "id long, v string, w double"))
+    files_before = list(t.get_commit().files)
+    v_before = t.latest_version()
+
+    t.rename_column("v", "label")
+    assert t.get_commit().files == files_before  # zero files rewritten
+    got = {r.id: r.label for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    assert "v" not in t.read().columns
+    # time travel: the old version still reads under the old name
+    old = t.read(version=v_before)
+    assert "v" in old.columns and "label" not in old.columns
+    assert {r.id: r.v for r in old.collect()} == {1: "a", 2: "b", 3: "c"}
+
+    # writes after the rename interleave with pre-rename files
+    t.merge(
+        spark.createDataFrame([(1, "upd", 9.0), (9, "new", 9.9)], "id long, label string, w double"),
+        ["id"],
+    )
+    got = {r.id: r.label for r in t.read().collect()}
+    assert got == {1: "upd", 2: "b", 3: "c", 9: "new"}
+
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("label", "id")
+
+
+def test_dropped_field_id_never_reissued(spark, tmp_path):
+    """Drop a column, re-add the same name: the new column must NOT
+    resurrect the dropped column's bytes from old files — its field id
+    is fresh (the high-water mark in commit stats outlives the drop)."""
+    p = str(tmp_path / "hw")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, w double")
+    )
+    t.drop_column("w")
+    t.add_column("w", "double")
+    assert {r.id: r.w for r in t.read().collect()} == {1: None, 2: None}
+    # and a rename after re-add still reads the fresh (null) column
+    t.rename_column("w", "weight")
+    assert {r.id: r.weight for r in t.read().collect()} == {1: None, 2: None}
+
+
+def test_rename_keeps_data_skipping_stats(spark, tmp_path):
+    """The committed per-file min/max stats are re-keyed to the new
+    logical name, so read_between keeps pruning after a rename."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "rs")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("val")),
+    )
+    t.compact(target_file_bytes=4 * 1024, cluster_by=["val"])
+    t.rename_column("val", "metric")
+    stats = t.get_commit().stats["file_stats"]
+    assert all("metric" in s and "val" not in s for s in stats.values())
+    got = sorted(r.id for r in t.read_between("metric", 10, 20).collect())
+    assert got == [5, 6, 7, 8, 9, 10]
+
+
+def test_rename_requires_column_mapping_with_upgrade_path(spark, tmp_path):
+    """A table created through the format writer (id-free files) refuses
+    rename with actionable guidance; one self-overwrite assigns ids and
+    unlocks it — the legacy upgrade path."""
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.sources import datasource as ds
+
+    ds.register(spark)
+    p = str(tmp_path / "legacy")
+    # the DataSource create path commits an id-free schema
+    spark.range(5).select(F.col("id"), F.lit("x").alias("v")).write.format(
+        "versioned"
+    ).mode("append").save(p)
+    t = VersionedTable(spark, p)
+    with pytest.raises(ValueError, match="predates column mapping"):
+        t.rename_column("v", "label")
+    t.overwrite(t.read())  # upgrade: full rewrite assigns field ids
+    t.rename_column("v", "label")
+    assert {r.id: r.label for r in t.read().collect()} == {
+        i: "x" for i in range(5)
+    }
+
+
+def test_rename_visible_through_format_and_format_appends(spark, tmp_path):
+    """Interop after rename: the registered 'versioned' format reads the
+    renamed column BY FIELD ID from pre-rename files (pyarrow path), and
+    a format-writer append lands id-stamped files the native reader
+    unions correctly."""
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.sources import datasource as ds
+
+    ds.register(spark)
+    p = str(tmp_path / "fmt")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    t.rename_column("v", "label")
+
+    df = spark.read.format("versioned").option("path", p).load()
+    assert {r.id: r.label for r in df.collect()} == {1: "a", 2: "b"}
+    # pruned projection on the renamed column still id-matches
+    only = (
+        spark.read.format("versioned")
+        .option("path", p)
+        .option("columns", "label")
+        .load()
+    )
+    assert sorted(r.label for r in only.collect()) == ["a", "b"]
+
+    spark.range(7, 9).select(
+        F.col("id"), F.lit("z").alias("label")
+    ).write.format("versioned").mode("append").save(p)
+    got = {r.id: r.label for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 7: "z", 8: "z"}
