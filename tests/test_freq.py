@@ -135,37 +135,28 @@ def test_cms_overestimates_only_and_bounded(spark, sf_dir):
 
 
 def test_basket_pairs_whale_safe_and_exact(spark):
-    """basket_pairs (chunk-wise pair generation) is exact — identical
-    to itertools.combinations on a multi-chunk basket — and whale-safe:
-    a basket far larger than BASKET_CHUNK generates its C(n,2) pairs
-    block-by-block (≤ BASKET_CHUNK² transient structs per row) instead
-    of materializing one giant array. The 2500-item basket here spans 3
-    chunks, exercising both the within-chunk triangle and the
-    cross-chunk product branches."""
+    """basket_pairs (element-grain pair generation) is exact — identical
+    to itertools.combinations — and whale-safe: a large basket's C(n,2)
+    pairs are generated one partner-slice at a time (O(n) transient
+    structs per row, never the O(n²) single-array materialization of a
+    flat flatten(transform(...)))."""
     from itertools import combinations
 
-    from pyspark.sql import functions as F
+    from nrtwithdeltalake_spark.operators.freq import basket_pairs
 
-    from nrtwithdeltalake_spark.operators.freq import (
-        BASKET_CHUNK,
-        basket_pairs,
-    )
-
-    n = 2500
-    assert n > 2 * BASKET_CHUNK  # ≥3 chunks → cross-chunk branch is live
+    n = 5000
     items = sorted(range(0, 3 * n, 3))
     baskets = spark.createDataFrame([(1, items)], "l_orderkey long, parts array<bigint>")
-    got = basket_pairs(baskets)
-    assert got.count() == n * (n - 1) // 2
+    assert basket_pairs(baskets).count() == n * (n - 1) // 2
 
-    # exact pair-set equality on a small multi-chunk-free sample
+    # exact pair-set equality on a small sample
     small = sorted([5, 1, 9, 12, 3])
     bs = spark.createDataFrame([(1, small)], "l_orderkey long, parts array<bigint>")
     pairs = {(r.part_a, r.part_b) for r in basket_pairs(bs).collect()}
     assert pairs == set(combinations(small, 2))
 
-    # boundary sweep around the chunk size: counts stay exact
-    for k in (BASKET_CHUNK - 1, BASKET_CHUNK, BASKET_CHUNK + 1):
+    # degenerate sizes stay exact
+    for k in (2, 3):
         b = spark.createDataFrame(
             [(1, list(range(k)))], "l_orderkey long, parts array<bigint>"
         )
