@@ -136,9 +136,11 @@ def read_jdbc(
     The reference reads ``(query) AS SQLTable`` over one cursor
     (``COPY_MSQL_TO_SILVER.py:86-89``: no partitionColumn), serializing
     the whole extract through one task. Bounds are required here: Spark
-    issues ``num_partitions`` range-predicate queries in parallel.
-    Untestable offline (no JDBC server in this environment); exercised
-    only by its argument validation below.
+    issues ``num_partitions`` range-predicate queries in parallel, each
+    against the same subquery alias (partitioned reads require the
+    ``dbtable`` form — ``query`` + ``partitionColumn`` is rejected).
+    Exercised end-to-end against an embedded Derby database in
+    ``tests/test_io.py`` (the Derby driver ships with Spark).
     """
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
@@ -147,7 +149,7 @@ def read_jdbc(
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", query)
+        .option("dbtable", f"({query}) SQLTable")
         .option("partitionColumn", partition_column)
         .option("lowerBound", str(lower_bound))
         .option("upperBound", str(upper_bound))
