@@ -1410,31 +1410,69 @@ class VersionedTable:
         else:
             df = df.coalesce(n_out) if n_out < len(prev.files) else df
         new_files = self._write_files(df, self.data_dir, enforce=False)
-        stats = {
-            "files_before": len(prev.files),
-            "files_after": len(new_files),
-            "bytes": total,
-        }
         stat_cols = cluster_by or zorder_by
-        if stat_cols:
-            stats["file_stats"] = self._collect_file_stats(
-                new_files, prev.schema_json, stat_cols
-            )
-        if prev.stats.get("txn"):
-            stats["txn"] = dict(prev.stats["txn"])
-        v = prev.version + 1
-        self._write_commit(
-            Commit(
-                v,
-                "compact",
-                new_files,
-                [],
-                prev.schema_json,
-                time.time(),
-                stats,
-            )
+        packed_stats = (
+            self._collect_file_stats(new_files, prev.schema_json, stat_cols)
+            if stat_cols
+            else {}
         )
-        return v
+        # Optimistic concurrency: compaction is a pure reorganization, so
+        # it COMMUTES with any concurrent commit that only ADDED files
+        # (appends, insert-only merges) or only changed metadata
+        # (add/drop/rename column) — rebase re-publishes the packed files
+        # beside the concurrently-added ones under the fresh schema. A
+        # concurrent writer that REMOVED one of the compacted input files
+        # (merge/delete/overwrite rewrote it) invalidates the packed
+        # output — surface it; re-running compaction is cheap relative to
+        # silently resurrecting rewritten rows. At 100 TB this matters:
+        # compaction runs long and WILL collide with the ingest stream.
+        prev_files_set = set(prev.files)
+        base = prev
+        attempt = 0
+        while True:
+            files = new_files + [f for f in base.files if f not in prev_files_set]
+            stats: dict = {
+                "files_before": len(prev.files),
+                "files_after": len(new_files),
+                "bytes": total,
+            }
+            fstats = dict(packed_stats)
+            base_fstats = base.stats.get("file_stats", {})
+            for f in files:
+                if f not in fstats and f in base_fstats:
+                    fstats[f] = base_fstats[f]
+            if fstats:
+                stats["file_stats"] = fstats
+            if base.stats.get("txn"):
+                stats["txn"] = dict(base.stats["txn"])
+            if base.version != prev.version:
+                stats["rebased_from_version"] = prev.version
+            try:
+                self._write_commit(
+                    Commit(
+                        base.version + 1,
+                        "compact",
+                        files,
+                        [],
+                        base.schema_json,
+                        time.time(),
+                        stats,
+                    )
+                )
+                return base.version + 1
+            except CommitConflictError:
+                attempt += 1
+                if attempt > 5:
+                    raise
+                fresh = self.get_commit()
+                removed = prev_files_set - set(fresh.files)
+                if removed:
+                    raise CommitConflictError(
+                        "concurrent writer rewrote/removed file(s) this "
+                        f"compaction packed ({sorted(removed)[:3]}…) — "
+                        "re-run compaction on the fresh snapshot"
+                    ) from None
+                base = fresh
 
     # -- data skipping (Delta file-stats analog) ---------------------------
 

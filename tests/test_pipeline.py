@@ -1344,3 +1344,60 @@ def test_rename_visible_through_format_and_format_appends(spark, tmp_path):
     ).write.format("versioned").mode("append").save(p)
     got = {r.id: r.label for r in t.read().collect()}
     assert got == {1: "a", 2: "b", 7: "z", 8: "z"}
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """Compaction OCC: a blind append landing mid-compaction commutes —
+    the packed files rebase beside the appended ones, no rows lost; a
+    concurrent merge that rewrote a packed input file surfaces the
+    conflict instead of resurrecting its old rows."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "cr")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, v string"
+        ),
+    )
+    t.append(spark.createDataFrame([(100, "x")], "id long, v string"))
+
+    orig = t._write_commit
+    state = {"fired": False}
+
+    def inject(commit):
+        if not state["fired"] and commit.op == "compact":
+            state["fired"] = True
+            VersionedTable(spark, p).append(
+                spark.createDataFrame([(200, "late")], "id long, v string")
+            )
+        return orig(commit)
+
+    t._write_commit = inject
+    t.compact(target_file_bytes=1 << 20)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 22 and got[200] == "late" and got[100] == "x"
+    assert t.get_commit().stats["rebased_from_version"] == 1
+
+    # write-write: a merge rewriting a packed input surfaces the conflict
+    t2 = VersionedTable(spark, p)
+    orig2 = t2._write_commit
+    state2 = {"fired": False}
+
+    def inject2(commit):
+        if not state2["fired"] and commit.op == "compact":
+            state2["fired"] = True
+            VersionedTable(spark, p).merge(
+                spark.createDataFrame([(5, "theirs")], "id long, v string"),
+                ["id"],
+            )
+        return orig2(commit)
+
+    t2._write_commit = inject2
+    with pytest.raises(CommitConflictError, match="re-run compaction"):
+        t2.compact(target_file_bytes=1 << 20)
+    # the merge's update survived; nothing was resurrected
+    assert {r.v for r in VersionedTable(spark, p).read().filter("id = 5").collect()} == {
+        "theirs"
+    }
