@@ -486,8 +486,231 @@ WHERE len(list_intersect(a.tks, b.tks)) * {_SSJ_DEN}
 """
 
 
+DSIR_TOP_K = 100
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023), unigram
+    variant: every document gets an importance weight
+    Σ_tok ln(p_target(tok) / p_raw(tok)) — target = the English slice
+    of the corpus, raw = the whole corpus, both add-one smoothed over
+    the shared corpus vocabulary — and the top-K by weight are selected
+    (deterministic: weight desc, doc_id asc). The published method
+    samples by weight; the deterministic top-K form is the
+    reproducible-audit variant of the same statistic.
+
+    Scale posture: the same skeleton as q_lm_perplexity — vocabulary-
+    bounded aggregates (token occurrences collapse map-side), one
+    BROADCAST of the per-token log-ratio onto the token stream, one
+    partial-aggregatable per-doc sum, and top-K via orderBy+limit
+    (TakeOrderedAndProject: each partition keeps K, never a global
+    sort). The rank window runs over K rows, not the corpus. Each
+    token's log-ratio is quantized to integer micro-nats BEFORE the
+    per-doc sum, so results are partitioning- and engine-exact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(docs)
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt = (
+        _toks(docs.filter(F.col("lang") == "en"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    vocab = (
+        raw.join(tgt, "tok", "left")
+        .select(
+            "tok",
+            "cnt_r",
+            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = vocab.agg(
+        F.sum("cnt_r").alias("n_r"),
+        F.sum("cnt_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    q_micro = F.floor(
+        (
+            F.log(
+                (F.col("cnt_t") + 1).cast("double")
+                / (F.col("n_t") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cnt_r") + 1).cast("double")
+                / (F.col("n_r") + F.col("v")).cast("double")
+            )
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    ratios = vocab.join(F.broadcast(tot)).select("tok", q_micro.alias("q"))
+    per_doc = (
+        toks.join(F.broadcast(ratios), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("q").cast("long").alias("logratio_micro"),
+        )
+    )
+    top = per_doc.orderBy(
+        F.desc("logratio_micro"), F.asc("doc_id")
+    ).limit(DSIR_TOP_K)
+    w = Window.orderBy(F.desc("logratio_micro"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rk"),
+        "doc_id",
+        "n_toks",
+        "logratio_micro",
+    )
+
+
+ORACLE_DSIR_RESAMPLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+raw AS (SELECT tok, count(*) AS cnt_r FROM toks GROUP BY tok),
+tgt AS (SELECT tok, count(*) AS cnt_t FROM toks WHERE lang = 'en' GROUP BY tok),
+vocab AS (
+  SELECT r.tok, r.cnt_r, coalesce(t.cnt_t, 0) AS cnt_t
+  FROM raw r LEFT JOIN tgt t USING (tok)
+),
+tot AS (
+  SELECT cast(sum(cnt_r) as bigint) AS n_r,
+         cast(sum(cnt_t) as bigint) AS n_t,
+         count(*) AS v
+  FROM vocab
+),
+ratios AS (
+  SELECT tok,
+         cast(floor((ln(cast(cnt_t + 1 as double) / cast(n_t + v as double))
+                   - ln(cast(cnt_r + 1 as double) / cast(n_r + v as double)))
+                   * 1e6 + 0.5) as bigint) AS q
+  FROM vocab CROSS JOIN tot
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_toks,
+         cast(sum(r.q) as bigint) AS logratio_micro
+  FROM toks t JOIN ratios r USING (tok)
+  GROUP BY t.doc_id
+),
+top AS (
+  SELECT * FROM per_doc
+  ORDER BY logratio_micro DESC, doc_id ASC LIMIT {DSIR_TOP_K}
+)
+SELECT cast(row_number() OVER (ORDER BY logratio_micro DESC, doc_id ASC)
+            as bigint) AS rk,
+       doc_id, n_toks, logratio_micro
+FROM top
+"""
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: bucket the corpus into 4 training
+    stages by a difficulty proxy (the q_lm_perplexity statistic — mean
+    token rarity in micro-nats), easiest first. The scale device is the
+    point: stages are assigned by comparing each doc against the three
+    BROADCAST quartile boundaries (one 1-row percentile aggregate),
+    never by ``ntile()`` — a global-order window would funnel the whole
+    corpus through one partition, while boundary-compare is map-side
+    and partial-aggregatable at any size. Emits per-stage counts and
+    exact difficulty ranges as the curriculum audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(docs)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    q_micro = F.floor(
+        -F.log(F.col("cnt").cast("double") / F.col("n").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        toks.join(F.broadcast(vocab.join(F.broadcast(tot))), "tok")
+        .select("doc_id", q_micro.alias("q"))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("difficulty_micro")
+        )
+    )
+    bounds = per_doc.agg(
+        F.expr(
+            "percentile(cast(difficulty_micro as double), array(0.25, 0.5, 0.75))"
+        ).alias("b")
+    ).select(
+        F.col("b")[0].alias("b1"), F.col("b")[1].alias("b2"), F.col("b")[2].alias("b3")
+    )
+    staged = per_doc.join(F.broadcast(bounds)).select(
+        "doc_id",
+        "difficulty_micro",
+        (
+            F.lit(1)
+            + (F.col("difficulty_micro") > F.col("b1")).cast("int")
+            + (F.col("difficulty_micro") > F.col("b2")).cast("int")
+            + (F.col("difficulty_micro") > F.col("b3")).cast("int")
+        ).alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("difficulty_micro").alias("min_difficulty"),
+            F.max("difficulty_micro").alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )
+
+
+ORACLE_CURRICULUM_STAGES = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT cast(sum(cnt) as bigint) AS n FROM vocab),
+per_doc AS (
+  SELECT t.doc_id,
+         cast(floor(sum(cast(floor(-ln(cast(v.cnt as double)
+                                       / cast(tot.n as double)) * 1e6 + 0.5)
+                             as bigint)) * 1.0 / count(*) + 0.5) as bigint)
+           AS difficulty_micro
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+bounds AS (
+  SELECT quantile_cont(cast(difficulty_micro as double), 0.25) AS b1,
+         quantile_cont(cast(difficulty_micro as double), 0.5) AS b2,
+         quantile_cont(cast(difficulty_micro as double), 0.75) AS b3
+  FROM per_doc
+),
+staged AS (
+  SELECT doc_id, difficulty_micro,
+         1 + cast(difficulty_micro > b1 as int)
+           + cast(difficulty_micro > b2 as int)
+           + cast(difficulty_micro > b3 as int) AS stage
+  FROM per_doc CROSS JOIN bounds
+)
+SELECT stage, count(*) AS n_docs,
+       min(difficulty_micro) AS min_difficulty,
+       max(difficulty_micro) AS max_difficulty
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 QUERIES = {
     "q_lm_perplexity": q_lm_perplexity,
+    "q_dsir_resample": q_dsir_resample,
+    "q_curriculum_stages": q_curriculum_stages,
     "q_set_join_prefix": q_set_join_prefix,
     "q_corpus_mixture": q_corpus_mixture,
     "q_corpus_drift_kl": q_corpus_drift_kl,
@@ -496,6 +719,8 @@ QUERIES = {
 
 ORACLES = {
     "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "q_dsir_resample": ORACLE_DSIR_RESAMPLE,
+    "q_curriculum_stages": ORACLE_CURRICULUM_STAGES,
     "q_set_join_prefix": ORACLE_SET_JOIN_PREFIX,
     "q_corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "q_corpus_drift_kl": ORACLE_CORPUS_DRIFT_KL,

@@ -197,3 +197,62 @@ def test_set_join_prefix_prunes_on_diverse_corpus(spark, tmp_path):
         # disjoint vocabularies only the planted pairs ever collide
         for r in out:
             assert r.n_common * 10 >= r.n_union * 9
+
+
+def test_dsir_resample_selects_english_heavy_docs(spark, sf_dir):
+    """DSIR top-K with an English target distribution must skew hard
+    toward English documents (the statistic's whole point), ranks are a
+    contiguous 1..K permutation ordered by weight, and the top-K plan
+    is TakeOrderedAndProject (per-partition heaps), never a global
+    sort."""
+    from nrtwithdeltalake_spark.operators.lm_quality import (
+        DSIR_TOP_K,
+        q_dsir_resample,
+    )
+    from nrtwithdeltalake_spark.plans import inspect
+
+    df = q_dsir_resample(spark, sf_dir)
+    assert "TakeOrderedAndProject" in inspect.physical_plan(df)
+    rows = df.collect()
+    assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == list(
+        range(1, min(DSIR_TOP_K, len(rows)) + 1)
+    )
+    weights = [r.logratio_micro for r in sorted(rows, key=lambda r: r.rk)]
+    assert weights == sorted(weights, reverse=True)
+
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    selected_langs = [langs[r.doc_id] for r in rows]
+    en_share = selected_langs.count("en") / len(selected_langs)
+    corpus_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert en_share > corpus_en  # target-domain enrichment
+
+
+def test_curriculum_stages_partition_corpus(spark, sf_dir):
+    """The four stages partition the corpus, difficulty ranges are
+    non-overlapping and ascending, and the plan contains no
+    single-partition global-order window (the scale contract: stage
+    assignment is boundary-compare, not ntile)."""
+    from nrtwithdeltalake_spark.operators.lm_quality import (
+        q_curriculum_stages,
+    )
+    from nrtwithdeltalake_spark.plans import inspect
+
+    import re
+
+    df = q_curriculum_stages(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    # no ntile window fn ("percentile" contains the substring — word-bound it)
+    assert not re.search(r"\bntile", plan.lower()), plan
+    rows = sorted(df.collect(), key=lambda r: r.stage)
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    n_docs_with_toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("regexp_extract(lower(text), '[a-z]+', 0) != ''")
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs_with_toks
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_difficulty <= b.min_difficulty
