@@ -120,10 +120,14 @@ class ConstraintViolationError(RuntimeError):
 class CommitConflictError(RuntimeError):
     """Another writer published this commit version first. ``append``
     retries automatically (blind appends never semantically conflict);
-    ``merge`` rebase-retries when the conflicting commit's file set is
-    provably disjoint from its read/write set (Delta VLDB'20 §3.2);
-    other snapshot-dependent writers (overwrite/delete/update/compact)
-    surface it — their read could be stale, the caller must re-run."""
+    ``merge``/``delete``/``update`` rebase-retry when the conflicting
+    commits provably commute — no overlap with the rewritten files,
+    schema unchanged, and the concurrently-ADDED files contain no row
+    the operation would have affected (Delta VLDB'20 §3.2 semantics);
+    ``compact`` rebases over any pure file-add. Only genuinely
+    conflicting writes surface — their read was stale, the caller must
+    re-run. ``overwrite`` always surfaces (a full replace has no
+    meaningful rebase)."""
 
 
 _FIELD_ID = "parquet.field.id"  # Spark's parquet field-id metadata key
@@ -1280,21 +1284,83 @@ class VersionedTable:
         cdf_files = self._write_files(
             removed.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
         )
-        v = prev.version + 1
-        self._write_commit(
-            Commit(
-                v,
-                "delete",
-                files,
-                cdf_files,
-                prev.schema_json,
-                time.time(),
-                self._carry_stats(
-                    prev, carryover, {"touched_files": len(touched)}
-                ),
-            )
+        return self._commit_cow_with_rebase(
+            prev, touched, files[len(carryover):], cdf_files, "delete", condition
         )
-        return v
+
+    def _commit_cow_with_rebase(
+        self,
+        prev: Commit,
+        touched: list[str],
+        new_files: list[str],
+        cdf_files: list[str],
+        op: str,
+        condition: str,
+        retry_conflicts: int = 5,
+    ) -> int:
+        """Optimistic concurrency for predicate copy-on-write ops
+        (delete/update) — the same commute law as the merge rebase:
+        on a version collision, re-publish the rewrite on top of the
+        fresh snapshot iff (a) no concurrent commit removed a file this
+        op rewrote (write-write overlap), (b) the schema is unchanged,
+        and (c) the concurrently-ADDED files contain no row matching
+        the predicate (a serial execution would have affected it) —
+        checked with a filter probe that scans ONLY the added files.
+        Blind appends of non-matching rows and disjoint-file writers
+        all pass; the probe cost is the concurrent delta, never the
+        table."""
+        pred = F.coalesce(F.expr(condition), F.lit(False))
+        touched_set = set(touched)
+        prev_files = set(prev.files)
+        base = prev
+        attempt = 0
+        while True:
+            carryover = [f for f in base.files if f not in touched_set]
+            extra = {"touched_files": len(touched)}
+            if base.version != prev.version:
+                extra["rebased_from_version"] = prev.version
+            try:
+                self._write_commit(
+                    Commit(
+                        base.version + 1,
+                        op,
+                        carryover + new_files,
+                        cdf_files,
+                        prev.schema_json,
+                        time.time(),
+                        self._carry_stats(base, carryover, extra),
+                    )
+                )
+                return base.version + 1
+            except CommitConflictError:
+                attempt += 1
+                if attempt > retry_conflicts:
+                    raise
+                fresh = self.get_commit()
+                if fresh.schema_json != prev.schema_json:
+                    raise CommitConflictError(
+                        f"concurrent schema change during {op} — re-run"
+                    ) from None
+                overlap = touched_set - set(fresh.files)
+                if overlap:
+                    raise CommitConflictError(
+                        f"concurrent writer removed file(s) this {op} "
+                        f"rewrote ({sorted(overlap)[:3]}…) — write-write "
+                        "conflict, re-run"
+                    ) from None
+                added = [f for f in fresh.files if f not in prev_files]
+                if added and (
+                    self._read_files(added, prev.schema_json)
+                    .filter(pred)
+                    .limit(1)
+                    .count()
+                ):
+                    raise CommitConflictError(
+                        f"concurrent commit added rows matching this "
+                        f"{op}'s predicate — result would differ from a "
+                        "serial execution, re-run"
+                    ) from None
+                base = fresh
 
     def update(self, condition: str, assignments: dict[str, F.Column]) -> int:
         """Conditional UPDATE — the reference's CloseWatermark proc (O28,
@@ -1346,19 +1412,9 @@ class VersionedTable:
             ),
             self.cdf_dir,
         )
-        v = prev.version + 1
-        self._write_commit(
-            Commit(
-                v,
-                "update",
-                carryover + new_files,
-                cdf_files,
-                prev.schema_json,
-                time.time(),
-                self._carry_stats(prev, carryover, {"touched_files": len(touched)}),
-            )
+        return self._commit_cow_with_rebase(
+            prev, touched, new_files, cdf_files, "update", condition
         )
-        return v
 
     def compact(
         self,

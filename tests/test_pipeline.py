@@ -1401,3 +1401,59 @@ def test_compact_rebases_over_concurrent_append(spark, tmp_path):
     assert {r.v for r in VersionedTable(spark, p).read().filter("id = 5").collect()} == {
         "theirs"
     }
+
+
+def test_delete_and_update_rebase_over_foreign_append(spark, tmp_path):
+    """Predicate copy-on-write OCC: a concurrent append whose rows do
+    NOT match the predicate commutes (metadata rebase — the appended
+    rows survive beside the rewrite); an append of MATCHING rows
+    surfaces the conflict, because a serial execution would have
+    affected them too."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "du")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, "old", 1.0), (2, "old", 2.0), (3, "keep", 3.0)],
+            "id long, status string, w double",
+        ),
+    )
+
+    orig = t._write_commit
+    state = {"fired": False}
+
+    def inject_foreign(commit):
+        if not state["fired"] and commit.op == "delete":
+            state["fired"] = True
+            VersionedTable(spark, p).append(
+                spark.createDataFrame([(50, "keep", 5.0)], "id long, status string, w double")
+            )
+        return orig(commit)
+
+    t._write_commit = inject_foreign
+    t.delete("status = 'old'")
+    t._write_commit = orig
+    got = {r.id: r.status for r in t.read().collect()}
+    assert got == {3: "keep", 50: "keep"}
+    assert t.get_commit().stats["rebased_from_version"] == 0
+
+    # update: concurrent append of a MATCHING row → conflict
+    state2 = {"fired": False}
+
+    def inject_matching(commit):
+        if not state2["fired"] and commit.op == "update":
+            state2["fired"] = True
+            VersionedTable(spark, p).append(
+                spark.createDataFrame([(60, "keep", 6.0)], "id long, status string, w double")
+            )
+        return orig(commit)
+
+    t._write_commit = inject_matching
+    with pytest.raises(CommitConflictError, match="matching this update's predicate"):
+        t.update("status = 'keep'", {"w": F.lit(0.0)})
+    # re-run on the fresh snapshot updates every copy, incl. the racer's
+    t2 = VersionedTable(spark, p)
+    t2.update("status = 'keep'", {"w": F.lit(0.0)})
+    assert {r.w for r in t2.read().collect()} == {0.0}

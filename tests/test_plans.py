@@ -259,6 +259,8 @@ _NESTED_LOOP_BY_DESIGN = {
     # hash joins, asserted separately in test_graph.py.
     "q_graph_pagerank",
     "q_category_collapse",  # 1-row grand-total broadcast onto the brand grain
+    "q_dsir_resample",  # 1-row smoothing-totals broadcast onto the vocab
+    "q_curriculum_stages",  # 1-row totals + 1-row quartile-bounds broadcasts
 }
 
 
