@@ -484,3 +484,35 @@ def test_format_writers_publish_put_if_absent(spark, tmp_path):
         _publish_record(tgt, rec)
     # native readers still see the winner's commit intact
     assert VersionedTable(spark, tgt).latest_version() == 1
+
+
+def test_format_pushdown_on_renamed_column(spark, tmp_path):
+    """Column mapping × pushdown: after a rename, a filter on the NEW
+    name still skips files via the re-keyed committed stats AND
+    row-group-skips via the per-file physical-name translation — and
+    stays exact."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.range(10_000).select(F.col("id"), (F.col("id") * 2).alias("val")),
+    )
+    t.compact(target_file_bytes=16 * 1024, cluster_by=["val"])
+    t.rename_column("val", "metric")
+    c = t.get_commit()
+    fstats = c.stats["file_stats"]
+    pruned = [f for f in c.files if int(fstats[f]["metric"][0]) >= 200]
+    assert pruned
+    for f in pruned:
+        _os.remove(f)
+    df = (
+        spark.read.format("versioned")
+        .option("path", p)
+        .load()
+        .filter("metric < 200")
+    )
+    assert sorted(r.metric for r in df.collect()) == list(range(0, 200, 2))
