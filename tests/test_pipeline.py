@@ -1457,3 +1457,86 @@ def test_delete_and_update_rebase_over_foreign_append(spark, tmp_path):
     t2 = VersionedTable(spark, p)
     t2.update("status = 'keep'", {"w": F.lit(0.0)})
     assert {r.w for r in t2.read().collect()} == {0.0}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 9)),
+            st.tuples(st.just("add"), st.sampled_from(["x", "y", "z"])),
+            st.tuples(st.just("drop"), st.sampled_from(["x", "y", "z"])),
+            st.tuples(
+                st.just("rename"),
+                st.tuples(
+                    st.sampled_from(["x", "y", "z", "v"]),
+                    st.sampled_from(["x2", "y2", "z2", "v2"]),
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_column_mapping_property_random_histories(
+    spark_global, tmp_path_factory, ops
+):
+    """Property: after ANY sequence of append / add_column /
+    drop_column / rename_column commits, the table read equals a pure-
+    Python model that applies the same operations to a dict-of-rows —
+    i.e. renames follow data across old files, drops hide exactly one
+    column, re-adds never resurrect old bytes, and appends align to the
+    evolved schema."""
+    spark = spark_global
+    tmp = tmp_path_factory.mktemp("colmap")
+    p = str(tmp / "t")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(0, "s0")], "id long, v string")
+    )
+    # model: list of dicts keyed by CURRENT logical column names
+    cols = ["id", "v"]  # id: long, v: string; evolved cols are long
+    model = [{"id": 0, "v": "s0"}]
+    next_id = 1
+
+    for kind, arg in ops:
+        if kind == "append":
+            row = {c: (f"s{next_id}" if c == "v" else next_id + hash(c) % 7)
+                   for c in cols}
+            row["id"] = next_id
+            schema = ", ".join(
+                f"{c} {'string' if c == 'v' else 'long'}" for c in cols
+            )
+            t.append(
+                spark.createDataFrame([tuple(row[c] for c in cols)], schema)
+            )
+            model.append(row)
+            next_id += 1
+        elif kind == "add":
+            if arg in cols:
+                continue
+            t.add_column(arg, "long")
+            cols.append(arg)
+            for r in model:
+                r[arg] = None
+        elif kind == "drop":
+            if arg not in cols or len(cols) == 1:
+                continue
+            t.drop_column(arg)
+            cols.remove(arg)
+            for r in model:
+                r.pop(arg, None)
+        else:  # rename
+            old, new = arg
+            if old not in cols or new in cols or old == "id":
+                continue
+            t.rename_column(old, new)
+            cols[cols.index(old)] = new
+            for r in model:
+                r[new] = r.pop(old)
+
+    got = sorted(
+        tuple(row[c] for c in cols) for row in (r.asDict() for r in t.read().collect())
+    )
+    want = sorted(tuple(r.get(c) for c in cols) for r in model)
+    assert t.read().columns == cols
+    assert got == want
