@@ -1540,3 +1540,75 @@ def test_column_mapping_property_random_histories(
     want = sorted(tuple(r.get(c) for c in cols) for r in model)
     assert t.read().columns == cols
     assert got == want
+
+
+def test_mixed_writer_storm_converges(spark, tmp_path):
+    """Concurrency storm: appenders, disjoint-range mergers, and a
+    compactor race on ONE table with no coordination. Blind appends
+    must always land; mergers/compactor retry on surfaced conflicts
+    (the documented contract). Invariant: nothing is lost or doubled —
+    the final table equals the serial expectation, and the version
+    chain is contiguous."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "storm")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(i, "base") for i in range(10)], "id long, v string"
+        ),
+    )
+
+    def appender(w: int):
+        tw = VersionedTable(spark, p)
+        tw.append(
+            spark.createDataFrame(
+                [(1000 + w * 10 + i, f"a{w}") for i in range(5)],
+                "id long, v string",
+            )
+        )
+
+    def merger(lo: int):
+        tw = VersionedTable(spark, p)
+        src = spark.createDataFrame(
+            [(lo + i, f"m{lo}") for i in range(3)], "id long, v string"
+        )
+        for _ in range(8):
+            try:
+                tw.merge(src, ["id"])
+                return
+            except CommitConflictError:
+                _time.sleep(0.2)
+        raise AssertionError("merger starved")
+
+    def compactor():
+        tw = VersionedTable(spark, p)
+        for _ in range(8):
+            try:
+                tw.compact(target_file_bytes=1 << 20)
+                return
+            except CommitConflictError:
+                _time.sleep(0.2)
+        raise AssertionError("compactor starved")
+
+    jobs = (
+        [lambda w=w: appender(w) for w in range(3)]
+        + [lambda: merger(2000), lambda: merger(3000)]
+        + [compactor]
+    )
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(lambda f: f(), jobs))
+
+    rows = {r.id: r.v for r in VersionedTable(spark, p).read().collect()}
+    want = {i: "base" for i in range(10)}
+    for w in range(3):
+        want.update({1000 + w * 10 + i: f"a{w}" for i in range(5)})
+    want.update({2000 + i: "m2000" for i in range(3)})
+    want.update({3000 + i: "m3000" for i in range(3)})
+    assert rows == want
+    versions = [c.version for c in VersionedTable(spark, p).history()]
+    assert versions == list(range(len(versions)))
