@@ -835,8 +835,26 @@ class VersionedTable:
     def _merged_schema(self, prev: Commit, df: DataFrame) -> T.StructType:
         """Schema evolution (README.md:8): union of target schema and new
         source columns, target first. On an id-mapped table the appended
-        columns receive fresh field ids (existing columns keep theirs)."""
+        columns receive fresh field ids (existing columns keep theirs).
+
+        Schema ENFORCEMENT (Delta parity, and the same contract the
+        format writer's ``_check_type_compat`` applies): a source column
+        whose type differs from the table's is REJECTED — without this,
+        ``_align_to``'s bare column reference would silently write
+        physically-mismatched parquet that only explodes at read time
+        (found by the column-mapping property test: a renamed string
+        column appended as long). A full ``overwrite`` may retype (no
+        surviving rows to misread)."""
         existing = T.StructType.fromJson(json.loads(prev.schema_json))
+        by_name = {f.name: f for f in existing.fields}
+        for f in df.schema.fields:
+            if f.name in by_name and by_name[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"type change for column {f.name!r} "
+                    f"({by_name[f.name].dataType.simpleString()} → "
+                    f"{f.dataType.simpleString()}) — append/merge cannot "
+                    "retype; use overwrite for a full-replace retype"
+                )
         names = {f.name for f in existing.fields}
         merged = T.StructType(
             list(existing.fields)

@@ -1493,19 +1493,25 @@ def test_column_mapping_property_random_histories(
     t = VersionedTable.create(
         spark, p, spark.createDataFrame([(0, "s0")], "id long, v string")
     )
-    # model: list of dicts keyed by CURRENT logical column names
-    cols = ["id", "v"]  # id: long, v: string; evolved cols are long
+    # model: list of dicts keyed by CURRENT logical column names; types
+    # follow columns across renames (the engine REJECTS retypes)
+    cols = ["id", "v"]
+    ctypes = {"id": "long", "v": "string"}
     model = [{"id": 0, "v": "s0"}]
     next_id = 1
 
     for kind, arg in ops:
         if kind == "append":
-            row = {c: (f"s{next_id}" if c == "v" else next_id + hash(c) % 7)
-                   for c in cols}
+            row = {
+                c: (
+                    f"s{next_id}"
+                    if ctypes[c] == "string"
+                    else next_id + hash(c) % 7
+                )
+                for c in cols
+            }
             row["id"] = next_id
-            schema = ", ".join(
-                f"{c} {'string' if c == 'v' else 'long'}" for c in cols
-            )
+            schema = ", ".join(f"{c} {ctypes[c]}" for c in cols)
             t.append(
                 spark.createDataFrame([tuple(row[c] for c in cols)], schema)
             )
@@ -1516,6 +1522,7 @@ def test_column_mapping_property_random_histories(
                 continue
             t.add_column(arg, "long")
             cols.append(arg)
+            ctypes[arg] = "long"
             for r in model:
                 r[arg] = None
         elif kind == "drop":
@@ -1523,16 +1530,18 @@ def test_column_mapping_property_random_histories(
                 continue
             t.drop_column(arg)
             cols.remove(arg)
+            ctypes.pop(arg)
             for r in model:
                 r.pop(arg, None)
         else:  # rename
-            old, new = arg
-            if old not in cols or new in cols or old == "id":
+            src, dst = arg
+            if src not in cols or dst in cols or src == "id":
                 continue
-            t.rename_column(old, new)
-            cols[cols.index(old)] = new
+            t.rename_column(src, dst)
+            cols[cols.index(src)] = dst
+            ctypes[dst] = ctypes.pop(src)
             for r in model:
-                r[new] = r.pop(old)
+                r[dst] = r.pop(src)
 
     got = sorted(
         tuple(row[c] for c in cols) for row in (r.asDict() for r in t.read().collect())
@@ -1612,3 +1621,23 @@ def test_mixed_writer_storm_converges(spark, tmp_path):
     assert rows == want
     versions = [c.version for c in VersionedTable(spark, p).history()]
     assert versions == list(range(len(versions)))
+
+
+def test_append_and_merge_reject_type_change(spark, tmp_path):
+    """Schema enforcement (Delta parity, same contract as the format
+    writer): append/merge with a retyped column is rejected loudly at
+    plan time — found by the column-mapping property test, where the
+    old behavior silently wrote physically-mismatched parquet that
+    failed only at read time."""
+    p = str(tmp_path / "tc")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    with pytest.raises(ValueError, match="type change for column 'v'"):
+        t.append(spark.createDataFrame([(2, 7)], "id long, v long"))
+    with pytest.raises(ValueError, match="type change for column 'v'"):
+        t.merge(spark.createDataFrame([(1, 7)], "id long, v long"), ["id"])
+    assert t.latest_version() == 0  # nothing committed
+    # overwrite may retype (full replace, no surviving rows to misread)
+    t.overwrite(spark.createDataFrame([(1, 7)], "id long, v long"))
+    assert {r.v for r in t.read().collect()} == {7}
