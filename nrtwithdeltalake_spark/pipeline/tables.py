@@ -1183,6 +1183,19 @@ class VersionedTable:
         their own rows assigns ids — because their files carry no ids
         to match on; renaming by name-matching would silently null the
         column."""
+        if self._read_registration() is not None:
+            # the registered external parquet table matches columns by
+            # NAME (the catalog strips field-id metadata — verified: an
+            # id-bearing catalog schema over renamed files reads NULL),
+            # so a metadata-only rename would silently null the column
+            # for every db.table consumer
+            raise ValueError(
+                "table is catalog-registered; a metadata-only rename "
+                "would read as NULL through the registered name (catalog "
+                "parquet tables match by column name). Deregister, "
+                "rename, physically rewrite (t.overwrite(t.read())), "
+                "then re-register."
+            )
         prev = self.get_commit()
         schema = T.StructType.fromJson(json.loads(prev.schema_json))
         names = {f.name for f in schema.fields}

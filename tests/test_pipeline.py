@@ -1641,3 +1641,23 @@ def test_append_and_merge_reject_type_change(spark, tmp_path):
     # overwrite may retype (full replace, no surviving rows to misread)
     t.overwrite(spark.createDataFrame([(1, 7)], "id long, v long"))
     assert {r.v for r in t.read().collect()} == {7}
+
+
+def test_rename_refused_on_registered_table(spark, tmp_path):
+    """A catalog-registered table refuses metadata-only rename: the
+    external parquet table matches columns by NAME (the catalog strips
+    field-id metadata), so the renamed column would silently read NULL
+    through db.table — the refusal names the safe sequence instead."""
+    p = str(tmp_path / "reg")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    spark.sql("DROP DATABASE IF EXISTS rn_db CASCADE")
+    t.register("rn_db", "t1")
+    try:
+        with pytest.raises(ValueError, match="catalog-registered"):
+            t.rename_column("v", "label")
+        # the registered name still reads correctly
+        assert spark.table("rn_db.t1").count() == 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS rn_db CASCADE")
