@@ -708,22 +708,16 @@ class VersionedTable:
             self.cdf_dir,
             schema=schema,
         )
-        self._write_commit(
-            Commit(
-                v,
-                "overwrite_where",
-                files,
-                cdf,
-                schema.json(),
-                time.time(),
-                {
-                    "replace_where": replace_where,
-                    **self._carry_stats(prev, carryover),
-                    **(extra_stats or {}),
-                },
-            )
+        return self._commit_cow_with_rebase(
+            prev,
+            touched,
+            [f for f in files if f not in set(carryover)],
+            cdf,
+            "overwrite_where",
+            replace_where,
+            schema_json=schema.json(),
+            extra_stats={"replace_where": replace_where, **(extra_stats or {})},
         )
-        return v
 
     def restore(self, version: int) -> int:
         """RESTORE a previous snapshot as the new latest version (the
@@ -1327,19 +1321,22 @@ class VersionedTable:
         cdf_files: list[str],
         op: str,
         condition: str,
+        schema_json: str | None = None,
+        extra_stats: dict | None = None,
         retry_conflicts: int = 5,
     ) -> int:
         """Optimistic concurrency for predicate copy-on-write ops
-        (delete/update) — the same commute law as the merge rebase:
-        on a version collision, re-publish the rewrite on top of the
-        fresh snapshot iff (a) no concurrent commit removed a file this
-        op rewrote (write-write overlap), (b) the schema is unchanged,
-        and (c) the concurrently-ADDED files contain no row matching
-        the predicate (a serial execution would have affected it) —
-        checked with a filter probe that scans ONLY the added files.
-        Blind appends of non-matching rows and disjoint-file writers
-        all pass; the probe cost is the concurrent delta, never the
-        table."""
+        (delete/update/overwrite_where) — the same commute law as the
+        merge rebase: on a version collision, re-publish the rewrite on
+        top of the fresh snapshot iff (a) no concurrent commit removed
+        a file this op rewrote (write-write overlap), (b) the schema is
+        unchanged, and (c) the concurrently-ADDED files contain no row
+        matching the predicate (a serial execution would have affected
+        it) — checked with a filter probe that scans ONLY the added
+        files. Blind appends of non-matching rows and disjoint-file
+        writers all pass; the probe cost is the concurrent delta, never
+        the table. The predicate-scoped reload racing the ingest stream
+        is the canonical case at 100 TB."""
         pred = F.coalesce(F.expr(condition), F.lit(False))
         touched_set = set(touched)
         prev_files = set(prev.files)
@@ -1347,7 +1344,7 @@ class VersionedTable:
         attempt = 0
         while True:
             carryover = [f for f in base.files if f not in touched_set]
-            extra = {"touched_files": len(touched)}
+            extra = {"touched_files": len(touched), **(extra_stats or {})}
             if base.version != prev.version:
                 extra["rebased_from_version"] = prev.version
             try:
@@ -1357,7 +1354,7 @@ class VersionedTable:
                         op,
                         carryover + new_files,
                         cdf_files,
-                        prev.schema_json,
+                        schema_json or prev.schema_json,
                         time.time(),
                         self._carry_stats(base, carryover, extra),
                     )

@@ -1661,3 +1661,58 @@ def test_rename_refused_on_registered_table(spark, tmp_path):
         assert spark.table("rn_db.t1").count() == 1
     finally:
         spark.sql("DROP DATABASE IF EXISTS rn_db CASCADE")
+
+
+def test_replace_where_rebases_over_foreign_append(spark, tmp_path):
+    """The partition-reload race at scale: a replace_where reload and a
+    concurrent append of rows OUTSIDE the reloaded range both commit
+    (metadata rebase); an append INSIDE the range surfaces the
+    conflict — a serial reload would have replaced those rows too."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "rw")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, "d1", "old"), (2, "d2", "old")], "id long, day string, v string"
+        ),
+    )
+
+    orig = t._write_commit
+    state = {"fired": False}
+
+    def inject_outside(commit):
+        if not state["fired"] and commit.op == "overwrite_where":
+            state["fired"] = True
+            VersionedTable(spark, p).append(
+                spark.createDataFrame([(9, "d9", "x")], "id long, day string, v string")
+            )
+        return orig(commit)
+
+    t._write_commit = inject_outside
+    t.overwrite(
+        spark.createDataFrame([(10, "d1", "new")], "id long, day string, v string"),
+        replace_where="day = 'd1'",
+    )
+    t._write_commit = orig
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {2: "old", 9: "x", 10: "new"}
+    assert t.get_commit().stats["rebased_from_version"] == 0
+
+    state2 = {"fired": False}
+
+    def inject_inside(commit):
+        if not state2["fired"] and commit.op == "overwrite_where":
+            state2["fired"] = True
+            VersionedTable(spark, p).append(
+                spark.createDataFrame([(11, "d2", "race")], "id long, day string, v string")
+            )
+        return orig(commit)
+
+    t._write_commit = inject_inside
+    with pytest.raises(CommitConflictError, match="matching this overwrite_where"):
+        t.overwrite(
+            spark.createDataFrame([(12, "d2", "new2")], "id long, day string, v string"),
+            replace_where="day = 'd2'",
+        )
