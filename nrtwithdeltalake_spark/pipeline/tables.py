@@ -850,15 +850,20 @@ class VersionedTable:
                     "retype; use overwrite for a full-replace retype"
                 )
         names = {f.name for f in existing.fields}
+        # evolved-in columns are nullable by definition — every
+        # pre-existing row holds NULL for them (same rule as the format
+        # writer's _check_type_compat; a non-nullable commit schema over
+        # null-filled history breaks codegen's null checks on read)
         merged = T.StructType(
             list(existing.fields)
-            + list(
-                _strip_ids(
+            + [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in _strip_ids(
                     T.StructType(
                         [f for f in df.schema.fields if f.name not in names]
                     )
                 ).fields
-            )
+            ]
         )
         if _max_field_id(existing):
             merged = _with_field_ids(

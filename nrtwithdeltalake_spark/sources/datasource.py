@@ -373,42 +373,38 @@ class _WriteResult(WriterCommitMessage):
     rows: int
 
 
-def _stamp_field_ids(tbl, path: str):
-    """Stamp the table's committed field ids (matched by logical name)
-    into the Arrow schema so pyarrow writes real parquet field_ids —
-    without this, format-writer appends into an id-mapped table would
-    produce id-free files that the id-matching read path hard-rejects.
-    No-op for new or legacy (id-free) tables."""
-    import pyarrow as pa
-
-    try:
-        vs = _versions(path)
-    except (FileNotFoundError, OSError):
-        return tbl
-    if not vs:
-        return tbl
-    schema = T.StructType.fromJson(
-        json.loads(_commit(path, vs[-1])["schema_json"])
-    )
-    ids = {
+def _ids_of(schema: T.StructType) -> dict[str, int]:
+    return {
         f.name: int(f.metadata[FIELD_ID_KEY])
         for f in schema.fields
         if f.metadata and FIELD_ID_KEY in f.metadata
     }
-    if not ids:
+
+
+def _stamp_field_ids(tbl, field_ids: dict[str, int]):
+    """Stamp the PLANNED commit schema's field ids (computed on the
+    driver before any task ran — so columns being evolved in by this
+    very write carry their fresh ids too) into the Arrow schema, so
+    pyarrow writes real parquet field_ids. Stamping from the previous
+    commit instead (the pre-round-8 behavior) silently lost added
+    columns: their data files had no id for the id-matching read path
+    to find. No-op for legacy (id-free) tables."""
+    import pyarrow as pa
+
+    if not field_ids:
         return tbl
     fields = []
     for fld in tbl.schema:
-        if fld.name in ids:
+        if fld.name in field_ids:
             md = dict(fld.metadata or {})
-            md[b"PARQUET:field_id"] = str(ids[fld.name]).encode()
+            md[b"PARQUET:field_id"] = str(field_ids[fld.name]).encode()
             fields.append(fld.with_metadata(md))
         else:
             fields.append(fld)
     return tbl.cast(pa.schema(fields))
 
 
-def _write_task_files(path: str, iterator) -> _WriteResult:
+def _write_task_files(path: str, iterator, field_ids: dict[str, int]) -> _WriteResult:
     """Executor half of the write protocols: stream this task's Arrow
     batches into one immutable data file + one insert-image CDF file.
     Files become live only if a later driver commit references them."""
@@ -420,7 +416,7 @@ def _write_task_files(path: str, iterator) -> _WriteResult:
     batches = [b for b in iterator if b.num_rows]
     if not batches:
         return _WriteResult(None, None, 0)
-    tbl = _stamp_field_ids(pa.Table.from_batches(batches), path)
+    tbl = _stamp_field_ids(pa.Table.from_batches(batches), field_ids)
     token = uuid.uuid4().hex
     data_dir = os.path.join(path, "_data", f"ds-{token}")
     cdf_dir = os.path.join(path, "_cdf", f"ds-{token}")
@@ -484,7 +480,16 @@ def _check_type_compat(
         for f in prev_schema.fields
         if f.metadata and FIELD_ID_KEY in f.metadata
     ]
-    added = [f for f in new_schema.fields if f.name not in prev_names]
+    # an evolved-in column is nullable BY DEFINITION: every row that
+    # existed before this append holds NULL for it. Keeping the source
+    # dataframe's nullable=false would hand Spark a non-nullable column
+    # whose Arrow batches contain nulls — codegen then reads the value
+    # slot without a null check (IllegalStateException at Float8Vector).
+    added = [
+        T.StructField(f.name, f.dataType, True, f.metadata)
+        for f in new_schema.fields
+        if f.name not in prev_names
+    ]
     if prev_ids and added:
         nxt = max(max(prev_ids), id_floor) + 1
         stamped = []
@@ -493,9 +498,73 @@ def _check_type_compat(
             if FIELD_ID_KEY not in md:
                 md[FIELD_ID_KEY] = nxt
                 nxt += 1
-            stamped.append(T.StructField(f.name, f.dataType, f.nullable, md))
+            stamped.append(T.StructField(f.name, f.dataType, True, md))
         added = stamped
     return T.StructType(list(prev_schema.fields) + added)
+
+
+def _fresh_field_ids(schema: T.StructType, floor: int = 0) -> T.StructType:
+    """Assign a fresh field id to every field lacking one — the format
+    writer's mirror of the native ``_with_field_ids``
+    (``pipeline/tables.py:167``): format-created tables are id-mapped
+    from birth, so ``rename_column`` works on them exactly as on
+    natively created tables."""
+    have = [i for i in _ids_of(schema).values()]
+    nxt = max(max(have, default=0), floor) + 1
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if FIELD_ID_KEY not in md:
+            md[FIELD_ID_KEY] = nxt
+            nxt += 1
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return T.StructType(fields)
+
+
+def _overwrite_schema(
+    prev_schema: T.StructType, new_schema: T.StructType, id_floor: int
+) -> T.StructType:
+    """Full-replace commit schema, mirroring native
+    ``VersionedTable.overwrite`` (``pipeline/tables.py:619-646``): the
+    NEW dataframe's columns become the table schema; a same-name
+    same-type column keeps its field id (it is the same logical
+    column), everything else gets a fresh id above the table's
+    high-water mark. Committing the id-stripped input instead (the
+    pre-round-8 behavior) silently downgraded id-mapped tables out of
+    column mapping — a later ``rename_column`` refused."""
+    prev_fields = {f.name: f for f in prev_schema.fields}
+    carried = []
+    for f in new_schema.fields:
+        p = prev_fields.get(f.name)
+        md = dict(f.metadata or {})
+        if p is not None and p.dataType == f.dataType and p.metadata:
+            if FIELD_ID_KEY in p.metadata:
+                md[FIELD_ID_KEY] = int(p.metadata[FIELD_ID_KEY])
+        carried.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return _fresh_field_ids(T.StructType(carried), id_floor)
+
+
+def _plan_commit_schema(
+    path: str, new_schema: T.StructType, overwrite: bool
+) -> T.StructType:
+    """Driver-side schema planning against the table's CURRENT commit:
+    returns the exact schema a commit made now would publish — merged
+    with fresh ids for evolved-in columns (append), carried/fresh ids
+    (overwrite), or id-mapped-from-birth (create). Run BEFORE tasks
+    write files so the files holding a new column's data carry its id;
+    re-run at commit time as the concurrency guard."""
+    try:
+        vs = _versions(path)
+    except (FileNotFoundError, OSError):
+        vs = []
+    if not vs:
+        return _fresh_field_ids(new_schema)
+    prev = _commit(path, vs[-1])
+    prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
+    floor = int(prev.get("stats", {}).get("max_field_id", 0))
+    if overwrite:
+        return _overwrite_schema(prev_schema, new_schema, floor)
+    return _check_type_compat(prev_schema, new_schema, floor)
 
 
 def _drop_files(messages) -> None:
@@ -547,11 +616,41 @@ class _VersionedWriter(DataSourceArrowWriter):
                 "table is catalog-registered; the registration sync needs "
                 "a SparkSession — use VersionedTable.append/overwrite"
             )
+        # plan the commit schema NOW, before any task writes a file:
+        # evolved-in columns get their fresh field ids here, so the very
+        # files holding their data carry the ids the read path matches
+        # on (also rejects append-retypes before paying any write IO)
+        planned = _plan_commit_schema(
+            self.path,
+            T.StructType.fromJson(json.loads(self.schema_json)),
+            overwrite,
+        )
+        self.task_field_ids = _ids_of(planned)
+
+    def _guard_ids(self, planned_now: T.StructType) -> None:
+        """Commit-time concurrency guard: if re-planning against the
+        now-current commit assigns any of THIS write's columns a
+        different field id than was stamped into its task files (a
+        concurrent writer evolved the schema in between), committing
+        would publish files whose ids lie — fail loudly instead."""
+        ours = {
+            f.name
+            for f in T.StructType.fromJson(json.loads(self.schema_json)).fields
+        }
+        now = {n: i for n, i in _ids_of(planned_now).items() if n in ours}
+        then = {n: i for n, i in self.task_field_ids.items() if n in ours}
+        if now != then:
+            from ..pipeline.tables import CommitConflictError
+
+            raise CommitConflictError(
+                "concurrent schema change invalidated the field ids "
+                "stamped into this write's task files — re-run the write"
+            )
 
     # -- executor side ------------------------------------------------------
 
     def write(self, iterator):
-        return _write_task_files(self.path, iterator)
+        return _write_task_files(self.path, iterator, self.task_field_ids)
 
     # -- driver side ----------------------------------------------------------
 
@@ -587,6 +686,16 @@ class _VersionedWriter(DataSourceArrowWriter):
 
         new_files = sorted(m.data_file for m in messages if m.data_file)
         new_cdf = sorted(m.cdf_file for m in messages if m.cdf_file)
+        # re-plan against the NOW-current commit (a writer may have
+        # landed since __init__) and verify our task files' stamped ids
+        # still agree — then commit the re-planned schema, which also
+        # folds in any columns a concurrent plain append introduced
+        planned_now = _plan_commit_schema(
+            self.path,
+            T.StructType.fromJson(json.loads(self.schema_json)),
+            self.overwrite,
+        )
+        self._guard_ids(planned_now)
         exists = os.path.isdir(_log_dir(self.path)) and _versions(self.path)
         if not exists:
             _publish_record(
@@ -596,7 +705,8 @@ class _VersionedWriter(DataSourceArrowWriter):
                     "op": "create",
                     "files": new_files,
                     "cdf_files": new_cdf,
-                    "schema_json": self.schema_json,
+                    # id-mapped from birth, like native create
+                    "schema_json": planned_now.json(),
                     "ts": time.time(),
                     "stats": {},
                 },
@@ -605,23 +715,18 @@ class _VersionedWriter(DataSourceArrowWriter):
         prev = _commit(self.path, _versions(self.path)[-1])
         stats: dict = {}
         if self.overwrite:
-            # full replace: the NEW dataframe's schema is the table's
-            # schema, exactly as native VersionedTable.overwrite commits
-            # df.schema — merging would resurrect dropped columns as
-            # phantom all-null columns, and a full replace may
-            # legitimately retype (no surviving rows to misread)
-            schema_json = self.schema_json
+            # full replace: the NEW dataframe's columns become the table
+            # schema, exactly as native VersionedTable.overwrite —
+            # merging would resurrect dropped columns as phantom
+            # all-null columns, and a full replace may legitimately
+            # retype (no surviving rows to misread). Same-name/same-type
+            # columns keep their field ids; the table stays id-mapped.
+            schema_json = planned_now.json()
             files = new_files
             cdf = self._delete_preimages(prev) + new_cdf
             op = "overwrite"
         else:
-            prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
-            new_schema = T.StructType.fromJson(json.loads(self.schema_json))
-            schema_json = _check_type_compat(
-                prev_schema,
-                new_schema,
-                int(prev.get("stats", {}).get("max_field_id", 0)),
-            ).json()
+            schema_json = planned_now.json()
             files = list(prev["files"]) + new_files
             cdf = new_cdf
             op = "append"
@@ -677,15 +782,37 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 "table is catalog-registered; use foreachBatch + VersionedTable"
             )
+        # same driver-side planning as the batch writer: evolved-in
+        # columns' fresh field ids are known before epoch 0's tasks
+        # write a single file (and an append-retype fails the query
+        # at start instead of per-epoch at commit)
+        planned = _plan_commit_schema(
+            self.path,
+            T.StructType.fromJson(json.loads(self.schema_json)),
+            overwrite=False,
+        )
+        self.task_field_ids = _ids_of(planned)
+
+    _guard_ids = _VersionedWriter._guard_ids
 
     def write(self, iterator):
-        return _write_task_files(self.path, iterator)
+        return _write_task_files(self.path, iterator, self.task_field_ids)
 
     def commit(self, messages, batchId: int) -> None:
         import time
 
         new_files = sorted(m.data_file for m in messages if m and m.data_file)
         new_cdf = sorted(m.cdf_file for m in messages if m and m.cdf_file)
+        # re-plan + id guard per epoch (see batch writer): after OUR
+        # first evolving commit the merged schema IS the current commit
+        # schema, so re-planning is a fixed point and the guard passes;
+        # a concurrent writer moving the ids under us conflicts loudly
+        merged = _plan_commit_schema(
+            self.path,
+            T.StructType.fromJson(json.loads(self.schema_json)),
+            overwrite=False,
+        )
+        self._guard_ids(merged)
         exists = os.path.isdir(_log_dir(self.path)) and _versions(self.path)
         if not exists:
             _publish_record(
@@ -695,7 +822,8 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
                     "op": "create",
                     "files": new_files,
                     "cdf_files": new_cdf,
-                    "schema_json": self.schema_json,
+                    # id-mapped from birth, like native create
+                    "schema_json": merged.json(),
                     "ts": time.time(),
                     "stats": {"txn": {_STREAM_TXN_APP: batchId}},
                 },
@@ -706,17 +834,6 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         if seen is not None and batchId <= seen:
             _drop_files(messages)  # replayed epoch: structural no-op
             return
-        # same schema discipline as the batch append path: reject type
-        # changes loudly at commit time (not as an Arrow cast failure at
-        # read time) and union-evolve added columns so their data is
-        # visible instead of silently hidden by a stale commit schema
-        prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
-        new_schema = T.StructType.fromJson(json.loads(self.schema_json))
-        merged = _check_type_compat(
-            prev_schema,
-            new_schema,
-            int(prev.get("stats", {}).get("max_field_id", 0)),
-        )
         stats: dict = {"txn": dict(prev.get("stats", {}).get("txn") or {})}
         stats["txn"][_STREAM_TXN_APP] = batchId
         if prev.get("stats", {}).get("max_field_id"):

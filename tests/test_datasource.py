@@ -446,11 +446,11 @@ def test_stream_sink_schema_evolution_and_type_guard(spark, tmp_path):
     retyped = T.StructType(
         [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
     )
-    w2 = _VersionedStreamWriter(tgt, retyped)
-    m2 = w2.write(iter([pa.record_batch({"id": pa.array([3], type=pa.int32()),
-                                         "v": pa.array(["c"])})]))
+    # round 8: the retype is rejected at writer CONSTRUCTION (driver-side
+    # schema planning, before any task file is written) — strictly
+    # earlier than the old commit-time rejection
     with pytest.raises(ValueError, match="type change"):
-        w2.commit([m2], batchId=2)
+        _VersionedStreamWriter(tgt, retyped)
 
 
 def test_format_writers_publish_put_if_absent(spark, tmp_path):
@@ -516,3 +516,92 @@ def test_format_pushdown_on_renamed_column(spark, tmp_path):
         .filter("metric < 200")
     )
     assert sorted(r.metric for r in df.collect()) == list(range(0, 200, 2))
+
+
+def test_format_append_evolution_onto_id_mapped_table(spark, tmp_path):
+    """ROUND-8 HIGH fix (VERDICT r7 #1): a schema-evolving format append
+    into an id-mapped table must stamp the NEW column's fresh field id
+    into the task files themselves — planning from the previous commit
+    schema left the files id-free for that column, and the id-matching
+    read path silently null-filled it (native read) or crashed (format
+    read). Both read paths must return the appended data."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.range(20).select(F.col("id"), (F.col("id") % 3).alias("grp")),
+    )
+
+    spark.range(20, 25).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"), (F.col("id") * 1.5).alias("score")
+    ).write.format("versioned").mode("append").save(p)
+
+    # the committed schema evolved with a fresh id for 'score'…
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType.fromJson(_json.loads(t.get_commit().schema_json))
+    ids = {
+        f.name: int(f.metadata[ds.FIELD_ID_KEY])
+        for f in sch.fields
+        if f.metadata and ds.FIELD_ID_KEY in f.metadata
+    }
+    assert "score" in ids and len(set(ids.values())) == 3
+
+    # …and the files written BY THIS APPEND carry that id, so the data
+    # is visible through the native id-matching read…
+    native = t.read()
+    assert native.filter("score is not null").count() == 5
+    assert native.filter("score is null").count() == 20
+
+    # …and through the format read
+    fmt = spark.read.format("versioned").option("path", p).load()
+    assert fmt.filter("score is not null").count() == 5
+    got = {r.id: r.score for r in fmt.filter("id >= 20").collect()}
+    assert got == {i: i * 1.5 for i in range(20, 25)}
+
+    # evolution survives a subsequent rename (pure metadata, ids stable)
+    t.rename_column("score", "metric")
+    assert t.read().filter("metric is not null").count() == 5
+
+
+def test_format_overwrite_keeps_column_mapping(spark, tmp_path):
+    """ROUND-8 fix (VERDICT r7 #3): format mode('overwrite') must keep
+    an id-mapped table id-mapped — same-name/same-type columns carry
+    their ids, new ones get fresh ids above the high-water mark — so a
+    later rename_column still works (it used to refuse: the overwrite
+    committed an id-stripped schema)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    VersionedTable.create(
+        spark,
+        p,
+        spark.range(10).select(F.col("id"), F.lit("x").alias("v")),
+    )
+
+    spark.range(4).select(
+        F.col("id"), F.lit("y").alias("v"), F.lit(2.0).alias("w")
+    ).write.format("versioned").mode("overwrite").save(p)
+
+    t = VersionedTable(spark, p)
+    t.rename_column("v", "label")  # used to raise: "has no field id"
+    got = {r.id: (r.label, r.w) for r in t.read().collect()}
+    assert got == {i: ("y", 2.0) for i in range(4)}
+
+
+def test_format_create_is_id_mapped_from_birth(spark, tmp_path):
+    """Round 8: format-path CREATE mirrors native create — id-mapped
+    from birth, so rename_column works on format-created tables too."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    spark.range(6).select(F.col("id"), F.lit(1).alias("n")).write.format(
+        "versioned"
+    ).mode("append").save(p)
+    t = VersionedTable(spark, p)
+    t.rename_column("n", "count")
+    assert t.read().filter("count = 1").count() == 6

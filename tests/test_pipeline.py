@@ -1289,19 +1289,39 @@ def test_rename_keeps_data_skipping_stats(spark, tmp_path):
 
 
 def test_rename_requires_column_mapping_with_upgrade_path(spark, tmp_path):
-    """A table created through the format writer (id-free files) refuses
-    rename with actionable guidance; one self-overwrite assigns ids and
-    unlocks it — the legacy upgrade path."""
+    """A genuinely legacy table (committed before column mapping, so its
+    schema carries no field ids) refuses rename with actionable
+    guidance; one self-overwrite assigns ids and unlocks it — the
+    upgrade path. Since round 8 the format writer is id-mapped from
+    birth, so the legacy state is simulated by stripping the ids out of
+    the commit record, exactly what a pre-mapping commit looked like."""
+    import json as _json
+    import os
+
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from nrtwithdeltalake_spark.sources import datasource as ds
 
     ds.register(spark)
     p = str(tmp_path / "legacy")
-    # the DataSource create path commits an id-free schema
     spark.range(5).select(F.col("id"), F.lit("x").alias("v")).write.format(
         "versioned"
     ).mode("append").save(p)
+    # simulate a pre-column-mapping commit: strip field ids from the log
+    v = ds._versions(p)[-1]
+    cpath = os.path.join(ds._log_dir(p), f"{v:020d}.json")
+    with open(cpath) as f:
+        rec = _json.loads(f.read())
+    sch = T.StructType.fromJson(_json.loads(rec["schema_json"]))
+    stripped = T.StructType(
+        [T.StructField(fl.name, fl.dataType, fl.nullable) for fl in sch.fields]
+    )
+    rec["schema_json"] = stripped.json()
+    rec.get("stats", {}).pop("max_field_id", None)
+    with open(cpath, "w") as f:
+        f.write(_json.dumps(rec))
+
     t = VersionedTable(spark, p)
     with pytest.raises(ValueError, match="predates column mapping"):
         t.rename_column("v", "label")
