@@ -46,6 +46,15 @@ _ADD_TYPES = ("insert", "update_postimage")
 _SUB_TYPES = ("delete", "update_preimage")
 _NULL_MARK = "\x00"  # distinguishes NULL from absent in the canonical string
 
+# Version of the fingerprint FORMULA (canonicalization + hash), stamped
+# into every state commit. A running sum is only meaningful under ONE
+# formula: when the formula changes (e.g. the round-6 switch to
+# unix_micros timestamp canonicalization), a pre-existing state table
+# would silently mix old-formula sums with new-formula deltas and
+# diverge until verify(). A stamp mismatch forces re-bootstrap instead.
+# Bump this whenever fingerprint_expr's output changes for any input.
+FP_FORMULA_VERSION = 2
+
 
 def fingerprint_expr(
     cols: list[str], dtypes: dict[str, T.DataType] | None = None
@@ -103,7 +112,14 @@ class IncrementalChecksum:
     def last_refreshed_version(self) -> int:
         if not self.exists():
             return -1
-        return self._table().get_commit().stats.get("base_version", -1)
+        stats = self._table().get_commit().stats
+        if stats.get("fp_formula") != FP_FORMULA_VERSION:
+            # state computed under a different fingerprint formula (or a
+            # pre-versioning commit): its running sum cannot absorb
+            # this formula's deltas — treat as never-refreshed so the
+            # next refresh() re-bootstraps from the snapshot
+            return -1
+        return stats.get("base_version", -1)
 
     def current(self) -> tuple[int, int]:
         """(n_rows, checksum) currently reflected."""
@@ -177,7 +193,7 @@ class IncrementalChecksum:
             except ValueError:
                 last = -1  # vacuumed past the watermark → rebuild
 
-        stamp = {"base_version": base_version}
+        stamp = {"base_version": base_version, "fp_formula": FP_FORMULA_VERSION}
         if last < 0:
             state = self._full(self.base.read(base_version))
             if self.exists():

@@ -1697,8 +1697,21 @@ class VersionedTable:
         ``_commit_version`` column — the engine's CHANGETABLE(CHANGES …)
         (O20): the caller resumes from its stored watermark version
         exactly as the reference does with CT versions
-        (``COPY_MSQL_TO_SILVER.py:128-134,171-174``)."""
+        (``COPY_MSQL_TO_SILVER.py:128-134,171-174``).
+
+        CDF files are read exactly as the snapshot path reads data
+        files: with the CURRENT commit schema applied explicitly, so on
+        an id-mapped table parquet field-id matching finds a renamed
+        column's history under its old physical name (name-based
+        inference + unionByName — the pre-round-8 behavior — split the
+        column across old/new names with NULLs after ``rename_column``,
+        silently corrupting incremental consumers' deltas), and files
+        predating an evolved-in column null-fill it."""
         commits = [c for c in self.history() if c.version > starting_version]
+        feed_schema = T.StructType(
+            list(self.schema().fields)
+            + [T.StructField(CHANGE_TYPE_COL, T.StringType())]
+        ).json()
         out: DataFrame | None = None
         for c in commits:
             if not c.cdf_files:
@@ -1712,10 +1725,10 @@ class VersionedTable:
                     f"change feed for version {c.version} was vacuumed; "
                     "reload from a snapshot and restart the watermark"
                 )
-            df = self.spark.read.parquet(*c.cdf_files).withColumn(
+            df = self._read_files(c.cdf_files, feed_schema).withColumn(
                 "_commit_version", F.lit(c.version)
             )
-            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+            out = df if out is None else out.unionByName(df)
         if out is None:
             base = self.schema()
             fields = base.add(CHANGE_TYPE_COL, T.StringType()).add(

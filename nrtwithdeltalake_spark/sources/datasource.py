@@ -47,8 +47,8 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -319,12 +319,17 @@ class _PushdownBatchReader(_BatchReader):
             yield f  # Spark re-applies everything: exactness never rides stats
 
 
-class _ChangeFeedStreamReader(SimpleDataSourceStreamReader):
-    """Offsets are commit versions: {'version': v} means 'everything
-    through commit v has been delivered'. readBetweenOffsets replays
-    exactly the CDF files of (start, end] — deterministic, so Spark's
-    at-least-once replay of an uncommitted batch yields identical
-    data."""
+class _ChangeFeedStreamReader(DataSourceStreamReader):
+    """Partition-based CDF tail (round 8 — replaces the Simple reader,
+    whose harness prefetched every micro-batch's rows ON THE DRIVER: a
+    funnel at 100 TB). Offsets are commit versions: {'version': v}
+    means 'everything through commit v has been delivered'. Each
+    micro-batch plans ONE InputPartition PER CDF FILE of the commits in
+    (start, end], so rows ship as executor-side Arrow record batches
+    with parallelism = CDF file count, matching the native
+    ``VersionedTable.change_feed`` posture. Replay of an uncommitted
+    epoch re-plans the same files under the same (end-commit) schema —
+    deterministic."""
 
     def __init__(self, path: str, start_version: int, row_schema: T.StructType):
         self.path = path
@@ -338,32 +343,60 @@ class _ChangeFeedStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"version": self.start_version}
 
-    def _rows_between(self, lo: int, hi: int):
+    def latestOffset(self):
+        return {"version": _versions(self.path)[-1]}
+
+    def _read_schema_json(self, end_version: int) -> str:
+        """Declared columns re-armed with the END commit's field-id
+        metadata: the per-file arrow projection then id-matches a
+        renamed column's pre-rename CDF exactly like the batch/native
+        read paths (the declared schema itself is deliberately id-free —
+        the streaming runner asserts arrow schemas against it
+        byte-for-byte). Pinned to the end commit, not 'latest', so an
+        epoch replay plans identically even after later commits."""
+        declared = T.StructType.fromJson(json.loads(self.row_schema_json))
+        commit_schema = T.StructType.fromJson(
+            json.loads(_commit(self.path, end_version)["schema_json"])
+        )
+        by_name = {f.name: f for f in commit_schema.fields}
+        fields = []
+        for f in declared.fields:
+            src = by_name.get(f.name)
+            if src is not None and src.metadata and FIELD_ID_KEY in src.metadata:
+                fields.append(
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {FIELD_ID_KEY: src.metadata[FIELD_ID_KEY]},
+                    )
+                )
+            else:
+                fields.append(f)
+        return T.StructType(fields).json()
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            return []
+        schema_json = self._read_schema_json(hi)
+        parts = []
         for v in _versions(self.path):
             if not (lo < v <= hi):
                 continue
             c = _commit(self.path, v)
             for f in c.get("cdf_files", []):
-                part = _FilePartition(
-                    file=f,
-                    schema_json=self.row_schema_json,
-                    extra=((VERSION_COL, v),),
+                parts.append(
+                    _FilePartition(
+                        file=f,
+                        schema_json=schema_json,
+                        extra=((VERSION_COL, v),),
+                    )
                 )
-                for batch in _arrow_batches(part):
-                    for row in batch.to_pylist():
-                        yield tuple(row.values())
+        return parts
 
-    def read(self, start: dict):
-        latest = _versions(self.path)[-1]
-        lo = start["version"]
-        if latest <= lo:
-            return iter(()), start
-        # materialized (picklable): the harness prefetches and caches the
-        # batch so an uncommitted-epoch replay is byte-identical
-        return iter(list(self._rows_between(lo, latest))), {"version": latest}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._rows_between(start["version"], end["version"])))
+    def read(self, partition: _FilePartition):
+        return _arrow_batches(partition)
 
 
 @dataclass
@@ -663,12 +696,19 @@ class _VersionedWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
 
         out = []
+        prev_ids = _ids_of(
+            T.StructType.fromJson(json.loads(prev["schema_json"]))
+        )
         for f in prev["files"]:
             part = _FilePartition(file=f, schema_json=prev["schema_json"])
             batches = list(_arrow_batches(part))
             if not batches:
                 continue
-            tbl = pa.Table.from_batches(batches)
+            # preimage CDF files carry the same field ids as data files
+            # (ids are rename-stable, so the id-matched change feed reads
+            # them under current names; id-free files would hard-error
+            # against an id-bearing read schema)
+            tbl = _stamp_field_ids(pa.Table.from_batches(batches), prev_ids)
             d = os.path.join(self.path, "_cdf", f"ds-{uuid.uuid4().hex}")
             os.makedirs(d, exist_ok=True)
             dst = os.path.join(d, "part-00000.parquet")
@@ -937,7 +977,7 @@ class VersionedTableDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool):
         return _VersionedStreamWriter(self._path(), schema)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         if self.options.get("feed") != "changes":
             raise ValueError(
                 "streaming requires option 'feed'='changes' (CDF tail)"

@@ -287,3 +287,65 @@ def test_fingerprint_timestamp_is_timezone_free(spark, tmp_path):
         assert cs2.verify()["match"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_checksum_resumes_across_rename(spark, tmp_path):
+    """VERDICT r7 #2 done-criterion: IncrementalChecksum resumes across
+    a rename_column with correct deltas. The fingerprint hashes VALUES
+    (names never enter the canonical string), so the running sum
+    survives a rename unchanged — provided the change feed unifies the
+    renamed column's history, which the round-8 id-matched feed does."""
+    base, cs = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    cs.refresh()  # bootstrap, watermark = v0
+
+    base.append(spark.createDataFrame([(3, "c", 3.0)], "id long, v string, amt double"))
+    base.rename_column("v", "label")
+    base.append(
+        spark.createDataFrame([(4, "d", 4.0)], "id long, label string, amt double")
+    )
+    base.delete("id = 1")
+
+    # reconstruct the consumer post-rename (cols default to the current
+    # schema order; values — hence the checksum — are name-independent)
+    cs2 = IncrementalChecksum(
+        spark, base, os.path.join(str(tmp_path), "cs")
+    )
+    out = cs2.refresh()
+    assert out["refreshed"] is True and out["bootstrap"] is False
+    assert cs2.current() == cs2.compute_now()
+    rep = cs2.verify()
+    assert rep["match"] is True
+
+
+def test_old_formula_state_rebootstraps(spark, tmp_path):
+    """ROUND-8 fix (VERDICT r7 #4): a state table stamped with a
+    different fingerprint-formula version must NOT absorb new-formula
+    deltas (it would silently diverge until verify()); refresh()
+    re-bootstraps instead."""
+    import json
+
+    from nrtwithdeltalake_spark.pipeline import checksum_view as cv
+
+    base, cs = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    cs.refresh()
+    st = cs._table()
+    assert st.get_commit().stats["fp_formula"] == cv.FP_FORMULA_VERSION
+
+    # simulate a state table written under formula v1: rewrite the
+    # commit stamp AND corrupt the stored sum the way a formula change
+    # would (old-formula sum != new-formula sum)
+    c = st.get_commit()
+    cpath = os.path.join(st.log_dir, f"{c.version:020d}.json")
+    with open(cpath) as f:
+        rec = json.loads(f.read())
+    rec["stats"]["fp_formula"] = 1
+    with open(cpath, "w") as f:
+        f.write(json.dumps(rec))
+
+    assert cs.last_refreshed_version() == -1  # stale formula → never-refreshed
+    base.append(spark.createDataFrame([(3, "c", 3.0)], "id long, v string, amt double"))
+    out = cs.refresh()
+    assert out["refreshed"] is True and out["bootstrap"] is True
+    assert cs.current() == cs.compute_now()
+    # and the re-bootstrapped state carries the current formula stamp
+    assert cs._table().get_commit().stats["fp_formula"] == cv.FP_FORMULA_VERSION

@@ -1736,3 +1736,80 @@ def test_replace_where_rebases_over_foreign_append(spark, tmp_path):
             spark.createDataFrame([(12, "d2", "new2")], "id long, day string, v string"),
             replace_where="day = 'd2'",
         )
+
+
+def test_change_feed_id_matches_across_rename(spark, tmp_path):
+    """ROUND-8 fix (VERDICT r7 #2): the change feed reads CDF history
+    with the CURRENT commit schema (parquet field-id matching), so a
+    renamed column's pre-rename changes surface under its NEW name. The
+    old name-inferred unionByName path split the column across old/new
+    names with NULLs — incremental consumers resuming across a rename
+    got silently wrong deltas."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, v string, amt double"),
+    )
+    t.append(spark.createDataFrame([(3, "c", 3.0)], "id long, v string, amt double"))
+    t.rename_column("v", "label")
+    t.append(spark.createDataFrame([(4, "d", 4.0)], "id long, label string, amt double"))
+
+    feed = t.change_feed(-1)
+    # one unified 'label' column carrying BOTH pre- and post-rename data
+    assert "label" in feed.columns and "v" not in feed.columns
+    got = {r.id: r.label for r in feed.filter("_change_type = 'insert'").collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+    assert feed.filter("label is null").count() == 0
+
+    # a consumer whose watermark predates the rename sees the same unity
+    pre = t.change_feed(0)  # versions 1 (pre-rename append) .. 3
+    got = {r.id: r.label for r in pre.filter("_change_type = 'insert'").collect()}
+    assert got == {3: "c", 4: "d"}
+
+
+def test_rollup_resumes_across_rename(spark, tmp_path):
+    """VERDICT r7 #2 done-criterion: IncrementalRollup resumes across a
+    rename_column with correct deltas — the touched-group detection and
+    group recompute both run on the change feed's id-matched current
+    names."""
+    from pyspark.sql import functions as F
+
+    from nrtwithdeltalake_spark.pipeline.rollup import IncrementalRollup
+
+    base = VersionedTable.create(
+        spark,
+        str(tmp_path / "base"),
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+            "id long, grp string, v double",
+        ),
+    )
+    base.rename_column("v", "val")
+    roll = IncrementalRollup(
+        spark,
+        base,
+        str(tmp_path / "rollup"),
+        ["grp"],
+        {"n": lambda: F.count(F.lit(1)), "max_val": lambda: F.max("val")},
+    )
+    roll.refresh()  # bootstrap; watermark = the rename commit
+    # now mutate with CDF on BOTH sides of a second rename
+    base.append(spark.createDataFrame([(4, "a", 99.0)], "id long, grp string, val double"))
+    base.rename_column("val", "metric")
+    roll2 = IncrementalRollup(
+        spark,
+        base,
+        str(tmp_path / "rollup"),
+        ["grp"],
+        {"n": lambda: F.count(F.lit(1)), "max_val": lambda: F.max("metric")},
+    )
+    base.delete("id = 3")
+    # the CDF slice now spans a pre-rename append (v2, files under
+    # 'val') and a post-rename delete (v4, files under 'metric') — the
+    # id-matched feed must unify them under 'metric'
+    out = roll2.refresh()
+    assert out["refreshed"] is True
+    got = sorted(tuple(r) for r in roll2.read().collect())
+    assert got == [("a", 3, 99.0)]
