@@ -81,21 +81,60 @@ assert len(HEADLINE) == 40, f"era-40 frozen; got {len(HEADLINE)} queries"
 
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
 LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "300"))
+# bounded between-query wait: a 1-min loadavg can't see a contention
+# window that opens mid-run, so the gate is re-checked before EVERY
+# query (cheap when quiet: one getloadavg call)
+LOAD_WAIT_BETWEEN_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_BETWEEN_S", "60"))
+# a query whose min exceeds PRIOR_RATIO x its previous-round value (at
+# the same sf, and by more than PRIOR_SLACK_S absolute) is presumed
+# contention-hit and re-measured after a full quiet wait — BENCH_r07
+# recorded 12x spikes on two queries that an unchanged tree later ran
+# at 1.0x; min-of-3 within one window cannot shed a window that outlasts
+# all three runs
+PRIOR_RATIO = float(os.environ.get("SPARK_GRAFT_PRIOR_RATIO", "3.0"))
+PRIOR_SLACK_S = 1.0
 
 
-def _await_quiet_host() -> float:
+def _await_quiet_host(wait_s: int = LOAD_WAIT_S) -> float:
     """Quiet-host discipline (BASELINE.md round-5 note): ambient load
     spikes on this shared box have produced multi-second phantom
     regressions. Wait (bounded) for 1-min loadavg to drop under the
     gate; either way the measured loadavg is recorded in the output
     JSON so a loaded-host artifact is self-annotating instead of
     masquerading as a regression."""
-    deadline = time.time() + LOAD_WAIT_S
+    deadline = time.time() + wait_s
     load = os.getloadavg()[0]
     while load > LOAD_GATE and time.time() < deadline:
         time.sleep(15)
         load = os.getloadavg()[0]
     return load
+
+
+def _prior_timings(sf: str) -> dict[str, float]:
+    """Per-query MINIMUM across every committed BENCH_r*.json at the
+    SAME scale factor — the all-time floor is the contention reference
+    (the most recent artifact may itself be contention-inflated, e.g.
+    BENCH_r07). Missing/unparseable artifacts (or a different sf)
+    simply disable the heuristic for the affected queries."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    floor: dict[str, float] = {}
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(f) as fh:
+                d = json.loads(fh.read())
+            # driver artifacts wrap our line under 'parsed'
+            d = d.get("parsed", d)
+            if str(d.get("sf")) != sf or not isinstance(d.get("queries"), dict):
+                continue
+            for k, v in d["queries"].items():
+                v = float(v)
+                if k not in floor or v < floor[k]:
+                    floor[k] = v
+        except (OSError, ValueError, TypeError):
+            continue
+    return floor
 
 
 def main() -> None:
@@ -108,32 +147,47 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loadavg_start": round(load_at_start, 2),
-                "loadavg_end": round(os.getloadavg()[0], 2),
-                "load_gate": LOAD_GATE,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prior = _prior_timings(str(sf_val))
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    retried: list[str] = []
+    load_max = load_at_start
+    for name in HEADLINE:
+        load_max = max(load_max, _await_quiet_host(LOAD_WAIT_BETWEEN_S))
+        best = min(run_once(name) for _ in range(3))
+        ref = prior.get(name)
+        if ref and best > PRIOR_RATIO * ref and best - ref > PRIOR_SLACK_S:
+            # suspected mid-run contention window: wait for quiet, then
+            # give the query three fresh shots; the min stands either way
+            retried.append(name)
+            load_max = max(load_max, _await_quiet_host())
+            best = min([best] + [run_once(name) for _ in range(3)])
+        timings[name] = round(best, 3)
+        load_max = max(load_max, os.getloadavg()[0])
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "loadavg_start": round(load_at_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "loadavg_max": round(load_max, 2),
+        "load_gate": LOAD_GATE,
+    }
+    if retried:
+        out["contention_reruns"] = retried
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -185,6 +185,49 @@ def _with_field_ids(schema: T.StructType, floor: int = 0) -> T.StructType:
     return T.StructType(fields)
 
 
+_INT_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
+
+
+def widened_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types when one SAFELY widens to the other (every
+    value of the narrow type is exactly representable in the wide one),
+    else None. This is the Delta-type-widening set restricted to what
+    Spark 4's parquet readers read losslessly through a widened schema
+    without rewriting old (narrow) files — verified: int32 files read as
+    LONG, float as DOUBLE, decimal(8,2) as decimal(12,2), in both
+    name- and field-id-matching modes:
+
+    * integer chain byte → short → int → long;
+    * float → double;
+    * byte/short/int → double (exact: a 53-bit mantissa holds int32);
+    * decimal(p1,s1) → decimal(p2,s2) when s2 >= s1 and
+      p2 - s2 >= p1 - s1 (no digit of either side is ever dropped).
+
+    Narrowing and everything else (string↔number, long→double which
+    rounds above 2^53, timestamp changes) returns None — the caller
+    rejects loudly."""
+    if a == b:
+        return a
+    ra, rb = _INT_RANK.get(type(a)), _INT_RANK.get(type(b))
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
+    for narrow, wide in ((a, b), (b, a)):
+        if isinstance(wide, T.DoubleType) and (
+            isinstance(narrow, T.FloatType)
+            or _INT_RANK.get(type(narrow), 9) <= 3
+        ):
+            return wide
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        for narrow, wide in ((a, b), (b, a)):
+            if (
+                wide.scale >= narrow.scale
+                and wide.precision - wide.scale
+                >= narrow.precision - narrow.scale
+            ):
+                return wide
+    return None
+
+
 def _attach_ids(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Re-alias df columns with the target schema's field-id metadata
     (matched by name) so written parquet footers carry the ids —
@@ -841,14 +884,38 @@ class VersionedTable:
         surviving rows to misread)."""
         existing = T.StructType.fromJson(json.loads(prev.schema_json))
         by_name = {f.name: f for f in existing.fields}
+        widened: dict[str, T.DataType] = {}
         for f in df.schema.fields:
-            if f.name in by_name and by_name[f.name].dataType != f.dataType:
+            prev_f = by_name.get(f.name)
+            if prev_f is None or prev_f.dataType == f.dataType:
+                continue
+            w = widened_type(prev_f.dataType, f.dataType)
+            if w is None:
                 raise ValueError(
                     f"type change for column {f.name!r} "
-                    f"({by_name[f.name].dataType.simpleString()} → "
+                    f"({prev_f.dataType.simpleString()} → "
                     f"{f.dataType.simpleString()}) — append/merge cannot "
                     "retype; use overwrite for a full-replace retype"
                 )
+            # safe type WIDENING (Delta table-feature parity): the commit
+            # schema adopts the wider type — metadata (field id) stays, so
+            # old (narrow) files keep reading through id matching, and the
+            # parquet reader upcasts them losslessly. A NARROWER source is
+            # also fine: the table type already holds it (_align_to casts).
+            if w != prev_f.dataType:
+                widened[f.name] = w
+        if widened:
+            existing = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        widened.get(f.name, f.dataType),
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in existing.fields
+                ]
+            )
         names = {f.name for f in existing.fields}
         # evolved-in columns are nullable by definition — every
         # pre-existing row holds NULL for them (same rule as the format
@@ -1742,12 +1809,18 @@ def _align_to(
     df: DataFrame, schema: T.StructType, keep: list[str] | None = None
 ) -> DataFrame:
     """Project df onto schema, adding missing columns as typed nulls
-    (schema-evolution alignment for both sides of a merge). ``keep``
-    columns ride along unchanged."""
-    have = {f.name for f in df.schema.fields}
-    cols = [
-        F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
-        for f in schema.fields
-    ]
+    (schema-evolution alignment for both sides of a merge) and casting
+    columns whose type differs — callers only reach here after
+    ``_merged_schema`` proved the difference a safe widening, so the
+    cast is lossless. ``keep`` columns ride along unchanged."""
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name] != f.dataType:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
     cols += [F.col(c) for c in (keep or []) if c in have]
     return df.select(*cols)

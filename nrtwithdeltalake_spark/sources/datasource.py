@@ -329,11 +329,31 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
     with parallelism = CDF file count, matching the native
     ``VersionedTable.change_feed`` posture. Replay of an uncommitted
     epoch re-plans the same files under the same (end-commit) schema —
-    deterministic."""
+    deterministic.
 
-    def __init__(self, path: str, start_version: int, row_schema: T.StructType):
+    ``max_files_per_trigger`` (option ``maxFilesPerTrigger``) is the
+    100 TB backlog-catch-up control (the Delta option of the same
+    name): a consumer resuming from an old watermark drains the CDF in
+    bounded micro-batches instead of planning days of backlog as one —
+    ``latestOffset`` advances the end version only as far as the file
+    budget allows (always ≥ 1 commit, so a single over-budget commit
+    still flows). ``availableNow``/repeated triggers still drain fully;
+    the only unbounded batch is the first after a checkpointed restart
+    whose resume point the reader hasn't yet observed (Spark never
+    hands latestOffset the checkpoint — partitions()/commit() sync it
+    as soon as they run)."""
+
+    def __init__(
+        self,
+        path: str,
+        start_version: int,
+        row_schema: T.StructType,
+        max_files_per_trigger: int | None = None,
+    ):
         self.path = path
         self.start_version = start_version
+        self.max_files = max_files_per_trigger
+        self._pos: int | None = None  # last end version this reader saw
         # declared output schema minus the appended version column: every
         # commit's CDF aligns to THIS (older files null-fill newer columns)
         self.row_schema_json = T.StructType(
@@ -341,10 +361,29 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         ).json()
 
     def initialOffset(self):
+        self._pos = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self):
-        return {"version": _versions(self.path)[-1]}
+        latest = _versions(self.path)[-1]
+        if self.max_files is None or self._pos is None:
+            return {"version": latest}
+        budget = self.max_files
+        end = self._pos
+        for v in _versions(self.path):
+            if v <= self._pos or v > latest:
+                continue
+            n = len(_commit(self.path, v).get("cdf_files", []))
+            if n > budget and end > self._pos:
+                break  # budget spent (but always admit ≥ 1 commit)
+            budget -= n
+            end = v
+        return {"version": end}
+
+    def commit(self, end: dict) -> None:
+        v = end["version"]
+        if self._pos is None or v > self._pos:
+            self._pos = v
 
     def _read_schema_json(self, end_version: int) -> str:
         """Declared columns re-armed with the END commit's field-id
@@ -377,6 +416,8 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
+        if self._pos is None or hi > self._pos:
+            self._pos = hi  # sync after a checkpointed restart
         if hi <= lo:
             return []
         schema_json = self._read_schema_json(hi)
@@ -493,21 +534,45 @@ def _publish_record(path: str, record: dict) -> None:
 def _check_type_compat(
     prev_schema: T.StructType, new_schema: T.StructType, id_floor: int = 0
 ):
-    """Reject in-place type changes (evolve via VersionedTable);
-    returns the append-style merged schema (previous columns keep their
-    order, new columns append — the read path null-fills by name). On
-    an id-mapped table the appended columns receive fresh field ids
-    above ``id_floor`` (the table's high-water mark), matching the
-    native ``_merged_schema`` discipline — mixed id/no-id schemas are
-    never committed."""
+    """Append-style merged schema (previous columns keep their order,
+    new columns append — the read path null-fills by name). Same-name
+    type differences are accepted only as safe WIDENINGS (the shared
+    ``pipeline.tables.widened_type`` set: int chain, float→double,
+    decimal growth) — the commit schema adopts the wider type and old
+    (narrow) files read through it losslessly; anything else is
+    rejected loudly. On an id-mapped table the appended columns receive
+    fresh field ids above ``id_floor`` (the table's high-water mark),
+    matching the native ``_merged_schema`` discipline — mixed id/no-id
+    schemas are never committed."""
+    from ..pipeline.tables import widened_type
+
     prev_names = {f.name: f for f in prev_schema.fields}
+    widened: dict[str, T.DataType] = {}
     for f in new_schema.fields:
-        if f.name in prev_names and prev_names[f.name].dataType != f.dataType:
+        p = prev_names.get(f.name)
+        if p is None or p.dataType == f.dataType:
+            continue
+        w = widened_type(p.dataType, f.dataType)
+        if w is None:
             raise ValueError(
                 f"type change for column '{f.name}' "
-                f"({prev_names[f.name].dataType} → {f.dataType}) — "
+                f"({p.dataType} → {f.dataType}) — "
                 "evolve via VersionedTable"
             )
+        if w != p.dataType:
+            widened[f.name] = w
+    if widened:
+        prev_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    widened.get(f.name, f.dataType),
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in prev_schema.fields
+            ]
+        )
     prev_ids = [
         int(f.metadata[FIELD_ID_KEY])
         for f in prev_schema.fields
@@ -983,7 +1048,13 @@ class VersionedTableDataSource(DataSource):
                 "streaming requires option 'feed'='changes' (CDF tail)"
             )
         start = int(self.options.get("startingVersion", -1))
-        return _ChangeFeedStreamReader(self._path(), start, schema)
+        mft = self.options.get("maxFilesPerTrigger")
+        return _ChangeFeedStreamReader(
+            self._path(),
+            start,
+            schema,
+            max_files_per_trigger=int(mft) if mft is not None else None,
+        )
 
 
 def register(spark) -> None:

@@ -196,9 +196,12 @@ def test_writer_rejects_type_change_and_guarded_tables(spark, tmp_path):
     spark.range(5).select(F.col("id"), (F.col("id") % 2).alias("grp")).write.format(
         "versioned"
     ).mode("append").save(p)
+    # an int source over a bigint column is a legal NARROWER append
+    # since round-8 type widening — the unsafe retype (string) is what
+    # must reject
     with pytest.raises(Exception, match="type change"):
         spark.range(5).select(
-            F.col("id"), (F.col("id") % 2).cast("int").alias("grp")
+            F.col("id"), (F.col("id") % 2).cast("string").alias("grp")
         ).write.format("versioned").mode("append").save(p)
 
     t = VersionedTable(spark, p)
@@ -443,12 +446,14 @@ def test_stream_sink_schema_evolution_and_type_guard(spark, tmp_path):
     got = {r.id: r.score for r in t.read().collect()}
     assert got == {1: None, 2: 1.5}
 
+    # round 8: an UNSAFE retype (string over long — not a widening) is
+    # rejected at writer CONSTRUCTION (driver-side schema planning,
+    # before any task file is written) — strictly earlier than the old
+    # commit-time rejection. (id int would now be a legal narrower
+    # source: type widening accepts it.)
     retyped = T.StructType(
-        [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+        [T.StructField("id", T.StringType()), T.StructField("v", T.StringType())]
     )
-    # round 8: the retype is rejected at writer CONSTRUCTION (driver-side
-    # schema planning, before any task file is written) — strictly
-    # earlier than the old commit-time rejection
     with pytest.raises(ValueError, match="type change"):
         _VersionedStreamWriter(tgt, retyped)
 
@@ -676,3 +681,103 @@ def test_stream_changes_id_matches_across_rename(spark, tmp_path):
         (3, "c", "insert"),
         (4, "d", "insert"),
     ]
+
+
+def test_format_append_type_widening(spark, tmp_path):
+    """Format-writer parity for safe type widening: an int→bigint /
+    float→double / decimal-growth append through
+    df.write.format('versioned') widens the commit schema; old narrow
+    files and the new wide files read back correctly on BOTH paths."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([(1, 10, 1.5)], "id long, n int, x float"),
+    )
+    spark.createDataFrame(
+        [(2, 2**40, 2.5)], "id long, n long, x double"
+    ).write.format("versioned").mode("append").save(p)
+
+    sch = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+    assert sch == {"id": "bigint", "n": "bigint", "x": "double"}
+    native = {r.id: (r.n, r.x) for r in t.read().collect()}
+    fmt = {
+        r.id: (r.n, r.x)
+        for r in spark.read.format("versioned").option("path", p).load().collect()
+    }
+    assert native == fmt == {1: (10, 1.5), 2: (2**40, 2.5)}
+
+    # a narrower format append into the widened table also lands
+    spark.createDataFrame([(3, 7, 3.5)], "id long, n int, x float").write.format(
+        "versioned"
+    ).mode("append").save(p)
+    assert t.read().filter("id = 3").collect()[0].n == 7
+
+    # incompatible retype still rejected at writer construction
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="type change"):
+        spark.createDataFrame([(4, "s", 1.0)], "id long, n string, x double").write.format(
+            "versioned"
+        ).mode("append").save(p)
+
+
+def test_stream_max_files_per_trigger_bounds_catchup(spark, tmp_path):
+    """maxFilesPerTrigger (Delta-parity backlog control): a consumer
+    resuming from an old watermark drains the CDF in bounded
+    micro-batches — latestOffset admits commits only up to the file
+    budget (≥1 commit per trigger) — and availableNow still drains
+    everything."""
+    p, t = _mk(spark, tmp_path)  # v0 (2 rows), v1 (1 row)
+    for i in range(10, 14):
+        t.append(spark.createDataFrame([(i, "x")], "id long, v string"))
+    latest = t.latest_version()
+
+    # unit-level: offsets advance one commit at a time at budget 1
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType(
+        list(spark.read.format("versioned").option("path", p).load().schema.fields)
+        + [
+            T.StructField(ds.CHANGE_TYPE_COL, T.StringType()),
+            T.StructField(ds.VERSION_COL, T.LongType()),
+        ]
+    )
+    r = ds._ChangeFeedStreamReader(p, -1, row_schema, max_files_per_trigger=1)
+    assert r.initialOffset() == {"version": -1}
+    seen = []
+    while True:
+        start_v = seen[-1] if seen else -1
+        end = r.latestOffset()
+        if end["version"] == start_v:
+            break
+        # budget 1 < any commit's file count ⇒ exactly ONE commit per
+        # trigger (a single over-budget commit must still flow whole)
+        assert end["version"] == start_v + 1
+        parts = r.partitions({"version": start_v}, end)
+        assert parts and len(parts) == len(t.get_commit(end["version"]).cdf_files)
+        seen.append(end["version"])
+        r.commit(end)
+    assert seen[-1] == latest and len(seen) == latest + 1
+
+    # end-to-end: availableNow with the option still delivers everything
+    rows = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", p)
+        .option("feed", "changes")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: rows.extend((r.id, r._commit_version) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(i for i, _ in rows) == [1, 2, 3, 10, 11, 12, 13]
