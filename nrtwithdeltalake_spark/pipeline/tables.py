@@ -33,6 +33,7 @@ import shutil
 import tempfile
 import time
 import uuid
+import dataclasses
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,11 @@ class Commit:
     schema_json: str
     ts: float
     stats: dict
+    # deletion vectors: parquet sidecars of (file, pos) pairs naming
+    # rows of `files` that are LOGICALLY DELETED without a rewrite
+    # (merge-on-read). Reads anti-join them out; rewriting ops
+    # materialize them. Absent in pre-DV commits (default []).
+    dv_files: list[str] = dataclasses.field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -111,6 +117,22 @@ class Commit:
     @staticmethod
     def from_json(s: str) -> "Commit":
         return Commit(**json.loads(s))
+
+
+def _as_epoch(timestamp) -> float:
+    """Epoch seconds from an epoch number, datetime (naive = UTC — the
+    commit stamps are ``time.time()``), or ISO-8601 string."""
+    import datetime as _dt
+
+    if isinstance(timestamp, (int, float)):
+        return float(timestamp)
+    if isinstance(timestamp, str):
+        timestamp = _dt.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, _dt.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=_dt.timezone.utc)
+        return timestamp.timestamp()
+    raise TypeError(f"unsupported timestamp type: {type(timestamp).__name__}")
 
 
 class ConstraintViolationError(RuntimeError):
@@ -289,6 +311,7 @@ class VersionedTable:
         self.log_dir = os.path.join(self.path, "_log")
         self.data_dir = os.path.join(self.path, "_data")
         self.cdf_dir = os.path.join(self.path, "_cdf")
+        self.dv_dir = os.path.join(self.path, "_dv")
 
     # -- log ---------------------------------------------------------------
 
@@ -323,6 +346,26 @@ class VersionedTable:
             for f in sorted(os.listdir(self.log_dir))
             if f.endswith(".json")
         ]
+
+    def version_at(self, timestamp) -> int:
+        """Latest version committed at or before ``timestamp`` — the
+        Delta ``timestampAsOf`` resolution rule. Accepts an epoch
+        number, a ``datetime`` (naive = UTC, matching the epoch
+        ``time.time()`` stamps commits carry), or an ISO-8601 string.
+        Raises if the timestamp predates the first commit (there is no
+        table state to read there) — same contract as Delta."""
+        t = _as_epoch(timestamp)
+        best: int | None = None
+        for c in self.history():
+            if c.ts <= t:
+                best = c.version
+        if best is None:
+            first = self.history()[0]
+            raise ValueError(
+                f"timestamp {timestamp!r} predates the first commit "
+                f"(version 0 at epoch {first.ts}); no snapshot exists there"
+            )
+        return best
 
     def _write_commit(self, commit: Commit) -> None:
         """Atomic put-if-absent publish (see ``publish_commit_file``).
@@ -380,6 +423,12 @@ class VersionedTable:
         ``REFRESH TABLE db.table`` to see later commits (exactly as with
         any Hive-metastore parquet table)."""
         commit = self.get_commit()
+        if commit.dv_files:
+            raise ValueError(
+                "table carries deletion vectors, which the registered "
+                "parquet manifest cannot express — run compact() to "
+                "materialize them, then register"
+            )
         self._sync_registration(
             commit, {"db": db, "table": table, "schema_json": None}
         )
@@ -565,9 +614,62 @@ class VersionedTable:
         self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         return self.spark.read.schema(schema).parquet(*files)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    # -- deletion vectors (merge-on-read deletes) --------------------------
+
+    def _dv_df(self, c: Commit) -> DataFrame | None:
+        """The commit's deletion vector as one (file, pos) DataFrame,
+        broadcast when small (the common case: a predicate delete's
+        positions are bytes per row, so even millions of deleted rows
+        broadcast in MBs — the anti-join then never shuffles the data
+        side). None when the commit carries no DVs."""
+        if not c.dv_files:
+            return None
+        dv = self.spark.read.parquet(*c.dv_files).select("file", "pos")
+        size = sum(
+            os.path.getsize(f) for f in c.dv_files if os.path.exists(f)
+        )
+        return F.broadcast(dv) if size < 32 * 1024 * 1024 else dv
+
+    def _apply_dv(self, df: DataFrame, c: Commit) -> DataFrame:
+        """Filter logically-deleted rows out of a data-file read: an
+        anti-join of (``_metadata.file_path``, ``_metadata.row_index``)
+        against the commit's deletion vector. A no-op (returns ``df``
+        untouched — zero plan cost) when the commit has no DVs. Stale
+        DV entries referencing files a later rewrite dropped simply
+        never match."""
+        dv = self._dv_df(c)
+        if dv is None:
+            return df
+        probe = df.withColumn(
+            "__dv_file", F.col("_metadata.file_path")
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+        return probe.join(
+            dv,
+            (probe["__dv_file"] == dv["file"])
+            & (probe["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        ).drop("__dv_file", "__dv_pos")
+
+    def _snapshot(self, c: Commit, files: list[str] | None = None) -> DataFrame:
+        """DV-aware snapshot read of a commit (optionally restricted to
+        a file subset) — what every rewrite-producing op must read, or
+        logically-deleted rows would resurrect in its output."""
+        flist = c.files if files is None else files
+        df = self._read_files(flist, c.schema_json)
+        if not flist:
+            return df  # empty local relation: no _metadata, nothing to delete
+        return self._apply_dv(df, c)
+
+    def read(self, version: int | None = None, timestamp=None) -> DataFrame:
+        """Snapshot read: latest by default, ``version`` for version
+        time travel, ``timestamp`` for Delta-style ``timestampAsOf``
+        (resolved to the last version committed at or before it)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         c = self.get_commit(version)
-        return self._read_files(c.files, c.schema_json)
+        return self._snapshot(c)
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.get_commit(version).schema_json))
@@ -688,16 +790,37 @@ class VersionedTable:
                 int(prev.stats.get("max_field_id", 0)),
             )
             files = self._write_files(df, self.data_dir, schema=schema)
-            old = self._read_files(prev.files, prev.schema_json)
-            cdf = self._write_files(
-                old.withColumn(CHANGE_TYPE_COL, F.lit("delete")),
-                self.cdf_dir,
-                schema=prev_schema,
-            ) + self._write_files(
-                df.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
-                self.cdf_dir,
-                schema=schema,
-            )
+            old = self._snapshot(prev)  # DV-applied: don't retract twice
+            stats = {**self._carry_stats(prev, []), **(extra_stats or {})}
+            if _cdf_representable(prev_schema, schema):
+                # pre-images are ALIGNED (projected + cast losslessly)
+                # to the NEW commit schema so one commit's CDF files
+                # share one schema — the change feed reads each commit
+                # with its own schema, and a mixed-schema commit
+                # (old-typed deletes beside new-typed inserts after a
+                # full-replace retype) silently corrupted incremental
+                # consumers.
+                cdf = self._write_files(
+                    _align_to(old, schema).withColumn(
+                        CHANGE_TYPE_COL, F.lit("delete")
+                    ),
+                    self.cdf_dir,
+                    schema=schema,
+                ) + self._write_files(
+                    df.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
+                    self.cdf_dir,
+                    schema=schema,
+                )
+            else:
+                # incompatible retype (e.g. string → bigint): the old
+                # snapshot's values are NOT representable in the new
+                # schema, so no pre-image can be emitted — CDF
+                # CONTINUITY BREAKS here, Delta's contract for
+                # overwriteSchema. The commit is flagged; change_feed
+                # refuses to cross it and tells consumers to reload
+                # from a snapshot.
+                cdf = []
+                stats["cdf_schema_break"] = True
             self._write_commit(
                 Commit(
                     v,
@@ -706,7 +829,7 @@ class VersionedTable:
                     cdf,
                     schema.json(),
                     time.time(),
-                    {**self._carry_stats(prev, []), **(extra_stats or {})},
+                    stats,
                 )
             )
             return v
@@ -719,7 +842,7 @@ class VersionedTable:
             )
         schema = self._merged_schema(prev, df)
         df = _align_to(df, schema)
-        old = self._read_files(prev.files, prev.schema_json)
+        old = self._snapshot(prev)
         touched = sorted(
             _strip_scheme(r[0])
             for r in old.withColumn("__file", F.col("_metadata.file_path"))
@@ -732,7 +855,7 @@ class VersionedTable:
         new_files = self._write_files(df, self.data_dir, schema=schema)
         files = carryover + new_files
         if touched:
-            touched_df = self._read_files(touched, prev.schema_json)
+            touched_df = self._snapshot(prev, touched)
             kept = touched_df.filter(~pred)
             if kept.take(1):
                 files = files + self._write_files(
@@ -775,20 +898,45 @@ class VersionedTable:
         version's files were vacuumed."""
         prev = self.get_commit()
         target = self.get_commit(version)
-        gone = [f for f in target.files if not os.path.exists(f)]
+        gone = [
+            f
+            for f in list(target.files) + list(target.dv_files)
+            if not os.path.exists(f)
+        ]
         if gone:
             raise ValueError(
-                f"cannot restore version {version}: {len(gone)} data "
+                f"cannot restore version {version}: {len(gone)} data/DV "
                 "file(s) were vacuumed"
             )
         v = prev.version + 1
-        cur = self._read_files(prev.files, prev.schema_json)
-        tgt = self._read_files(target.files, target.schema_json)
-        cdf = self._write_files(
-            cur.withColumn(CHANGE_TYPE_COL, F.lit("delete")), self.cdf_dir
-        ) + self._write_files(
-            tgt.withColumn(CHANGE_TYPE_COL, F.lit("insert")), self.cdf_dir
-        )
+        # both CDF halves align to the TARGET (= new commit) schema: one
+        # commit's CDF files share one schema (see overwrite). Columns
+        # map by FIELD ID (a restore across a rename must not null the
+        # renamed column), by name for id-free fields.
+        prev_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        tgt_schema = T.StructType.fromJson(json.loads(target.schema_json))
+        stats = {
+            "restored_version": version,
+            **self._carry_stats(target, target.files),
+        }
+        if _cdf_representable(prev_schema, tgt_schema):
+            cur = _align_by_id(self._snapshot(prev), prev_schema, tgt_schema)
+            tgt = self._snapshot(target)
+            cdf = self._write_files(
+                cur.withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+                self.cdf_dir,
+                schema=tgt_schema,
+            ) + self._write_files(
+                tgt.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
+                self.cdf_dir,
+                schema=tgt_schema,
+            )
+        else:
+            # restoring back across an incompatible retype: the current
+            # snapshot's values don't fit the restored schema — no
+            # pre-image exists; CDF continuity breaks (see overwrite)
+            cdf = []
+            stats["cdf_schema_break"] = True
         self._write_commit(
             Commit(
                 v,
@@ -797,7 +945,8 @@ class VersionedTable:
                 cdf,
                 target.schema_json,
                 time.time(),
-                {"restored_version": version, **self._carry_stats(target, target.files)},
+                stats,
+                dv_files=list(target.dv_files),
             )
         )
         return v
@@ -855,6 +1004,7 @@ class VersionedTable:
                             txn_app,
                             txn_version,
                         ),
+                        dv_files=list(prev.dv_files),
                     )
                 )
                 return prev.version + 1
@@ -1008,7 +1158,7 @@ class VersionedTable:
 
         # 1. touched files: semi-join target rows against source keys on
         #    the file-path metadata column — shuffles only keys + paths.
-        tgt_all = self._read_files(prev.files, prev.schema_json)
+        tgt_all = self._snapshot(prev)  # DV-applied: deleted rows are gone
         if prev.files:
             # null-safe semi-join: the rewrite join below matches NULL keys
             # via eqNullSafe, so touched-file detection must too — otherwise
@@ -1040,7 +1190,7 @@ class VersionedTable:
         # legitimately NULL-keyed row (matched null-safely above) would
         # otherwise read as "absent" and its values would be dropped.
         tgt = _align_to(
-            self._read_files(touched, prev.schema_json), schema
+            self._snapshot(prev, touched), schema
         ).withColumn("__t_present", F.lit(True))
         srcm = src.withColumn("__s_present", F.lit(True))
         cond = [tgt[k].eqNullSafe(srcm[k]) for k in keys]
@@ -1161,6 +1311,7 @@ class VersionedTable:
                         schema.json(),
                         time.time(),
                         stats,
+                        dv_files=list(base.dv_files),
                     )
                 )
                 return base.version + 1, stats
@@ -1174,6 +1325,14 @@ class VersionedTable:
                 if fresh.schema_json != prev.schema_json:
                     raise CommitConflictError(
                         "concurrent schema change during merge — re-run"
+                    ) from None
+                if list(fresh.dv_files) != list(prev.dv_files):
+                    # a concurrent DV delete may reference files this
+                    # merge rewrote — its deletions would silently
+                    # resurrect in our output. Conservative: conflict.
+                    raise CommitConflictError(
+                        "concurrent deletion-vector commit during merge "
+                        "— re-run"
                     ) from None
                 overlap_files = touched_set - set(fresh.files)
                 if overlap_files:
@@ -1232,6 +1391,7 @@ class VersionedTable:
                 schema.json(),
                 time.time(),
                 self._carry_stats(prev, prev.files, {"added_column": name}),
+                dv_files=list(prev.dv_files),
             )
         )
         return v
@@ -1310,6 +1470,7 @@ class VersionedTable:
                 renamed.json(),
                 time.time(),
                 stats,
+                dv_files=list(prev.dv_files),
             )
         )
         return v
@@ -1338,23 +1499,40 @@ class VersionedTable:
                 kept.json(),
                 time.time(),
                 self._carry_stats(prev, prev.files, {"dropped_column": name}),
+                dv_files=list(prev.dv_files),
             )
         )
         return v
 
-    def delete(self, condition: str) -> int:
+    def delete(self, condition: str, use_dv: bool = False) -> int:
         """Predicate DELETE — Delta ``DELETE FROM t WHERE ...`` parity
         (the retention/GDPR primitive the merge delete-branch doesn't
         cover: no source batch, the predicate runs against the TABLE).
-        Copy-on-write: only files physically containing matching rows
-        are rewritten with their survivors (``enforce=False`` — removing
-        rows cannot break a CHECK constraint); everything else carries
-        over by reference with data-skipping stats intact. Deleted rows
-        are emitted to the change feed as ``delete`` pre-images, so
-        downstream incremental consumers retract them. NULL predicate
-        rows are kept (SQL filter semantics)."""
+
+        ``use_dv=False`` (default): copy-on-write — only files
+        physically containing matching rows are rewritten with their
+        survivors (``enforce=False`` — removing rows cannot break a
+        CHECK constraint); everything else carries over by reference
+        with data-skipping stats intact.
+
+        ``use_dv=True``: merge-on-read via DELETION VECTORS (the Delta
+        table feature) — no data file is rewritten; the matching rows'
+        (file, position) pairs land in a parquet sidecar the read path
+        anti-joins out. Write cost is one scan plus positions-sized
+        output, independent of file sizes — at 100 TB a delete touching
+        half the files costs MBs of DV instead of a 50 TB rewrite. The
+        read-side anti-join (broadcast while the DV is small) is the
+        merge-on-read tax; the next ``compact()`` materializes the
+        deletions and clears the vectors.
+
+        Either way deleted rows are emitted to the change feed as
+        ``delete`` pre-images, so downstream incremental consumers
+        retract them, and NULL predicate rows are kept (SQL filter
+        semantics)."""
+        if use_dv:
+            return self._delete_dv(condition)
         prev = self.get_commit()
-        tgt_all = self._read_files(prev.files, prev.schema_json)
+        tgt_all = self._snapshot(prev)
         pred = F.coalesce(F.expr(condition), F.lit(False))
         touched = sorted(
             _strip_scheme(r[0])
@@ -1367,7 +1545,7 @@ class VersionedTable:
         carryover = [f for f in prev.files if f not in set(touched)]
         files = carryover
         if touched:
-            touched_df = self._read_files(touched, prev.schema_json)
+            touched_df = self._snapshot(prev, touched)
             kept = touched_df.filter(~pred)
             if kept.take(1):
                 files = files + self._write_files(
@@ -1385,6 +1563,90 @@ class VersionedTable:
             prev, touched, files[len(carryover):], cdf_files, "delete", condition
         )
 
+    def _refuse_dv_on_registered(self) -> None:
+        if self._read_registration() is not None:
+            # the registered external parquet table is a hardlink
+            # manifest of raw data files — it cannot express a deletion
+            # vector, so every db.table consumer would keep seeing the
+            # deleted rows
+            raise ValueError(
+                "table is catalog-registered; deletion vectors are not "
+                "expressible through the registered parquet manifest — "
+                "use the copy-on-write form (use_dv=False)"
+            )
+
+    def _snapshot_with_positions(self, prev: Commit) -> DataFrame:
+        """The live snapshot with each row's (``__dv_file``,
+        ``__dv_pos``) identity attached — EXISTING vectors applied
+        first, so an already-deleted row can never be re-matched (no
+        double CDF retraction)."""
+        snap = (
+            self._read_files(prev.files, prev.schema_json)
+            .withColumn("__dv_file", F.col("_metadata.file_path"))
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        )
+        dv_prev = self._dv_df(prev)
+        if dv_prev is not None:
+            snap = snap.join(
+                dv_prev,
+                (snap["__dv_file"] == dv_prev["file"])
+                & (snap["__dv_pos"] == dv_prev["pos"]),
+                "left_anti",
+            )
+        return snap
+
+    def _write_dv(self, matched: DataFrame) -> tuple[list[str], list[str]]:
+        """Write matched rows' (file, pos) pairs as a deletion-vector
+        sidecar; returns (referenced data files, new DV files). The
+        caller must have ``matched`` persisted — positions feed both
+        the vector and the CDF/post-image writes."""
+        referenced = sorted(
+            _strip_scheme(r[0])
+            for r in matched.select("__dv_file").distinct().collect()
+        )
+        if not referenced:
+            return [], []
+        out = os.path.join(self.dv_dir, uuid.uuid4().hex)
+        matched.select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"),
+        ).write.mode("overwrite").parquet(out)
+        new_dv = sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        return referenced, new_dv
+
+    def _delete_dv(self, condition: str) -> int:
+        """Deletion-vector DELETE: record matching rows' (file, pos) in
+        a sidecar; commit keeps every data file."""
+        self._refuse_dv_on_registered()
+        prev = self.get_commit()
+        pred = F.coalesce(F.expr(condition), F.lit(False))
+        matched = self._snapshot_with_positions(prev).filter(pred).persist()
+        try:
+            referenced, new_dv = self._write_dv(matched)
+            cdf_files = self._write_files(
+                matched.drop("__dv_file", "__dv_pos").withColumn(
+                    CHANGE_TYPE_COL, F.lit("delete")
+                ),
+                self.cdf_dir,
+            )
+        finally:
+            matched.unpersist()
+        return self._commit_cow_with_rebase(
+            prev,
+            [],  # nothing rewritten: every file stays live
+            [],
+            cdf_files,
+            "delete",
+            condition,
+            extra_stats={"dv_delete": True, "dv_referenced_files": len(referenced)},
+            dv_append=new_dv,
+            dv_referenced=referenced,
+        )
+
     def _commit_cow_with_rebase(
         self,
         prev: Commit,
@@ -1396,21 +1658,29 @@ class VersionedTable:
         schema_json: str | None = None,
         extra_stats: dict | None = None,
         retry_conflicts: int = 5,
+        dv_append: list[str] | None = None,
+        dv_referenced: list[str] | None = None,
     ) -> int:
         """Optimistic concurrency for predicate copy-on-write ops
-        (delete/update/overwrite_where) — the same commute law as the
-        merge rebase: on a version collision, re-publish the rewrite on
-        top of the fresh snapshot iff (a) no concurrent commit removed
-        a file this op rewrote (write-write overlap), (b) the schema is
-        unchanged, and (c) the concurrently-ADDED files contain no row
-        matching the predicate (a serial execution would have affected
-        it) — checked with a filter probe that scans ONLY the added
-        files. Blind appends of non-matching rows and disjoint-file
-        writers all pass; the probe cost is the concurrent delta, never
-        the table. The predicate-scoped reload racing the ingest stream
-        is the canonical case at 100 TB."""
+        (delete/update/overwrite_where) and DV deletes — the same
+        commute law as the merge rebase: on a version collision,
+        re-publish the rewrite on top of the fresh snapshot iff (a) no
+        concurrent commit removed a file this op rewrote (write-write
+        overlap) — for a DV delete the "rewritten" set is the files its
+        vector REFERENCES (a concurrent rewrite of one would resurrect
+        our deletions), (b) the schema is unchanged, (c) the
+        concurrently-ADDED files contain no row matching the predicate
+        (a serial execution would have affected it) — checked with a
+        filter probe that scans ONLY the added files — and (d) no
+        concurrent commit changed the deletion vectors (our positions /
+        CDF images were computed against the old vector). Blind appends
+        of non-matching rows and disjoint-file writers all pass; the
+        probe cost is the concurrent delta, never the table. The
+        predicate-scoped reload racing the ingest stream is the
+        canonical case at 100 TB."""
         pred = F.coalesce(F.expr(condition), F.lit(False))
         touched_set = set(touched)
+        guard_set = touched_set | set(dv_referenced or [])
         prev_files = set(prev.files)
         base = prev
         attempt = 0
@@ -1419,6 +1689,7 @@ class VersionedTable:
             extra = {"touched_files": len(touched), **(extra_stats or {})}
             if base.version != prev.version:
                 extra["rebased_from_version"] = prev.version
+            dv = list(base.dv_files) + list(dv_append or [])
             try:
                 self._write_commit(
                     Commit(
@@ -1429,6 +1700,7 @@ class VersionedTable:
                         schema_json or prev.schema_json,
                         time.time(),
                         self._carry_stats(base, carryover, extra),
+                        dv_files=dv,
                     )
                 )
                 return base.version + 1
@@ -1441,12 +1713,17 @@ class VersionedTable:
                     raise CommitConflictError(
                         f"concurrent schema change during {op} — re-run"
                     ) from None
-                overlap = touched_set - set(fresh.files)
+                if list(fresh.dv_files) != list(prev.dv_files):
+                    raise CommitConflictError(
+                        f"concurrent deletion-vector commit during {op} "
+                        "— re-run"
+                    ) from None
+                overlap = guard_set - set(fresh.files)
                 if overlap:
                     raise CommitConflictError(
                         f"concurrent writer removed file(s) this {op} "
-                        f"rewrote ({sorted(overlap)[:3]}…) — write-write "
-                        "conflict, re-run"
+                        f"depends on ({sorted(overlap)[:3]}…) — "
+                        "write-write conflict, re-run"
                     ) from None
                 added = [f for f in fresh.files if f not in prev_files]
                 if added and (
@@ -1467,7 +1744,7 @@ class VersionedTable:
         ``dbrconfig.sql:85-91``). Copy-on-write on files containing
         matching rows."""
         prev = self.get_commit()
-        tgt_all = self._read_files(prev.files, prev.schema_json)
+        tgt_all = self._snapshot(prev)
         touched = sorted(
             _strip_scheme(r[0])
             for r in tgt_all.withColumn("__file", F.col("_metadata.file_path"))
@@ -1477,7 +1754,7 @@ class VersionedTable:
             .collect()
         )
         carryover = [f for f in prev.files if f not in set(touched)]
-        tgt = self._read_files(touched, prev.schema_json)
+        tgt = self._snapshot(prev, touched)
         cond = F.expr(condition)
         updated = tgt.select(
             *[
@@ -1548,7 +1825,10 @@ class VersionedTable:
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
         prev = self.get_commit()
-        df = self._read_files(prev.files, prev.schema_json)
+        # DV-applied: compaction MATERIALIZES deletion vectors (rows are
+        # physically gone from the packed files) and the new commit
+        # clears them — the merge-on-read debt is settled here
+        df = self._snapshot(prev)
         total = sum(os.path.getsize(f) for f in prev.files)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         if cluster_by:
@@ -1613,6 +1893,9 @@ class VersionedTable:
                         base.schema_json,
                         time.time(),
                         stats,
+                        # vectors were materialized into the packed files;
+                        # concurrently-added files never had any
+                        dv_files=[],
                     )
                 )
                 return base.version + 1
@@ -1627,6 +1910,14 @@ class VersionedTable:
                         "concurrent writer rewrote/removed file(s) this "
                         f"compaction packed ({sorted(removed)[:3]}…) — "
                         "re-run compaction on the fresh snapshot"
+                    ) from None
+                if list(fresh.dv_files) != list(prev.dv_files):
+                    # a concurrent DV delete marked rows in files this
+                    # compaction already packed WITHOUT those deletions —
+                    # committing would resurrect them
+                    raise CommitConflictError(
+                        "concurrent deletion-vector commit during "
+                        "compaction — re-run on the fresh snapshot"
                     ) from None
                 base = fresh
 
@@ -1681,7 +1972,7 @@ class VersionedTable:
             return t_hi >= lo and t_lo <= hi
 
         files = [f for f in c.files if overlaps(f)]
-        return self._read_files(files, c.schema_json).filter(
+        return self._snapshot(c, files).filter(
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
 
@@ -1717,7 +2008,7 @@ class VersionedTable:
             return True
 
         files = [f for f in c.files if survives(f)]
-        df = self._read_files(files, c.schema_json)
+        df = self._snapshot(c, files)
         for col, (lo, hi) in ranges.items():
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return df
@@ -1742,6 +2033,7 @@ class VersionedTable:
             target = keep if c.version >= cutoff else drop
             target.update(c.files)
             target.update(c.cdf_files)
+            target.update(c.dv_files)
         doomed = drop - keep
         freed = 0
         n_deleted = 0
@@ -1775,12 +2067,21 @@ class VersionedTable:
         silently corrupting incremental consumers' deltas), and files
         predating an evolved-in column null-fill it."""
         commits = [c for c in self.history() if c.version > starting_version]
-        feed_schema = T.StructType(
-            list(self.schema().fields)
-            + [T.StructField(CHANGE_TYPE_COL, T.StringType())]
-        ).json()
+        cur = self.schema()
         out: DataFrame | None = None
         for c in commits:
+            if c.stats.get("cdf_schema_break"):
+                # an incompatible retype (overwrite/restore with a
+                # non-widening type change) has no expressible pre-images
+                # — continuing would silently retain rows a serial
+                # consumer would have retracted. Same contract as the
+                # vacuum gate: re-bootstrap.
+                raise ValueError(
+                    f"change feed crosses an incompatible schema change "
+                    f"at version {c.version}; reload from a snapshot at "
+                    f"or after it and restart the watermark from "
+                    f"starting_version={c.version}"
+                )
             if not c.cdf_files:
                 continue
             gone = [f for f in c.cdf_files if not os.path.exists(f)]
@@ -1792,8 +2093,37 @@ class VersionedTable:
                     f"change feed for version {c.version} was vacuumed; "
                     "reload from a snapshot and restart the watermark"
                 )
-            df = self._read_files(c.cdf_files, feed_schema).withColumn(
-                "_commit_version", F.lit(c.version)
+            # read THIS version's CDF with THIS version's schema (types
+            # physically match the files — a retype overwrite's
+            # pre-images stay exact), then project to current names and
+            # types: field-id match first (rename-proof), name for
+            # id-free fields, null for columns that didn't exist yet,
+            # cast for safely-widened types.
+            vschema = T.StructType.fromJson(json.loads(c.schema_json))
+            read_schema = T.StructType(
+                list(vschema.fields)
+                + [T.StructField(CHANGE_TYPE_COL, T.StringType())]
+            ).json()
+            v_by_id = {
+                int(f.metadata[_FIELD_ID]): f
+                for f in vschema.fields
+                if f.metadata and _FIELD_ID in f.metadata
+            }
+            v_by_name = {f.name: f for f in vschema.fields}
+            cols = []
+            for f in cur.fields:
+                src = _match_field(f, v_by_id, v_by_name)
+                if src is None:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif src.dataType == f.dataType:
+                    cols.append(F.col(src.name).alias(f.name))
+                else:
+                    cols.append(F.col(src.name).cast(f.dataType).alias(f.name))
+            cols.append(F.col(CHANGE_TYPE_COL))
+            df = (
+                self._read_files(c.cdf_files, read_schema)
+                .select(*cols)
+                .withColumn("_commit_version", F.lit(c.version))
             )
             out = df if out is None else out.unionByName(df)
         if out is None:
@@ -1803,6 +2133,70 @@ class VersionedTable:
             )
             return self.spark.createDataFrame([], fields)
         return out
+
+
+def _align_by_id(
+    df: DataFrame, from_schema: T.StructType, to_schema: T.StructType
+) -> DataFrame:
+    """Project df (laid out as ``from_schema``) onto ``to_schema`` with
+    columns matched by FIELD ID first (rename-proof — the same rule the
+    parquet read path applies), by name for id-free fields; missing
+    columns null-fill, type differences cast (loud under ANSI when
+    lossy). Used where two schemas of the SAME table meet across
+    metadata history (restore, change-feed projection)."""
+    by_id = {
+        int(f.metadata[_FIELD_ID]): f
+        for f in from_schema.fields
+        if f.metadata and _FIELD_ID in f.metadata
+    }
+    by_name = {f.name: f for f in from_schema.fields}
+    cols = []
+    for f in to_schema.fields:
+        src = _match_field(f, by_id, by_name)
+        if src is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif src.dataType == f.dataType:
+            cols.append(F.col(src.name).alias(f.name))
+        else:
+            cols.append(F.col(src.name).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _match_field(
+    f: T.StructField, by_id: dict, by_name: dict
+) -> T.StructField | None:
+    """The source field a target field maps to across two schemas of
+    the same table: FIELD ID first (rename-proof), then NAME (a retype
+    assigns a fresh id, so the id misses but the logical column is the
+    same-named one), else None (column didn't exist)."""
+    fid = (f.metadata or {}).get(_FIELD_ID)
+    if fid is not None and int(fid) in by_id:
+        return by_id[int(fid)]
+    return by_name.get(f.name)
+
+
+def _cdf_representable(
+    from_schema: T.StructType, to_schema: T.StructType
+) -> bool:
+    """True iff every column of ``from_schema`` that survives into
+    ``to_schema`` (field-id match first, name otherwise) is EXACTLY
+    representable in the target type — equal or a safe widening
+    (``widened_type``). That is the condition for emitting one commit's
+    CDF delete pre-images in the new schema. False means an
+    incompatible retype: no pre-image can carry the old values, so CDF
+    continuity breaks at that commit (Delta's overwriteSchema contract)
+    and the change feed must refuse to cross it."""
+    by_id = {
+        int(f.metadata[_FIELD_ID]): f
+        for f in from_schema.fields
+        if f.metadata and _FIELD_ID in f.metadata
+    }
+    by_name = {f.name: f for f in from_schema.fields}
+    for f in to_schema.fields:
+        src = _match_field(f, by_id, by_name)
+        if src is not None and widened_type(src.dataType, f.dataType) != f.dataType:
+            return False
+    return True
 
 
 def _align_to(

@@ -93,6 +93,10 @@ class _FilePartition(InputPartition):
     # pyarrow for row-group/page skipping (Spark re-applies them after the
     # scan, so they are purely an IO reducer — never a correctness input)
     filters: tuple = ()
+    # deletion-vector sidecar files of the commit being read: rows of
+    # THIS file whose position appears there are logically deleted and
+    # masked out executor-side (merge-on-read)
+    dv_files: tuple = ()
 
 
 def _arrow_batches(part: _FilePartition):
@@ -138,7 +142,10 @@ def _arrow_batches(part: _FilePartition):
     usable = [
         (phys[c], op, v) for (c, op, v) in part.filters if c in phys
     ]
-    if usable:
+    if usable and not part.dv_files:
+        # DV masking needs whole-file row positions, so predicate
+        # row-group skipping is disabled when a vector applies (Spark
+        # re-applies every filter; only the IO saving is lost)
         kwargs["filters"] = usable  # conjunctive list → row-group skipping
     try:
         tbl = pq.read_table(part.file, **kwargs)
@@ -147,6 +154,8 @@ def _arrow_batches(part: _FilePartition):
         # to the unfiltered (still column-pruned) read — Spark's residual
         # filter keeps the result exact either way
         tbl = pq.read_table(part.file, columns=read_cols)
+    if part.dv_files:
+        tbl = _mask_deleted(tbl, part)
     n = tbl.num_rows
     cols = []
     names = []
@@ -166,6 +175,35 @@ def _arrow_batches(part: _FilePartition):
     out = pa.table(dict(zip(names, cols)))
     for batch in out.to_batches():
         yield batch
+
+
+def _mask_deleted(tbl, part: _FilePartition):
+    """Drop rows whose position appears in the commit's deletion
+    vector for this file. The vector stores ``_metadata.file_path``
+    URIs (``file://...``); the partition file is a plain path — both
+    spellings are pushed to pyarrow so only this file's positions are
+    decoded, then matched exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spellings = [
+        part.file,
+        f"file:{part.file}",
+        f"file://{part.file}",
+    ]
+    import pyarrow.dataset as pads
+
+    dvs = pq.ParquetDataset(
+        list(part.dv_files),
+        filters=pads.field("file").isin(spellings),
+    ).read(columns=["pos"])
+    if not dvs.num_rows:
+        return tbl
+    pos = dvs.column("pos").to_numpy(zero_copy_only=False)
+    mask = np.ones(tbl.num_rows, dtype=bool)
+    mask[pos[pos < tbl.num_rows]] = False
+    return tbl.filter(pa.array(mask))
 
 
 _PYARROW_OPS = {
@@ -277,6 +315,7 @@ class _BatchReader(DataSourceReader):
         else:
             schema_json = c["schema_json"]
         fstats = (c.get("stats") or {}).get("file_stats", {})
+        dv = tuple(c.get("dv_files") or ())
         files = [
             f
             for f in c["files"]
@@ -284,7 +323,10 @@ class _BatchReader(DataSourceReader):
         ]
         return [
             _FilePartition(
-                file=f, schema_json=schema_json, filters=tuple(self.pushed)
+                file=f,
+                schema_json=schema_json,
+                filters=tuple(self.pushed),
+                dv_files=dv,
             )
             for f in files
         ] or [
@@ -426,6 +468,16 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             if not (lo < v <= hi):
                 continue
             c = _commit(self.path, v)
+            if (c.get("stats") or {}).get("cdf_schema_break"):
+                # incompatible retype: no pre-images exist for this
+                # commit — the tail cannot cross it (same contract as
+                # the native change_feed); fail the query loudly so
+                # the consumer re-bootstraps from a snapshot
+                raise ValueError(
+                    f"change feed crosses an incompatible schema "
+                    f"change at version {v}; restart the stream from "
+                    f"a snapshot with startingVersion={v}"
+                )
             for f in c.get("cdf_files", []):
                 parts.append(
                     _FilePartition(
@@ -752,28 +804,61 @@ class _VersionedWriter(DataSourceArrowWriter):
 
     # -- driver side ----------------------------------------------------------
 
-    def _delete_preimages(self, prev: dict) -> list[str]:
+    def _delete_preimages(self, prev: dict, new_schema: T.StructType) -> list[str]:
         """Overwrite CDF: previous snapshot rows re-emitted as deletes,
-        one CDF file per previous data file (pyarrow, driver-local)."""
+        one CDF file per previous data file (pyarrow, driver-local).
+        Pre-images are ALIGNED to the NEW commit schema — one commit's
+        CDF files share one schema (same rule as the native overwrite:
+        the per-commit-schema change feed would misread a mixed-schema
+        commit after a full-replace retype). Columns map by field id
+        first (rename-proof), by name otherwise; dropped columns fall
+        away, added ones null-fill, retypes cast."""
         import uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
         out = []
-        prev_ids = _ids_of(
-            T.StructType.fromJson(json.loads(prev["schema_json"]))
-        )
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema_json"]))
+        prev_by_id = {
+            int(f.metadata[FIELD_ID_KEY]): f
+            for f in prev_schema.fields
+            if f.metadata and FIELD_ID_KEY in f.metadata
+        }
+        prev_names = {f.name for f in prev_schema.fields}
+        new_ids = _ids_of(new_schema)
+        prev_dv = tuple(prev.get("dv_files") or ())
         for f in prev["files"]:
-            part = _FilePartition(file=f, schema_json=prev["schema_json"])
+            # DV-applied: a row already deleted by vector must not be
+            # retracted a second time by the overwrite's pre-images
+            part = _FilePartition(
+                file=f, schema_json=prev["schema_json"], dv_files=prev_dv
+            )
             batches = list(_arrow_batches(part))
             if not batches:
                 continue
-            # preimage CDF files carry the same field ids as data files
-            # (ids are rename-stable, so the id-matched change feed reads
-            # them under current names; id-free files would hard-error
-            # against an id-bearing read schema)
-            tbl = _stamp_field_ids(pa.Table.from_batches(batches), prev_ids)
+            src = pa.Table.from_batches(batches)  # prev logical layout
+            cols, names = [], []
+            for fld in new_schema.fields:
+                names.append(fld.name)
+                at = to_arrow_type(fld.dataType)
+                fid = (fld.metadata or {}).get(FIELD_ID_KEY)
+                src_f = (
+                    prev_by_id.get(int(fid))
+                    if fid is not None and int(fid) in prev_by_id
+                    else (
+                        prev_schema[fld.name]
+                        if fld.name in prev_names
+                        else None
+                    )
+                )
+                if src_f is None:
+                    cols.append(pa.nulls(src.num_rows, type=at))
+                else:
+                    col = src.column(src_f.name)
+                    cols.append(col.cast(at) if col.type != at else col)
+            tbl = _stamp_field_ids(pa.table(dict(zip(names, cols))), new_ids)
             d = os.path.join(self.path, "_cdf", f"ds-{uuid.uuid4().hex}")
             os.makedirs(d, exist_ok=True)
             dst = os.path.join(d, "part-00000.parquet")
@@ -826,10 +911,26 @@ class _VersionedWriter(DataSourceArrowWriter):
             # all-null columns, and a full replace may legitimately
             # retype (no surviving rows to misread). Same-name/same-type
             # columns keep their field ids; the table stays id-mapped.
+            from ..pipeline.tables import _cdf_representable
+
             schema_json = planned_now.json()
             files = new_files
-            cdf = self._delete_preimages(prev) + new_cdf
             op = "overwrite"
+            if _cdf_representable(
+                T.StructType.fromJson(json.loads(prev["schema_json"])),
+                planned_now,
+            ):
+                cdf = self._delete_preimages(prev, planned_now) + new_cdf
+            else:
+                # incompatible retype: old values have no pre-image in
+                # the new schema — CDF continuity breaks (same contract
+                # as native overwrite); the task-written insert images
+                # are dropped too, a half-feed would mislead consumers
+                _drop_files(
+                    [_WriteResult(None, f, 0) for f in new_cdf]
+                )
+                cdf = []
+                stats["cdf_schema_break"] = True
         else:
             schema_json = planned_now.json()
             files = list(prev["files"]) + new_files
@@ -856,6 +957,12 @@ class _VersionedWriter(DataSourceArrowWriter):
                 "schema_json": schema_json,
                 "ts": time.time(),
                 "stats": stats,
+                # append preserves the deletion vectors (its new files
+                # have no entries); overwrite replaces every data file,
+                # so the vectors are spent
+                "dv_files": []
+                if self.overwrite
+                else list(prev.get("dv_files") or []),
             },
         )
 
@@ -960,6 +1067,7 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
                 "schema_json": merged.json(),
                 "ts": time.time(),
                 "stats": stats,
+                "dv_files": list(prev.get("dv_files") or []),
             },
         )
 
@@ -969,8 +1077,9 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
 
 class VersionedTableDataSource(DataSource):
     """Format name ``versioned``. Options: ``path`` (required),
-    ``version`` (batch time travel), ``feed=changes`` +
-    ``startingVersion`` (streaming CDF tail); writable via
+    ``version`` / ``timestampAsOf`` (batch time travel), ``feed=changes``
+    + ``startingVersion`` / ``startingTimestamp`` +
+    ``maxFilesPerTrigger`` (streaming CDF tail); writable via
     ``df.write.format("versioned").mode("append"|"overwrite")``."""
 
     @classmethod
@@ -989,11 +1098,34 @@ class VersionedTableDataSource(DataSource):
             return None
         return [c.strip() for c in cols.split(",") if c.strip()]
 
+    def _version_option(self, path: str) -> int | None:
+        """Resolve version / timestampAsOf (mutually exclusive) to a
+        concrete commit version; None = latest. timestampAsOf uses the
+        native resolution rule (last commit at or before the moment)."""
+        v = self.options.get("version")
+        ts = self.options.get("timestampAsOf")
+        if v is not None and ts is not None:
+            raise ValueError("pass option 'version' OR 'timestampAsOf', not both")
+        if ts is not None:
+            from ..pipeline.tables import _as_epoch
+
+            t = _as_epoch(float(ts) if ts.replace(".", "", 1).isdigit() else ts)
+            best = None
+            for ver in _versions(path):
+                if float(_commit(path, ver).get("ts", 0.0)) <= t:
+                    best = ver
+            if best is None:
+                raise ValueError(
+                    f"timestampAsOf {ts!r} predates the first commit"
+                )
+            return best
+        return int(v) if v is not None else None
+
     def schema(self):
         path = self._path()
-        v = self.options.get("version")
+        v = self._version_option(path)
         vs = _versions(path)
-        ver = int(v) if v is not None else vs[-1]
+        ver = v if v is not None else vs[-1]
         # the DECLARED schema is metadata-free: Spark's streaming runner
         # asserts arrow-batch schemas against it byte-for-byte, and field
         # ids are an internal storage concern — partition planning
@@ -1023,7 +1155,6 @@ class VersionedTableDataSource(DataSource):
         return base
 
     def reader(self, schema):
-        v = self.options.get("version")
         # pushdown needs spark.sql.python.filterPushdown.enabled (set by
         # build_spark); Spark REJECTS a pushFilters-implementing reader
         # when the flag is off, so option("pushdown","false") selects
@@ -1032,7 +1163,7 @@ class VersionedTableDataSource(DataSource):
         cls = _PushdownBatchReader if want_pushdown else _BatchReader
         return cls(
             self._path(),
-            int(v) if v is not None else None,
+            self._version_option(self._path()),
             self._columns(),
         )
 
@@ -1047,7 +1178,26 @@ class VersionedTableDataSource(DataSource):
             raise ValueError(
                 "streaming requires option 'feed'='changes' (CDF tail)"
             )
-        start = int(self.options.get("startingVersion", -1))
+        sts = self.options.get("startingTimestamp")
+        if sts is not None:
+            if self.options.get("startingVersion") is not None:
+                raise ValueError(
+                    "pass 'startingVersion' OR 'startingTimestamp', not both"
+                )
+            from ..pipeline.tables import _as_epoch
+
+            t = _as_epoch(
+                float(sts) if sts.replace(".", "", 1).isdigit() else sts
+            )
+            # deliver every commit stamped at-or-after t (Delta's
+            # startingTimestamp): the start OFFSET is the last version
+            # strictly before it
+            start = -1
+            for v in _versions(self._path()):
+                if float(_commit(self._path(), v).get("ts", 0.0)) < t:
+                    start = v
+        else:
+            start = int(self.options.get("startingVersion", -1))
         mft = self.options.get("maxFilesPerTrigger")
         return _ChangeFeedStreamReader(
             self._path(),

@@ -781,3 +781,110 @@ def test_stream_max_files_per_trigger_bounds_catchup(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(i for i, _ in rows) == [1, 2, 3, 10, 11, 12, 13]
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta timestampAsOf parity on both paths: native
+    read(timestamp=...) / version_at() and the format's
+    option('timestampAsOf'); streaming option('startingTimestamp')
+    delivers commits stamped at-or-after the moment."""
+    import time as _time
+
+    p, t = _mk(spark, tmp_path)  # v0, v1
+    t0 = t.get_commit(0).ts
+    t1 = t.get_commit(1).ts
+    mid = (t0 + t1) / 2
+    _time.sleep(0.02)
+    t.append(spark.createDataFrame([(9, "z")], "id long, v string"))  # v2
+
+    assert t.version_at(mid) == 0
+    assert t.version_at(_time.time()) == t.latest_version()
+    assert sorted(r.id for r in t.read(timestamp=mid).collect()) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predates"):
+        t.version_at(t0 - 10)
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(version=0, timestamp=mid)
+
+    # format batch path (epoch-seconds and ISO forms)
+    import datetime as _dt
+
+    fmt = (
+        spark.read.format("versioned")
+        .option("path", p)
+        .option("timestampAsOf", str(mid))
+        .load()
+    )
+    assert sorted(r.id for r in fmt.collect()) == [1, 2]
+    iso = _dt.datetime.fromtimestamp(mid, _dt.timezone.utc).isoformat()
+    fmt2 = (
+        spark.read.format("versioned")
+        .option("path", p)
+        .option("timestampAsOf", iso)
+        .load()
+    )
+    assert sorted(r.id for r in fmt2.collect()) == [1, 2]
+
+    # streaming startingTimestamp: only commits at-or-after mid (v1, v2)
+    rows = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", p)
+        .option("feed", "changes")
+        .option("startingTimestamp", str(mid))
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: rows.extend(
+                (r.id, r._commit_version) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(rows) == [(3, 1), (9, 2)]
+
+
+def test_format_overwrite_incompatible_retype_breaks_cdf(spark, tmp_path):
+    """Format-path parity with the native break contract: a
+    df.write.format('versioned').mode('overwrite') that retypes a
+    column incompatibly (string → bigint) commits with NO CDF files
+    and the cdf_schema_break flag (its task-written insert images are
+    deleted — a half-feed would mislead consumers); a streaming tail
+    crossing the break fails loudly."""
+    import json as _json
+
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+    from nrtwithdeltalake_spark.sources.datasource import _commit
+
+    p, t = _mk(spark, tmp_path)  # v0 create, v1 append (id long, v string)
+    spark.createDataFrame([(1, 7)], "id long, v long").write.format(
+        "versioned"
+    ).mode("overwrite").option("path", p).save()
+    c = _commit(p, 2)
+    assert (c.get("stats") or {}).get("cdf_schema_break") is True
+    assert c["cdf_files"] == []
+    # snapshot reads fine on both paths
+    assert [
+        (r.id, r.v)
+        for r in spark.read.format("versioned").option("path", p).load().collect()
+    ] == [(1, 7)]
+    assert [(r.id, r.v) for r in t.read().collect()] == [(1, 7)]
+
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", p)
+        .option("feed", "changes")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="incompatible schema change"):
+        q.awaitTermination()

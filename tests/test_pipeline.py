@@ -1663,6 +1663,45 @@ def test_append_and_merge_reject_type_change(spark, tmp_path):
     assert {r.v for r in t.read().collect()} == {7}
 
 
+def test_incompatible_retype_breaks_cdf_continuity(spark, tmp_path):
+    """An overwrite with a NON-widening retype (string → bigint) has no
+    expressible delete pre-images: the commit lands flagged as a CDF
+    schema break, a feed crossing it fails loudly (Delta's
+    overwriteSchema contract — re-bootstrap, don't silently retain
+    stale rows), and a feed STARTING at the break version flows. A
+    widening retype (int → long) keeps continuity: pre-images cast
+    losslessly."""
+    p = str(tmp_path / "brk")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    brk = t.overwrite(spark.createDataFrame([(1, 7)], "id long, v long"))
+    assert t.get_commit(brk).stats.get("cdf_schema_break") is True
+    assert t.get_commit(brk).cdf_files == []
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        t.change_feed(starting_version=0).collect()
+    # resuming AT the break version sees only post-break commits
+    t.append(spark.createDataFrame([(2, 9)], "id long, v long"))
+    rows = t.change_feed(starting_version=brk).collect()
+    assert [(r.id, r.v, r._change_type) for r in rows] == [(2, 9, "insert")]
+
+    # widening retype keeps continuity: pre-images cast exactly
+    p2 = str(tmp_path / "wide")
+    t2 = VersionedTable.create(
+        spark, p2, spark.createDataFrame([(1, 5)], "id long, v int")
+    )
+    t2.overwrite(spark.createDataFrame([(1, 6)], "id long, v long"))
+    feed = t2.change_feed(starting_version=0).collect()
+    assert sorted((r.v, r._change_type) for r in feed) == [
+        (5, "delete"),
+        (6, "insert"),
+    ]
+    # restore back across the incompatible retype also breaks continuity
+    rv = t.restore(0)
+    assert t.get_commit(rv).stats.get("cdf_schema_break") is True
+    assert {r.v for r in t.read().collect()} == {"a"}
+
+
 def test_rename_refused_on_registered_table(spark, tmp_path):
     """A catalog-registered table refuses metadata-only rename: the
     external parquet table matches columns by NAME (the catalog strips
