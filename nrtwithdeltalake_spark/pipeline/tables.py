@@ -1097,6 +1097,9 @@ class VersionedTable:
         exclude_cols: list[str] | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        not_matched_by_source_delete: str | None = None,
+        not_matched_by_source_update: dict[str, str] | None = None,
+        not_matched_by_source_update_condition: str | None = None,
     ) -> dict:
         """MERGE upsert — the reference's core operator (O6,
         ``COPY_MSQL_TO_SILVER.py:200-209``): ``WHEN MATCHED UPDATE ALL,
@@ -1116,6 +1119,24 @@ class VersionedTable:
         ``delete_condition`` or ``dedup_order_col``) consumed here but
         not persisted to the table.
 
+        ``WHEN NOT MATCHED BY SOURCE`` (Delta's third clause family —
+        full-sync merges where the source is the complete desired
+        state): target rows with NO source match and satisfying
+        ``not_matched_by_source_delete`` (a SQL predicate over TARGET
+        columns; ``"true"`` for unconditional) are deleted; else, if
+        ``not_matched_by_source_update`` is given ({column: SQL expr
+        over target columns}, optionally gated by
+        ``not_matched_by_source_update_condition``), those rows are
+        updated in place. Delete is evaluated before update, both only
+        ever see target-side values (Delta's rule). Copy-on-write file
+        pruning still applies: beyond matched-key files, only files
+        whose rows are unmatched AND satisfy a clause condition
+        rewrite — an unconditional delete degrades to a full rewrite
+        exactly as in Delta. Concurrency is conservative while a
+        by-source clause is active: a concurrent commit that ADDS files
+        conflicts loudly (its rows would be unmatched-by-source in a
+        serial execution, so our rewrite is stale).
+
         Concurrent writers: a version collision rebase-retries when the
         conflicting commits provably commute with this merge (see
         ``_commit_merge_with_rebase``); otherwise CommitConflictError
@@ -1133,6 +1154,19 @@ class VersionedTable:
             raise ValueError(
                 f"merge keys {missing} missing from source or target "
                 f"(source={sorted(src_cols)}, target={sorted(tgt_cols)})"
+            )
+        nmbs_set = dict(not_matched_by_source_update or {})
+        nmbs_active = bool(not_matched_by_source_delete or nmbs_set)
+        if not_matched_by_source_update_condition and not nmbs_set:
+            raise ValueError(
+                "not_matched_by_source_update_condition requires "
+                "not_matched_by_source_update assignments"
+            )
+        bad_assign = [c for c in nmbs_set if c not in tgt_cols]
+        if bad_assign:
+            raise ValueError(
+                f"not_matched_by_source_update targets unknown "
+                f"column(s) {bad_assign}"
             )
         # evaluate the delete predicate on the source BEFORE the join so
         # column references stay unambiguous
@@ -1184,6 +1218,39 @@ class VersionedTable:
             )
         else:
             touched = []
+        if nmbs_active and prev.files:
+            # files holding target rows that are unmatched-by-source AND
+            # satisfy a by-source clause condition must rewrite too. The
+            # condition filter runs BEFORE the anti-join so it pushes to
+            # the parquet scan (stats-prunable); the anti-join then
+            # shuffles only keys + file paths, like the matched probe.
+            nmbs_pred = F.lit(False)
+            if not_matched_by_source_delete:
+                nmbs_pred = nmbs_pred | F.expr(not_matched_by_source_delete)
+            if nmbs_set:
+                nmbs_pred = nmbs_pred | (
+                    F.expr(not_matched_by_source_update_condition)
+                    if not_matched_by_source_update_condition
+                    else F.lit(True)
+                )
+            src_keys_probe = src.select(*keys).dropDuplicates(keys).alias("s")
+            unmatched = (
+                tgt_all.withColumn("__file", F.col("_metadata.file_path"))
+                .filter(nmbs_pred)
+                .alias("t")
+                .join(
+                    src_keys_probe,
+                    [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+                    "left_anti",
+                )
+            )
+            touched = sorted(
+                set(touched)
+                | {
+                    _strip_scheme(r[0])
+                    for r in unmatched.select("__file").distinct().collect()
+                }
+            )
 
         # 2. rewrite touched files: full outer join on keys. Side presence
         # is detected via explicit marker columns, NOT key nullness — a
@@ -1192,20 +1259,69 @@ class VersionedTable:
         tgt = _align_to(
             self._snapshot(prev, touched), schema
         ).withColumn("__t_present", F.lit(True))
+        # by-source clause conditions and assignment values are computed
+        # on the TARGET side BEFORE the join: they may only reference
+        # target columns (Delta's rule), and pre-join evaluation keeps
+        # same-named source columns from shadowing them.
+        if nmbs_active:
+            tgt = tgt.withColumn(
+                "__nmbs_del",
+                F.expr(not_matched_by_source_delete)
+                if not_matched_by_source_delete
+                else F.lit(False),
+            ).withColumn(
+                "__nmbs_upd",
+                (
+                    F.expr(not_matched_by_source_update_condition)
+                    if not_matched_by_source_update_condition
+                    else F.lit(True)
+                )
+                if nmbs_set
+                else F.lit(False),
+            )
+            by_name = {f.name: f for f in schema.fields}
+            for col, expr in nmbs_set.items():
+                tgt = tgt.withColumn(
+                    f"__nmbs_set_{col}",
+                    F.expr(expr).cast(by_name[col].dataType),
+                )
         srcm = src.withColumn("__s_present", F.lit(True))
         cond = [tgt[k].eqNullSafe(srcm[k]) for k in keys]
         joined = tgt.alias("t").join(srcm.alias("s"), cond, "full_outer")
         s_present = F.coalesce(F.col("s.__s_present"), F.lit(False))
         t_present = F.coalesce(F.col("t.__t_present"), F.lit(False))
         is_delete = F.coalesce(F.col("s.__is_delete"), F.lit(False))
+        if nmbs_active:
+            unmatched_t = t_present & ~s_present
+            nmbs_del_row = unmatched_t & F.coalesce(
+                F.col("t.__nmbs_del"), F.lit(False)
+            )
+            nmbs_upd_row = (
+                unmatched_t
+                & ~nmbs_del_row
+                & F.coalesce(F.col("t.__nmbs_upd"), F.lit(False))
+            )
+        else:
+            nmbs_del_row = F.lit(False)
+            nmbs_upd_row = F.lit(False)
+
+        def _tgt_value(f: T.StructField) -> F.Column:
+            base = F.col(f"t.{f.name}")
+            if f.name in nmbs_set:
+                return F.when(
+                    nmbs_upd_row, F.col(f"t.__nmbs_set_{f.name}")
+                ).otherwise(base)
+            return base
 
         merged_cols = [
             F.when(s_present, F.col(f"s.{f.name}"))
-            .otherwise(F.col(f"t.{f.name}"))
+            .otherwise(_tgt_value(f))
             .alias(f.name)
             for f in schema.fields
         ]
-        result = joined.filter(~(s_present & is_delete)).select(*merged_cols)
+        result = joined.filter(
+            ~(s_present & is_delete) & ~nmbs_del_row
+        ).select(*merged_cols)
         new_files = self._write_files(result, self.data_dir, schema=schema)
 
         # 3. change feed: Delta-CDF-shaped rows.
@@ -1228,9 +1344,24 @@ class VersionedTable:
             .otherwise("update_preimage")
             .alias(CHANGE_TYPE_COL),
         )
-        cdf_files = self._write_files(
-            post.unionByName(pre), self.cdf_dir, schema=schema
-        )
+        cdf_df = post.unionByName(pre)
+        if nmbs_active:
+            # by-source deletes/updates are target-only changes: delete
+            # and update_preimage images carry OLD target values, the
+            # update_postimage carries the assigned values — downstream
+            # incremental consumers converge exactly as for source rows.
+            nmbs_pre = joined.filter(nmbs_del_row | nmbs_upd_row).select(
+                *tgt_cols,
+                F.when(nmbs_del_row, "delete")
+                .otherwise("update_preimage")
+                .alias(CHANGE_TYPE_COL),
+            )
+            nmbs_post = joined.filter(nmbs_upd_row).select(
+                *[_tgt_value(f).alias(f.name) for f in schema.fields],
+                F.lit("update_postimage").alias(CHANGE_TYPE_COL),
+            )
+            cdf_df = cdf_df.unionByName(nmbs_pre).unionByName(nmbs_post)
+        cdf_files = self._write_files(cdf_df, self.cdf_dir, schema=schema)
 
         src_keys = src.select(*keys).dropDuplicates(keys)
         v, stats = self._commit_merge_with_rebase(
@@ -1243,6 +1374,7 @@ class VersionedTable:
             keys,
             txn_app,
             txn_version,
+            nmbs_active=nmbs_active,
         )
         src.unpersist()
         return {"version": v, **stats}
@@ -1259,6 +1391,7 @@ class VersionedTable:
         txn_app: str | None,
         txn_version: int | None,
         retry_conflicts: int = 5,
+        nmbs_active: bool = False,
     ) -> tuple[int, dict]:
         """Optimistic-concurrency resolution for merge (Delta VLDB'20
         §3.2): on a version collision, re-read the new latest commit
@@ -1342,6 +1475,15 @@ class VersionedTable:
                         "write-write conflict, re-run"
                     ) from None
                 added = [f for f in fresh.files if f not in prev_files]
+                if added and nmbs_active:
+                    # any concurrently-added row is by definition
+                    # unmatched-by-source in a serial re-execution of
+                    # this merge, so the by-source clause might have
+                    # deleted/updated it — our rewrite is stale.
+                    raise CommitConflictError(
+                        "concurrent commit added files during a merge "
+                        "with a NOT MATCHED BY SOURCE clause — re-run"
+                    ) from None
                 if added:
                     probe = self._read_files(added, prev.schema_json).alias("t")
                     hit = (

@@ -184,16 +184,20 @@ def test_retype_overwrite_cdf_single_schema(spark, tmp_path):
         t = VersionedTable.create(
             spark,
             str(tmp_path / sub),
-            spark.range(20).select(F.col("id"), (F.col("id") % 4).alias("g")),
+            spark.range(20).select(
+                F.col("id"), (F.col("id") % 4).cast("int").alias("g")
+            ),
         )
         cs = IncrementalChecksum(spark, t, str(tmp_path / f"{sub}_cs"))
         cs.refresh()
-        newdf = spark.range(3).select(F.col("id"), F.lit(0).alias("g"))  # g: INT
+        # g retypes INT → BIGINT (safe widening): the delete pre-images
+        # of the old rows are exactly expressible in the new schema.
+        newdf = spark.range(3).select(F.col("id"), F.lit(0).cast("long").alias("g"))
         if fmt:
             newdf.write.format("versioned").mode("overwrite").save(t.path)
         else:
             t.overwrite(newdf)
-        assert dict(t.read().dtypes)["g"] == "int"
+        assert dict(t.read().dtypes)["g"] == "bigint"
         cf = t.change_feed(0)
         assert cf.filter("_change_type='delete'").count() == 20
         assert cf.filter("_change_type='insert'").count() == 3
