@@ -951,6 +951,94 @@ class VersionedTable:
         )
         return v
 
+    def clone(
+        self,
+        dest_path: str,
+        shallow: bool = True,
+        version: int | None = None,
+    ) -> "VersionedTable":
+        """Delta's ``CLONE`` — a new independent table seeded from this
+        table's snapshot at ``version`` (default latest).
+
+        ``shallow=True`` (zero-copy): the clone's first commit REFERENCES
+        the source's data/DV files — metadata-only, O(#files) driver
+        work, no data moves. The dev/test fork over a 100 TB production
+        table. Writes to the clone rewrite into its OWN tree
+        (copy-on-write), never the source's; ``compact()`` materializes
+        everything locally (un-shallows). Caveat, same as Delta's: a
+        ``vacuum`` on the SOURCE can delete files a shallow clone still
+        references — the clone's reads then fail loudly. The clone's own
+        ``vacuum`` never touches foreign files (see ``vacuum``).
+
+        ``shallow=False`` (deep): data/DV files are byte-copied into the
+        clone's tree — fully self-contained.
+
+        What carries over: the exact schema INCLUDING parquet field ids
+        (renames keep working — the files are stamped with those ids),
+        per-file min/max skipping stats, the dropped-column field-id
+        high-water mark, writer-transaction watermarks (Delta clones
+        copy txn app ids too, so an idempotent ingest job replayed
+        against the clone doesn't double-apply), and CHECK constraints.
+        What does NOT: version history (the clone starts at v0) and the
+        change feed — the clone commit carries no CDF files (copying the
+        full snapshot as insert images would defeat zero-copy), so a CDF
+        consumer must bootstrap from a snapshot read and watermark from
+        version 0; ``change_feed`` refuses loudly across it."""
+        src = self.get_commit(version)
+        dest = VersionedTable(self.spark, dest_path)
+        if VersionedTable.exists(dest_path):
+            raise RuntimeError(f"table already exists at {dest_path}")
+        files, dv_files = list(src.files), list(src.dv_files)
+        stats: dict = {
+            "cloned_from": self.path,
+            "source_version": src.version,
+            "shallow": shallow,
+            "cdf_absent": True,
+        }
+        file_map = {f: f for f in files}
+        if not shallow:
+            import shutil
+
+            os.makedirs(dest.data_dir, exist_ok=True)
+            if dv_files:
+                os.makedirs(dest.dv_dir, exist_ok=True)
+            for src_list, out_dir in ((files, dest.data_dir), (dv_files, dest.dv_dir)):
+                for i, f in enumerate(src_list):
+                    out = os.path.join(out_dir, os.path.basename(f))
+                    shutil.copy2(f, out)
+                    src_list[i] = out
+                    file_map[f] = out
+        src_file_stats = src.stats.get("file_stats", {})
+        kept_stats = {
+            file_map[f]: src_file_stats[f]
+            for f in file_map
+            if f in src_file_stats
+        }
+        if kept_stats:
+            stats["file_stats"] = kept_stats
+        if src.stats.get("max_field_id"):
+            stats["max_field_id"] = src.stats["max_field_id"]
+        if src.stats.get("txn"):
+            stats["txn"] = dict(src.stats["txn"])
+        dest._write_commit(
+            Commit(
+                0,
+                "clone",
+                files,
+                [],
+                src.schema_json,
+                time.time(),
+                stats,
+                dv_files=dv_files,
+            )
+        )
+        if os.path.exists(self._constraints_path()):
+            import shutil
+
+            os.makedirs(os.path.dirname(dest._constraints_path()), exist_ok=True)
+            shutil.copy2(self._constraints_path(), dest._constraints_path())
+        return dest
+
     def append(
         self,
         df: DataFrame,
@@ -2179,7 +2267,13 @@ class VersionedTable:
         doomed = drop - keep
         freed = 0
         n_deleted = 0
+        root = self.path + os.sep
         for f in sorted(doomed):
+            if not f.startswith(root):
+                # a shallow clone's early commits reference files inside
+                # the SOURCE table's tree — reclaiming our own history
+                # must never delete another table's live data
+                continue
             if os.path.exists(f):
                 freed += os.path.getsize(f)
                 os.remove(f)
@@ -2223,6 +2317,15 @@ class VersionedTable:
                     f"at version {c.version}; reload from a snapshot at "
                     f"or after it and restart the watermark from "
                     f"starting_version={c.version}"
+                )
+            if c.stats.get("cdf_absent"):
+                # a clone commit carries no change-data files by design
+                # (insert images of the whole snapshot would defeat
+                # zero-copy): consumers bootstrap from a snapshot read.
+                raise ValueError(
+                    f"version {c.version} is a clone commit with no "
+                    f"change-data files; bootstrap from a snapshot read "
+                    f"and watermark from starting_version={c.version}"
                 )
             if not c.cdf_files:
                 continue

@@ -478,6 +478,14 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
                     f"change at version {v}; restart the stream from "
                     f"a snapshot with startingVersion={v}"
                 )
+            if (c.get("stats") or {}).get("cdf_absent"):
+                # clone commits carry no CDF files by design — same
+                # re-bootstrap contract as the native change_feed
+                raise ValueError(
+                    f"version {v} is a clone commit with no change-data "
+                    f"files; restart the stream from a snapshot with "
+                    f"startingVersion={v}"
+                )
             for f in c.get("cdf_files", []):
                 parts.append(
                     _FilePartition(

@@ -1,0 +1,170 @@
+"""CLONE (Delta's CREATE TABLE ... CLONE analog) — shallow (zero-copy)
+and deep forks of a versioned table.
+
+Scale contract under test: a shallow clone of a 100 TB table is
+metadata-only (no data file is copied or read), both tables stay
+copy-on-write-independent afterwards, and reclamation on either side
+can never delete the other's live data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+
+def _mk(spark, path, n=100, parts=4):
+    return VersionedTable.create(
+        spark,
+        path,
+        spark.range(n)
+        .select(F.col("id"), (F.col("id") % 5).alias("g"))
+        .repartition(parts),
+    )
+
+
+def test_shallow_clone_is_metadata_only(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"))
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    # zero data copied: the clone has no data files of its own
+    assert not os.path.isdir(dst.data_dir) or not os.listdir(dst.data_dir)
+    c = dst.get_commit()
+    assert c.op == "clone" and c.version == 0
+    assert set(c.files) == set(src.get_commit().files)
+    assert dst.read().count() == 100
+    assert sorted(r.id for r in dst.read().collect()) == list(range(100))
+    # skipping stats and the field-id floor carried over
+    assert c.stats.get("cloned_from") == src.path
+    assert c.stats.get("shallow") is True
+
+
+def test_clone_at_version_time_travels(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=10)
+    src.append(spark.range(10, 20).select(F.col("id"), (F.col("id") % 5).alias("g")))
+    dst = src.clone(str(tmp_path / "dst"), shallow=True, version=0)
+    assert dst.read().count() == 10
+
+
+def test_clone_refuses_existing_dest(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=5)
+    src.clone(str(tmp_path / "dst"))
+    with pytest.raises(RuntimeError, match="already exists"):
+        src.clone(str(tmp_path / "dst"))
+
+
+def test_clone_and_source_are_write_independent(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=10)
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    # write to the clone: copy-on-write rewrites land in the CLONE's tree
+    dst.merge(spark.createDataFrame([(1, 99)], "id long, g long"), ["id"])
+    assert {r.g for r in src.read().filter("id = 1").collect()} == {1}
+    assert {r.g for r in dst.read().filter("id = 1").collect()} == {99}
+    # write to the source: the clone's snapshot is pinned
+    src.merge(spark.createDataFrame([(2, 77)], "id long, g long"), ["id"])
+    assert {r.g for r in dst.read().filter("id = 2").collect()} == {2}
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=20)
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    # make the clone's v0 (source-referencing) history reclaimable
+    dst.overwrite(spark.range(3).select(F.col("id"), F.lit(0).alias("g")))
+    out = dst.vacuum(retain_last=1)
+    # nothing outside the clone's own tree was touched
+    assert out["deleted_files"] == 0
+    assert src.read().count() == 20  # source fully intact
+    # source vacuum likewise only ever touches its own tree, and with
+    # v0 still live here it deletes nothing
+    src.vacuum(retain_last=1)
+    assert src.read().count() == 20
+
+
+def test_source_vacuum_can_strand_shallow_clone(spark, tmp_path):
+    """The documented Delta caveat: vacuuming the SOURCE past the cloned
+    snapshot strands a shallow clone — reads fail loudly, not wrongly."""
+    src = _mk(spark, str(tmp_path / "src"), n=20)
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    src.overwrite(spark.range(2).select(F.col("id"), F.lit(0).alias("g")))
+    src.vacuum(retain_last=1)  # reclaims the files the clone references
+    with pytest.raises(Exception):
+        dst.read().collect()
+
+
+def test_deep_clone_survives_source_vacuum(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=20)
+    dst = src.clone(str(tmp_path / "dst"), shallow=False)
+    assert os.listdir(dst.data_dir)  # bytes actually copied
+    src.overwrite(spark.range(2).select(F.col("id"), F.lit(0).alias("g")))
+    src.vacuum(retain_last=1)
+    assert dst.read().count() == 20
+
+
+def test_clone_carries_field_ids_rename_works(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=10)
+    src.rename_column("g", "grp")
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    # pre-clone renamed column resolves by field id from source files
+    assert sorted(r.grp for r in dst.read().filter("id < 2").collect()) == [0, 1]
+    # a post-clone rename on the clone keeps resolving old physical names
+    dst.rename_column("grp", "bucket")
+    assert dst.read().filter("bucket = 3").count() == 2
+    # and the source is untouched by the clone's rename
+    assert "grp" in src.read().columns
+
+
+def test_clone_carries_constraints(spark, tmp_path):
+    from nrtwithdeltalake_spark.pipeline.tables import ConstraintViolationError
+
+    src = _mk(spark, str(tmp_path / "src"), n=5)
+    src.add_constraint("g_bound", "g < 100")
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    assert dst.constraints() == {"g_bound": "g < 100"}
+    with pytest.raises(ConstraintViolationError, match="g_bound"):
+        dst.append(spark.createDataFrame([(999, 999)], "id long, g long"))
+
+
+def test_clone_carries_txn_watermarks(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=5)
+    src.append(
+        spark.createDataFrame([(50, 0)], "id long, g long"),
+        txn_app="ingest",
+        txn_version=7,
+    )
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    # a replayed idempotent write must NOT double-apply into the clone
+    v = dst.append(
+        spark.createDataFrame([(50, 0)], "id long, g long"),
+        txn_app="ingest",
+        txn_version=7,
+    )
+    assert v == 0  # structural no-op
+    assert dst.read().filter("id = 50").count() == 1
+
+
+def test_clone_change_feed_bootstraps(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"), n=5)
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    # crossing the clone commit refuses loudly (no CDF exists for it)
+    with pytest.raises(ValueError, match="clone commit"):
+        dst.change_feed(-1).collect()
+    # consumers watermark from the clone version onward
+    dst.append(spark.createDataFrame([(100, 0)], "id long, g long"))
+    feed = dst.change_feed(0)
+    assert [(r.id, r._change_type) for r in feed.collect()] == [
+        (100, "insert")
+    ]
+
+
+def test_clone_file_stats_support_pruning(spark, tmp_path):
+    src = VersionedTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("g")),
+    )
+    src.compact(cluster_by=["id"])
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    assert dst.get_commit().stats.get("file_stats")
