@@ -171,7 +171,8 @@ def _arrow_batches(part: _FilePartition):
             cols.append(pa.nulls(n, type=at))
     for cname, cval in part.extra:
         names.append(cname)
-        cols.append(pa.array([cval] * n, type=pa.int64()))
+        at = pa.string() if isinstance(cval, str) else pa.int64()
+        cols.append(pa.array([cval] * n, type=at))
     out = pa.table(dict(zip(names, cols)))
     for batch in out.to_batches():
         yield batch
@@ -391,10 +392,22 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         start_version: int,
         row_schema: T.StructType,
         max_files_per_trigger: int | None = None,
+        initial_snapshot: bool = False,
     ):
         self.path = path
         self.start_version = start_version
         self.max_files = max_files_per_trigger
+        # Delta's default readStream semantics (initialSnapshot=true):
+        # first micro-batch = the CURRENT snapshot as insert images (one
+        # partition per data file, DV-masked executor-side), then the
+        # CDF tail from that version on. The bootstrap for tables whose
+        # early CDF is unreadable by design: clones (no CDF at v0) and
+        # vacuumed histories. Offset {'version': v, 'snapshot': ...}
+        # phases are self-describing, so a checkpointed restart replays
+        # the snapshot batch without reader state.
+        self.initial_snapshot = initial_snapshot
+        self._snap_state: str | None = None
+        self._snap_base: int | None = None
         self._pos: int | None = None  # last end version this reader saw
         # declared output schema minus the appended version column: every
         # commit's CDF aligns to THIS (older files null-fill newer columns)
@@ -403,10 +416,18 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         ).json()
 
     def initialOffset(self):
+        if self.initial_snapshot:
+            self._snap_base = _versions(self.path)[-1]
+            self._snap_state = "pending"
+            self._pos = self._snap_base
+            return {"version": self._snap_base, "snapshot": "pending"}
         self._pos = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self):
+        if self._snap_state == "pending":
+            # the snapshot batch delivers 'everything through base'
+            return {"version": self._snap_base, "snapshot": "done"}
         latest = _versions(self.path)[-1]
         if self.max_files is None or self._pos is None:
             return {"version": latest}
@@ -424,6 +445,8 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         v = end["version"]
+        if end.get("snapshot") == "done":
+            self._snap_state = "done"
         if self._pos is None or v > self._pos:
             self._pos = v
 
@@ -460,6 +483,32 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         if self._pos is None or hi > self._pos:
             self._pos = hi  # sync after a checkpointed restart
+        if start.get("snapshot") == "pending":
+            # the bootstrap batch: current snapshot as insert images.
+            # Derived purely from the offset pair, so a checkpointed
+            # restart replays it identically with no reader state.
+            if self._snap_state == "pending":
+                self._snap_state = "done"
+            c = _commit(self.path, hi)
+            snap_schema = T.StructType(
+                [
+                    f
+                    for f in T.StructType.fromJson(
+                        json.loads(self._read_schema_json(hi))
+                    ).fields
+                    if f.name != CHANGE_TYPE_COL
+                ]
+            ).json()
+            dv = tuple(c.get("dv_files") or ())
+            return [
+                _FilePartition(
+                    file=f,
+                    schema_json=snap_schema,
+                    extra=((CHANGE_TYPE_COL, "insert"), (VERSION_COL, hi)),
+                    dv_files=dv,
+                )
+                for f in c.get("files", [])
+            ]
         if hi <= lo:
             return []
         schema_json = self._read_schema_json(hi)
@@ -1086,7 +1135,9 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
 class VersionedTableDataSource(DataSource):
     """Format name ``versioned``. Options: ``path`` (required),
     ``version`` / ``timestampAsOf`` (batch time travel), ``feed=changes``
-    + ``startingVersion`` / ``startingTimestamp`` +
+    + ``startingVersion`` / ``startingTimestamp`` / ``initialSnapshot``
+    (current snapshot as insert images first, then the tail — the
+    bootstrap for clones and vacuumed histories) +
     ``maxFilesPerTrigger`` (streaming CDF tail); writable via
     ``df.write.format("versioned").mode("append"|"overwrite")``."""
 
@@ -1186,7 +1237,23 @@ class VersionedTableDataSource(DataSource):
             raise ValueError(
                 "streaming requires option 'feed'='changes' (CDF tail)"
             )
+        snap = str(self.options.get("initialSnapshot", "false")).lower() == "true"
         sts = self.options.get("startingTimestamp")
+        if snap:
+            if sts is not None or self.options.get("startingVersion") is not None:
+                raise ValueError(
+                    "'initialSnapshot' replaces 'startingVersion'/"
+                    "'startingTimestamp': the stream begins with the "
+                    "current snapshot, then tails changes from it"
+                )
+            mft = self.options.get("maxFilesPerTrigger")
+            return _ChangeFeedStreamReader(
+                self._path(),
+                -1,
+                schema,
+                max_files_per_trigger=int(mft) if mft is not None else None,
+                initial_snapshot=True,
+            )
         if sts is not None:
             if self.options.get("startingVersion") is not None:
                 raise ValueError(

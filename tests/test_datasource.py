@@ -888,3 +888,96 @@ def test_format_overwrite_incompatible_retype_breaks_cdf(spark, tmp_path):
 
     with _pytest.raises(Exception, match="incompatible schema change"):
         q.awaitTermination()
+
+
+def test_stream_initial_snapshot_then_tail(spark, tmp_path):
+    """option('initialSnapshot'): first micro-batch = the CURRENT
+    snapshot as insert images (update history collapsed, deletes — incl.
+    deletion vectors — masked), then the tail continues from that
+    version across checkpoint restarts."""
+    p, t = _mk(spark, tmp_path)
+    t.merge(spark.createDataFrame([(1, "a2")], "id long, v string"), ["id"])
+    t.delete("id = 2", use_dv=True)  # DV must mask in the snapshot batch
+    ck = str(tmp_path / "ck")
+    batches = []
+
+    def run():
+        q = (
+            spark.readStream.format("versioned")
+            .option("path", p)
+            .option("feed", "changes")
+            .option("initialSnapshot", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, e: batches.append(
+                    sorted(
+                        (r.id, r.v, r._change_type, r._commit_version)
+                        for r in b.collect()
+                    )
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    flat = [x for b in batches for x in b]
+    # snapshot at v3: id1 post-merge value, id2 DV-deleted, id3 intact —
+    # NOT the 4-commit change history
+    assert flat == [(1, "a2", "insert", 3), (3, "c", "insert", 3)]
+    batches.clear()
+    t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    run()  # restart: tail resumes AFTER the snapshot version
+    flat = [x for b in batches for x in b]
+    assert flat == [(9, "z", "insert", 4)]
+
+
+def test_stream_initial_snapshot_bootstraps_a_clone(spark, tmp_path):
+    """The case the option exists for: a clone has no CDF at v0, so a
+    plain tail refuses — initialSnapshot streams it from birth."""
+    p, t = _mk(spark, tmp_path)
+    fork = t.clone(str(tmp_path / "fork"))
+    fork.append(spark.createDataFrame([(7, "f")], "id long, v string"))
+    rows = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", fork.path)
+        .option("feed", "changes")
+        .option("initialSnapshot", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: rows.extend(
+                (r.id, r._change_type) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(rows) == [
+        (1, "insert"),
+        (2, "insert"),
+        (3, "insert"),
+        (7, "insert"),
+    ]
+
+
+def test_stream_initial_snapshot_rejects_starting_version(spark, tmp_path):
+    p, t = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="initialSnapshot"):
+        q = (
+            spark.readStream.format("versioned")
+            .option("path", p)
+            .option("feed", "changes")
+            .option("initialSnapshot", "true")
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
