@@ -93,6 +93,12 @@ LOAD_WAIT_BETWEEN_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_BETWEEN_S", "60"
 # all three runs
 PRIOR_RATIO = float(os.environ.get("SPARK_GRAFT_PRIOR_RATIO", "3.0"))
 PRIOR_SLACK_S = 1.0
+# a UNIFORM slow window (every query ~1.3x, nothing tripping the 3x
+# per-query guard) outlasting the whole run still inflates the total;
+# if the first pass lands above TOTAL_RATIO x the all-time floor total,
+# one full second pass runs and the per-query min stands — two passes
+# ~40s apart shed windows a min-of-3 within one window cannot
+TOTAL_RATIO = float(os.environ.get("SPARK_GRAFT_TOTAL_RATIO", "1.15"))
 
 
 def _await_quiet_host(wait_s: int = LOAD_WAIT_S) -> float:
@@ -174,6 +180,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         load_max = max(load_max, os.getloadavg()[0])
 
+    second_pass = False
+    covered = [n for n in HEADLINE if n in prior]
+    if covered:
+        floor_total = sum(prior[n] for n in covered)
+        got_total = sum(timings[n] for n in covered)
+        if got_total > TOTAL_RATIO * floor_total:
+            second_pass = True
+            load_max = max(load_max, _await_quiet_host())
+            for name in HEADLINE:
+                best = min(run_once(name) for _ in range(2))
+                if best < timings[name]:
+                    timings[name] = round(best, 3)
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -187,6 +206,8 @@ def main() -> None:
     }
     if retried:
         out["contention_reruns"] = retried
+    if second_pass:
+        out["second_pass"] = True
     print(json.dumps(out))
 
 

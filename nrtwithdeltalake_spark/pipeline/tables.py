@@ -2243,10 +2243,15 @@ class VersionedTable:
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return df
 
-    def vacuum(self, retain_last: int = 1) -> dict:
-        """Delete data/CDF files referenced only by versions older than
-        the newest ``retain_last`` — the storage-reclamation half of
-        copy-on-write (Delta VACUUM analog). Bounds time travel to the
+    def vacuum(
+        self, retain_last: int = 1, retain_hours: float | None = None
+    ) -> dict:
+        """Delete data/CDF files referenced only by expired versions —
+        the storage-reclamation half of copy-on-write (Delta VACUUM
+        analog). A version is retained if it is one of the newest
+        ``retain_last`` OR (when ``retain_hours`` is given — Delta's
+        ``RETAIN n HOURS`` form) committed within that many hours; the
+        latest version always survives. Bounds time travel to the
         retained window; expired commit records stay readable as history
         metadata but their exclusive files are gone. At 100 TB this is
         what keeps a merge-heavy table from storing every rewrite
@@ -2257,6 +2262,15 @@ class VersionedTable:
             raise ValueError("retain_last must be >= 1")
         commits = self.history()
         cutoff = commits[-1].version - retain_last + 1
+        if retain_hours is not None:
+            if retain_hours < 0:
+                raise ValueError("retain_hours must be >= 0")
+            t_floor = time.time() - retain_hours * 3600.0
+            time_cut = min(
+                (c.version for c in commits if float(c.ts) >= t_floor),
+                default=commits[-1].version,
+            )
+            cutoff = min(cutoff, time_cut)
         keep: set[str] = set()
         drop: set[str] = set()
         for c in commits:

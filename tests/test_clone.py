@@ -168,3 +168,29 @@ def test_clone_file_stats_support_pruning(spark, tmp_path):
     src.compact(cluster_by=["id"])
     dst = src.clone(str(tmp_path / "dst"), shallow=True)
     assert dst.get_commit().stats.get("file_stats")
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    """Delta's RETAIN n HOURS form: recent versions survive regardless
+    of count; retain_hours=0 falls back to the version floor."""
+    import json as _json
+
+    t = _mk(spark, str(tmp_path / "t"), n=10, parts=1)
+    t.overwrite(spark.range(3).select(F.col("id"), F.lit(0).alias("g")))
+    t.overwrite(spark.range(4).select(F.col("id"), F.lit(1).alias("g")))
+    # backdate v0/v1 by 48h so only v2 is "recent"
+    for v in (0, 1):
+        p = t._commit_path(v)
+        c = _json.loads(open(p).read())
+        c["ts"] = c["ts"] - 48 * 3600
+        open(p, "w").write(_json.dumps(c))
+    # retain_last=1 would reclaim v0+v1, but 72h retention keeps all
+    out = t.vacuum(retain_last=1, retain_hours=72)
+    assert out["deleted_files"] == 0
+    assert t.read(version=0).count() == 10  # time travel intact
+    # 24h retention: v0/v1 (48h old) expire, v2 survives
+    out = t.vacuum(retain_last=1, retain_hours=24)
+    assert out["deleted_files"] > 0
+    assert t.read().count() == 4
+    with pytest.raises(Exception):
+        t.read(version=0).collect()

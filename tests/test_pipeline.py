@@ -2118,3 +2118,47 @@ def test_merge_nmbs_checksum_converges(spark, tmp_path):
     )
     cs.refresh()
     assert cs.current() == cs.compute_now()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    history=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 100)),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_merge_nmbs_full_sync_equals_source_oracle(
+    spark_global, tmp_sup, history
+):
+    """Property: a full-sync merge (NMBS delete 'true') makes the table
+    ≡ latest-per-key of THAT batch alone, whatever came before — and an
+    empty source empties the table."""
+    import uuid as _uuid
+
+    spark = spark_global
+    p = os.path.join(tmp_sup, _uuid.uuid4().hex)
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([], "k long, v long, seq long")
+    )
+    seq = 0
+    for batch in history:
+        rows = []
+        for k, v in batch:
+            rows.append((k, v, seq))
+            seq += 1
+        t.merge(
+            spark.createDataFrame(rows, "k long, v long, seq long"),
+            ["k"],
+            dedup_order_col="seq",
+            not_matched_by_source_delete="true",
+        )
+        expect = {}
+        for k, v in batch:
+            expect[k] = v  # later rows win (seq order)
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == expect, f"batch={batch}"
