@@ -194,3 +194,23 @@ def test_vacuum_retain_hours(spark, tmp_path):
     assert t.read().count() == 4
     with pytest.raises(Exception):
         t.read(version=0).collect()
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    """A shallow clone of a table with LIVE deletion vectors keeps the
+    deleted rows masked — the clone references both the data files and
+    the DV sidecars; a clone of the clone still masks."""
+    src = _mk(spark, str(tmp_path / "src"), n=20, parts=2)
+    src.delete("id < 5", use_dv=True)
+    dst = src.clone(str(tmp_path / "dst"), shallow=True)
+    assert dst.get_commit().dv_files == src.get_commit().dv_files
+    assert sorted(r.id for r in dst.read().collect()) == list(range(5, 20))
+    # deep clone copies the sidecars too and survives source vacuum
+    deep = src.clone(str(tmp_path / "deep"), shallow=False)
+    assert all(f.startswith(deep.path) for f in deep.get_commit().dv_files)
+    grand = dst.clone(str(tmp_path / "grand"), shallow=True)
+    assert grand.read().count() == 15
+    # compacting the clone materializes the vectors locally
+    dst.compact()
+    assert dst.get_commit().dv_files == []
+    assert dst.read().count() == 15
