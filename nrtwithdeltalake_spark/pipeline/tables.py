@@ -1188,6 +1188,7 @@ class VersionedTable:
         not_matched_by_source_delete: str | None = None,
         not_matched_by_source_update: dict[str, str] | None = None,
         not_matched_by_source_update_condition: str | None = None,
+        matched_update_condition: str | None = None,
     ) -> dict:
         """MERGE upsert — the reference's core operator (O6,
         ``COPY_MSQL_TO_SILVER.py:200-209``): ``WHEN MATCHED UPDATE ALL,
@@ -1206,6 +1207,16 @@ class VersionedTable:
         ``exclude_cols``: marker columns (e.g. an op flag feeding
         ``delete_condition`` or ``dedup_order_col``) consumed here but
         not persisted to the table.
+
+        ``matched_update_condition``: Delta's conditional
+        ``whenMatchedUpdate(condition=...)`` — a SQL predicate over the
+        ``s`` (source) and ``t`` (target) aliases; a matched row updates
+        only when it holds (NULL = false), otherwise the target row
+        carries unchanged and emits NO change-feed images. The
+        out-of-order CDC guard: ``"s.seq > t.seq"`` keeps a late replay
+        of an old batch from overwriting newer data — ``dedup_order_col``
+        orders within one batch, this orders ACROSS batches. Delete
+        (``delete_condition``) still wins on rows satisfying both.
 
         ``WHEN NOT MATCHED BY SOURCE`` (Delta's third clause family —
         full-sync merges where the source is the complete desired
@@ -1392,6 +1403,15 @@ class VersionedTable:
         else:
             nmbs_del_row = F.lit(False)
             nmbs_upd_row = F.lit(False)
+        # matched-update gate: with no condition every match updates
+        # (the reference's WHEN MATCHED UPDATE ALL); with one, a failing
+        # (or NULL) predicate keeps the target row byte-identical
+        m_upd = (
+            F.coalesce(F.expr(matched_update_condition), F.lit(False))
+            if matched_update_condition
+            else F.lit(True)
+        )
+        take_source = s_present & (~t_present | m_upd)
 
         def _tgt_value(f: T.StructField) -> F.Column:
             base = F.col(f"t.{f.name}")
@@ -1402,7 +1422,7 @@ class VersionedTable:
             return base
 
         merged_cols = [
-            F.when(s_present, F.col(f"s.{f.name}"))
+            F.when(take_source, F.col(f"s.{f.name}"))
             .otherwise(_tgt_value(f))
             .alias(f.name)
             for f in schema.fields
@@ -1420,13 +1440,17 @@ class VersionedTable:
         #    key changed, and deletes of nonexistent keys emit nothing.
         src_cols = [F.col(f"s.{f.name}").alias(f.name) for f in schema.fields]
         tgt_cols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
-        post = joined.filter(s_present & ~is_delete).select(
+        post = joined.filter(
+            s_present & ~is_delete & (~t_present | m_upd)
+        ).select(
             *src_cols,
             F.when(t_present, "update_postimage")
             .otherwise("insert")
             .alias(CHANGE_TYPE_COL),
         )
-        pre = joined.filter(s_present & t_present).select(
+        pre = joined.filter(
+            s_present & t_present & (is_delete | m_upd)
+        ).select(
             *tgt_cols,
             F.when(is_delete, "delete")
             .otherwise("update_preimage")

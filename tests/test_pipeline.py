@@ -2162,3 +2162,64 @@ def test_merge_nmbs_full_sync_equals_source_oracle(
             expect[k] = v  # later rows win (seq order)
         got = {r.k: r.v for r in t.read().collect()}
         assert got == expect, f"batch={batch}"
+
+
+def test_merge_matched_update_condition_guards_out_of_order(spark, tmp_path):
+    """Delta's whenMatchedUpdate(condition): 's.seq > t.seq' keeps a
+    late replay of an OLD batch from overwriting newer data — skipped
+    rows carry byte-identical and emit NO change-feed images."""
+    from nrtwithdeltalake_spark.pipeline.checksum_view import IncrementalChecksum
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "v5", 5), (2, "v9", 9)], "id long, v string, seq long"
+        ),
+    )
+    cs = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    cs.refresh()
+    # late batch: id1 newer (7>5, applies), id2 older (3<9, skipped),
+    # id3 brand-new (inserts regardless of the matched condition)
+    out = t.merge(
+        spark.createDataFrame(
+            [(1, "v7", 7), (2, "v3", 3), (3, "v1", 1)],
+            "id long, v string, seq long",
+        ),
+        ["id"],
+        matched_update_condition="s.seq > t.seq",
+    )
+    got = {r.id: (r.v, r.seq) for r in t.read().collect()}
+    assert got == {1: ("v7", 7), 2: ("v9", 9), 3: ("v1", 1)}
+    cf = t.change_feed(0)
+    assert cf.filter("id = 2").count() == 0  # skipped: no images at all
+    assert cf.filter("id = 1 and _change_type = 'update_postimage'").count() == 1
+    assert cf.filter("id = 3 and _change_type = 'insert'").count() == 1
+    cs.refresh()
+    assert cs.current() == cs.compute_now()
+    # delete still wins over a failing update condition
+    t.merge(
+        spark.createDataFrame(
+            [(2, "x", 0, True)], "id long, v string, seq long, is_del boolean"
+        ),
+        ["id"],
+        delete_condition="is_del",
+        exclude_cols=["is_del"],
+        matched_update_condition="s.seq > t.seq",
+    )
+    assert t.read().filter("id = 2").count() == 0
+
+
+def test_merge_matched_condition_null_is_false(spark, tmp_path):
+    """A NULL condition result keeps the target row (SQL WHEN semantics)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "keep", None)], "id long, v string, seq long"),
+    )
+    t.merge(
+        spark.createDataFrame([(1, "new", 5)], "id long, v string, seq long"),
+        ["id"],
+        matched_update_condition="s.seq > t.seq",  # 5 > NULL → NULL → skip
+    )
+    assert t.read().collect()[0].v == "keep"
