@@ -2223,3 +2223,27 @@ def test_merge_matched_condition_null_is_false(spark, tmp_path):
         matched_update_condition="s.seq > t.seq",  # 5 > NULL → NULL → skip
     )
     assert t.read().collect()[0].v == "keep"
+
+
+def test_merge_nmbs_composes_with_schema_evolution(spark, tmp_path):
+    """A source that evolves a new column in + by-source clauses in one
+    merge: unmatched rows null-fill the new column (update assignments
+    still see only OLD target columns), and the feed stays exact."""
+    from nrtwithdeltalake_spark.pipeline.checksum_view import IncrementalChecksum
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, n long"),
+    )
+    cs = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    cs.refresh()
+    t.merge(
+        spark.createDataFrame([(1, 11, "x")], "id long, n long, tag string"),
+        ["id"],
+        not_matched_by_source_update={"n": "n + 1000"},
+    )
+    got = {r.id: (r.n, r.tag) for r in t.read().collect()}
+    assert got == {1: (11, "x"), 2: (1020, None)}
+    cs.refresh()
+    assert cs.current() == cs.compute_now()
