@@ -516,6 +516,73 @@ class VersionedTable:
             json.dump(cons, f)
         os.rename(tmp, self._constraints_path())
 
+    # -- generated columns (Delta GENERATED ALWAYS AS analog) -------------
+
+    def _generated_path(self) -> str:
+        return os.path.join(self.path, "_generated.json")
+
+    def generated_columns(self) -> dict[str, str]:
+        try:
+            with open(self._generated_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def add_generated_column(self, name: str, expr_sql: str) -> None:
+        """Bind an EXISTING column to a generation expression — Delta's
+        ``GENERATED ALWAYS AS (expr)``. From then on, every write that
+        OMITS the column computes it from ``expr_sql`` (the common case:
+        a derived date/bucket clustering key the producer shouldn't have
+        to ship), and every write that SUPPLIES it is gated on
+        ``name <=> (expr)`` by the same single ORed probe as CHECK
+        constraints — a drifting producer fails loudly instead of
+        silently corrupting the derivation (this includes ``update``/
+        merge assignments that change a referenced column without
+        refreshing the generated one: recompute it in the assignment,
+        or omit it from the source). The current snapshot must already
+        conform; for a column that doesn't exist yet, backfill first
+        (``t.overwrite(t.read().withColumn(name, F.expr(...)))``) —
+        a metadata-only add would leave pre-existing rows NULL ≠ expr."""
+        if name not in {f.name for f in self.schema().fields}:
+            raise ValueError(
+                f"column {name!r} does not exist — backfill it first: "
+                f"t.overwrite(t.read().withColumn({name!r}, F.expr(...)))"
+            )
+        gen = self.generated_columns()
+        if name in gen:
+            raise ValueError(f"column {name!r} is already generated")
+        self._probe_violations(
+            {f"generated:{name}": f"{name} <=> ({expr_sql})"}, self.read()
+        )
+        gen[name] = expr_sql
+        self._write_generated(gen)
+
+    def drop_generated_column(self, name: str) -> None:
+        """Unbind the generation expression (the column itself stays)."""
+        gen = self.generated_columns()
+        gen.pop(name)
+        self._write_generated(gen)
+
+    def _write_generated(self, gen: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(gen, f)
+        os.rename(tmp, self._generated_path())
+
+    def _generated_predicates(self) -> dict[str, str]:
+        return {
+            f"generated:{n}": f"{n} <=> ({e})"
+            for n, e in self.generated_columns().items()
+        }
+
+    def _fill_generated(self, df: DataFrame) -> DataFrame:
+        """Compute generated columns the incoming batch omits. Supplied
+        columns pass through — the write-time probe validates them."""
+        for n, e in self.generated_columns().items():
+            if n not in df.columns:
+                df = df.withColumn(n, F.expr(e))
+        return df
+
     def _probe_violations(self, cons: dict[str, str], df: DataFrame) -> None:
         """One job regardless of constraint count: a single filter ORs the
         negated predicates; the first offending row (take(1)) names every
@@ -582,7 +649,9 @@ class VersionedTable:
         schema in the same commit MUST pass the evolved schema, or the
         new columns' files would miss their ids."""
         if enforce and base == self.data_dir:
-            self._probe_violations(self.constraints(), df)
+            self._probe_violations(
+                {**self.constraints(), **self._generated_predicates()}, df
+            )
         if schema is None:
             try:
                 schema = self.schema()
@@ -759,6 +828,7 @@ class VersionedTable:
         with its data-skipping stats intact. Rows where the predicate is
         NULL are kept (not matched), mirroring SQL filter semantics."""
         prev = self.get_commit()
+        df = self._fill_generated(df)
         prev_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         v = prev.version + 1
         if replace_where is None:
@@ -1032,11 +1102,15 @@ class VersionedTable:
                 dv_files=dv_files,
             )
         )
-        if os.path.exists(self._constraints_path()):
-            import shutil
+        for src_side, dst_side in (
+            (self._constraints_path(), dest._constraints_path()),
+            (self._generated_path(), dest._generated_path()),
+        ):
+            if os.path.exists(src_side):
+                import shutil
 
-            os.makedirs(os.path.dirname(dest._constraints_path()), exist_ok=True)
-            shutil.copy2(self._constraints_path(), dest._constraints_path())
+                os.makedirs(os.path.dirname(dst_side), exist_ok=True)
+                shutil.copy2(src_side, dst_side)
         return dest
 
     def append(
@@ -1067,6 +1141,7 @@ class VersionedTable:
         prev = self.get_commit()
         if self._txn_skip(prev, txn_app, txn_version):
             return prev.version
+        df = self._fill_generated(df)
         schema = self._merged_schema(prev, df)
         df = _align_to(df, schema)
         new_files = self._write_files(df, self.data_dir, schema=schema)
@@ -1284,7 +1359,7 @@ class VersionedTable:
             )
         else:
             src = src.dropDuplicates(keys)
-        src = src.drop(*(exclude_cols or []))
+        src = self._fill_generated(src.drop(*(exclude_cols or [])))
         schema = self._merged_schema(prev, src.drop("__is_delete"))
         src = _align_to(src, schema, keep=["__is_delete"])
         src = src.cache()
@@ -1697,6 +1772,13 @@ class VersionedTable:
                     f"{cname!r} ({sql}) — drop the constraint, rename, "
                     "and re-add it against the new name"
                 )
+        for gname, gsql in self.generated_columns().items():
+            if gname == old or re.search(rf"\b{re.escape(old)}\b", gsql):
+                raise ValueError(
+                    f"column {old!r} is part of generated column "
+                    f"{gname!r} ({gsql}) — drop the generation binding, "
+                    "rename, and re-add it against the new name"
+                )
         renamed = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable, f.metadata)
@@ -1743,6 +1825,21 @@ class VersionedTable:
         kept = T.StructType([f for f in schema.fields if f.name != name])
         if not kept.fields:
             raise ValueError("cannot drop the last column")
+        # a constraint or generation expression referencing the dropped
+        # column would make every FUTURE write's probe fail to resolve —
+        # an opaque AnalysisException far from its cause. Refuse here.
+        for cname, sql in self.constraints().items():
+            if re.search(rf"\b{re.escape(name)}\b", sql):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({sql}) — drop the constraint first"
+                )
+        for gname, gsql in self.generated_columns().items():
+            if gname == name or re.search(rf"\b{re.escape(name)}\b", gsql):
+                raise ValueError(
+                    f"column {name!r} is part of generated column "
+                    f"{gname!r} ({gsql}) — drop the generation binding first"
+                )
         v = prev.version + 1
         self._write_commit(
             Commit(

@@ -818,6 +818,11 @@ class _VersionedWriter(DataSourceArrowWriter):
                 "format('versioned') write path cannot enforce CHECK "
                 "constraints; use VersionedTable.append/overwrite"
             )
+        if os.path.exists(os.path.join(self.path, "_generated.json")):
+            raise ValueError(
+                "format('versioned') write path cannot compute/validate "
+                "generated columns; use VersionedTable.append/overwrite"
+            )
         if os.path.exists(os.path.join(self.path, "_registration.json")):
             raise ValueError(
                 "table is catalog-registered; the registration sync needs "
@@ -1046,6 +1051,11 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 "format('versioned') stream sink cannot enforce CHECK "
                 "constraints; use foreachBatch + VersionedTable"
+            )
+        if os.path.exists(os.path.join(self.path, "_generated.json")):
+            raise ValueError(
+                "format('versioned') stream sink cannot compute/validate "
+                "generated columns; use foreachBatch + VersionedTable"
             )
         if os.path.exists(os.path.join(self.path, "_registration.json")):
             raise ValueError(

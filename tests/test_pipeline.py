@@ -2247,3 +2247,104 @@ def test_merge_nmbs_composes_with_schema_evolution(spark, tmp_path):
     assert got == {1: (11, "x"), 2: (1020, None)}
     cs.refresh()
     assert cs.current() == cs.compute_now()
+
+
+# -- generated columns (Delta GENERATED ALWAYS AS analog) -------------------
+
+
+def test_generated_column_computed_when_omitted(spark, tmp_path):
+    """A write that omits the generated column gets it computed; one
+    that supplies a conforming value passes; a drifting producer fails
+    loudly. Merge sources compute it too."""
+    from nrtwithdeltalake_spark.pipeline.tables import ConstraintViolationError
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, 100, 1)], "id long, cents long, dollars long"
+        ),
+    )
+    t.add_generated_column("dollars", "cents div 100")
+    # omitted → computed
+    t.append(spark.createDataFrame([(2, 250)], "id long, cents long"))
+    got = {r.id: r.dollars for r in t.read().collect()}
+    assert got == {1: 1, 2: 2}
+    # supplied and conforming → passes
+    t.append(spark.createDataFrame([(3, 300, 3)], "id long, cents long, dollars long"))
+    # supplied and WRONG → loud
+    with pytest.raises(ConstraintViolationError, match="generated:dollars"):
+        t.append(
+            spark.createDataFrame(
+                [(4, 400, 99)], "id long, cents long, dollars long"
+            )
+        )
+    # merge source omitting it computes per-row (matched + inserted)
+    t.merge(spark.createDataFrame([(1, 900), (5, 500)], "id long, cents long"), ["id"])
+    got = {r.id: r.dollars for r in t.read().collect()}
+    assert got == {1: 9, 2: 2, 3: 3, 5: 5}
+
+
+def test_generated_column_declare_validates_snapshot(spark, tmp_path):
+    from nrtwithdeltalake_spark.pipeline.tables import ConstraintViolationError
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 100, 7)], "id long, cents long, dollars long"),
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.add_generated_column("dollars", "cents div 100")  # 7 != 1
+    with pytest.raises(ValueError, match="does not exist"):
+        t.add_generated_column("nope", "cents div 100")
+
+
+def test_generated_column_guards_rename_drop_and_format(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 100, 1)], "id long, cents long, dollars long"),
+    )
+    t.add_generated_column("dollars", "cents div 100")
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("cents", "pennies")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("cents")
+    from nrtwithdeltalake_spark.sources import datasource as _ds
+
+    _ds.register(spark)
+    with pytest.raises(Exception, match="generated"):
+        spark.createDataFrame([(9, 900)], "id long, cents long").write.format(
+            "versioned"
+        ).mode("append").save(t.path)
+    # unbinding re-opens all three paths
+    t.drop_generated_column("dollars")
+    t.rename_column("cents", "pennies")
+
+
+def test_drop_column_refuses_constrained_column(spark, tmp_path):
+    """Pre-existing gap: dropping a column a CHECK constraint references
+    left every future write failing with an opaque resolution error."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 5)], "id long, n long"),
+    )
+    t.add_constraint("n_pos", "n > 0")
+    with pytest.raises(ValueError, match="n_pos"):
+        t.drop_column("n")
+    t.drop_constraint("n_pos")
+    t.drop_column("n")  # now fine
+
+
+def test_generated_column_carries_through_clone(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 100, 1)], "id long, cents long, dollars long"),
+    )
+    t.add_generated_column("dollars", "cents div 100")
+    fork = t.clone(str(tmp_path / "fork"))
+    assert fork.generated_columns() == {"dollars": "cents div 100"}
+    fork.append(spark.createDataFrame([(2, 350)], "id long, cents long"))
+    assert {r.id: r.dollars for r in fork.read().collect()} == {1: 1, 2: 3}
