@@ -507,6 +507,10 @@ class VersionedTable:
 
     def drop_constraint(self, name: str) -> None:
         cons = self.constraints()
+        if name not in cons:
+            raise ValueError(
+                f"no CHECK constraint {name!r} (have {sorted(cons)})"
+            )
         cons.pop(name)
         self._write_constraints(cons)
 
@@ -560,6 +564,10 @@ class VersionedTable:
     def drop_generated_column(self, name: str) -> None:
         """Unbind the generation expression (the column itself stays)."""
         gen = self.generated_columns()
+        if name not in gen:
+            raise ValueError(
+                f"no generated column {name!r} (have {sorted(gen)})"
+            )
         gen.pop(name)
         self._write_generated(gen)
 
@@ -1054,6 +1062,8 @@ class VersionedTable:
         full snapshot as insert images would defeat zero-copy), so a CDF
         consumer must bootstrap from a snapshot read and watermark from
         version 0; ``change_feed`` refuses loudly across it."""
+        import shutil
+
         src = self.get_commit(version)
         dest = VersionedTable(self.spark, dest_path)
         if VersionedTable.exists(dest_path):
@@ -1067,17 +1077,49 @@ class VersionedTable:
         }
         file_map = {f: f for f in files}
         if not shallow:
-            import shutil
-
             os.makedirs(dest.data_dir, exist_ok=True)
+            for i, f in enumerate(files):
+                out = os.path.join(dest.data_dir, os.path.basename(f))
+                shutil.copy2(f, out)
+                files[i] = out
+                file_map[f] = out
             if dv_files:
+                # DV sidecar rows name the SOURCE data files by
+                # _metadata.file_path URI — a byte-copy would mask
+                # nothing in the relocated tree (deleted rows would
+                # silently resurrect). Rewrite the 'file' column
+                # through file_map, preserving the URI spelling.
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
                 os.makedirs(dest.dv_dir, exist_ok=True)
-            for src_list, out_dir in ((files, dest.data_dir), (dv_files, dest.dv_dir)):
-                for i, f in enumerate(src_list):
-                    out = os.path.join(out_dir, os.path.basename(f))
-                    shutil.copy2(f, out)
-                    src_list[i] = out
-                    file_map[f] = out
+                plain_map = {
+                    _strip_scheme(k): v for k, v in file_map.items()
+                }
+
+                def _remap(uri: str) -> str:
+                    plain = _strip_scheme(uri)
+                    new = plain_map.get(plain)
+                    if new is None:
+                        return uri
+                    return uri[: len(uri) - len(plain)] + new
+
+                for i, f in enumerate(dv_files):
+                    out = os.path.join(dest.dv_dir, os.path.basename(f))
+                    tbl = pq.read_table(f)
+                    remapped = pa.array(
+                        [_remap(u) for u in tbl.column("file").to_pylist()],
+                        type=tbl.schema.field("file").type,
+                    )
+                    pq.write_table(
+                        tbl.set_column(
+                            tbl.schema.get_field_index("file"),
+                            "file",
+                            remapped,
+                        ),
+                        out,
+                    )
+                    dv_files[i] = out
         src_file_stats = src.stats.get("file_stats", {})
         kept_stats = {
             file_map[f]: src_file_stats[f]
@@ -1102,15 +1144,18 @@ class VersionedTable:
                 dv_files=dv_files,
             )
         )
-        for src_side, dst_side in (
-            (self._constraints_path(), dest._constraints_path()),
-            (self._generated_path(), dest._generated_path()),
-        ):
-            if os.path.exists(src_side):
-                import shutil
-
-                os.makedirs(os.path.dirname(dst_side), exist_ok=True)
-                shutil.copy2(src_side, dst_side)
+        # constraint/generation sidecars describe the CURRENT schema —
+        # against an older cloned snapshot they may reference columns
+        # that didn't exist yet (or not yet hold), so they only carry
+        # when cloning the latest version
+        if src.version == self.latest_version():
+            for src_side, dst_side in (
+                (self._constraints_path(), dest._constraints_path()),
+                (self._generated_path(), dest._generated_path()),
+            ):
+                if os.path.exists(src_side):
+                    os.makedirs(os.path.dirname(dst_side), exist_ok=True)
+                    shutil.copy2(src_side, dst_side)
         return dest
 
     def append(

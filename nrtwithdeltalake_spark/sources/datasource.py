@@ -67,6 +67,21 @@ def _strip_field_ids(schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+
+def _sidecar_active(path: str, name: str) -> bool:
+    """True when the sidecar file exists AND binds anything — dropping
+    the last constraint/generated column leaves an empty '{}' file,
+    which must not keep refusing format writes. Unparseable → refuse
+    conservatively."""
+    try:
+        with open(os.path.join(path, name)) as f:
+            return bool(json.load(f))
+    except FileNotFoundError:
+        return False
+    except ValueError:
+        return True
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(os.path.abspath(path), "_log")
 
@@ -419,15 +434,26 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         if self.initial_snapshot:
             self._snap_base = _versions(self.path)[-1]
             self._snap_state = "pending"
+            self._snap_pos = 0
             self._pos = self._snap_base
-            return {"version": self._snap_base, "snapshot": "pending"}
+            return {"version": self._snap_base, "snapshot": "pending", "pos": 0}
         self._pos = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self):
         if self._snap_state == "pending":
-            # the snapshot batch delivers 'everything through base'
-            return {"version": self._snap_base, "snapshot": "done"}
+            # deliver the snapshot in maxFilesPerTrigger-sized slices;
+            # 'done' marks 'everything through base delivered'
+            base = self._snap_base
+            p = self._snap_pos or 0
+            n = len(_commit(self.path, base).get("files", []))
+            if self.max_files is not None and p + self.max_files < n:
+                return {
+                    "version": base,
+                    "snapshot": "pending",
+                    "pos": p + self.max_files,
+                }
+            return {"version": base, "snapshot": "done"}
         latest = _versions(self.path)[-1]
         if self.max_files is None or self._pos is None:
             return {"version": latest}
@@ -445,7 +471,10 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         v = end["version"]
-        if end.get("snapshot") == "done":
+        if end.get("snapshot") == "pending":
+            self._snap_state = "pending"
+            self._snap_pos = end.get("pos", 0)
+        elif end.get("snapshot") == "done":
             self._snap_state = "done"
         if self._pos is None or v > self._pos:
             self._pos = v
@@ -483,36 +512,49 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         if self._pos is None or hi > self._pos:
             self._pos = hi  # sync after a checkpointed restart
+        parts = []
         if start.get("snapshot") == "pending":
-            # the bootstrap batch: current snapshot as insert images.
+            # bootstrap batch(es): the snapshot at `lo` as insert images,
+            # sliced by the offsets' file positions (maxFilesPerTrigger).
             # Derived purely from the offset pair, so a checkpointed
-            # restart replays it identically with no reader state.
-            if self._snap_state == "pending":
+            # restart replays any slice identically with no reader state.
+            p0 = start.get("pos", 0)
+            c = _commit(self.path, lo)
+            snap_files = c.get("files", [])
+            if end.get("snapshot") == "pending":
+                sel = snap_files[p0 : end["pos"]]
+                self._snap_pos = end["pos"]
+            else:
+                # end is 'done' — or, after a restart whose reader never
+                # saw the pending state, a PLAIN tail offset: that mixed
+                # pair covers the snapshot remainder AND the commits
+                # (lo, hi], handled by falling through to the tail loop
+                sel = snap_files[p0:]
                 self._snap_state = "done"
-            c = _commit(self.path, hi)
             snap_schema = T.StructType(
                 [
                     f
                     for f in T.StructType.fromJson(
-                        json.loads(self._read_schema_json(hi))
+                        json.loads(self._read_schema_json(lo))
                     ).fields
                     if f.name != CHANGE_TYPE_COL
                 ]
             ).json()
             dv = tuple(c.get("dv_files") or ())
-            return [
+            parts.extend(
                 _FilePartition(
                     file=f,
                     schema_json=snap_schema,
-                    extra=((CHANGE_TYPE_COL, "insert"), (VERSION_COL, hi)),
+                    extra=((CHANGE_TYPE_COL, "insert"), (VERSION_COL, lo)),
                     dv_files=dv,
                 )
-                for f in c.get("files", [])
-            ]
+                for f in sel
+            )
+            if "snapshot" in end:
+                return parts
         if hi <= lo:
-            return []
+            return parts
         schema_json = self._read_schema_json(hi)
-        parts = []
         for v in _versions(self.path):
             if not (lo < v <= hi):
                 continue
@@ -813,12 +855,12 @@ class _VersionedWriter(DataSourceArrowWriter):
         # the TARGET table's commit schema defines (_stamp_field_ids)
         self.schema_json = _strip_field_ids(schema).json()
         self.overwrite = overwrite
-        if os.path.exists(os.path.join(self.path, "_constraints.json")):
+        if _sidecar_active(self.path, "_constraints.json"):
             raise ValueError(
                 "format('versioned') write path cannot enforce CHECK "
                 "constraints; use VersionedTable.append/overwrite"
             )
-        if os.path.exists(os.path.join(self.path, "_generated.json")):
+        if _sidecar_active(self.path, "_generated.json"):
             raise ValueError(
                 "format('versioned') write path cannot compute/validate "
                 "generated columns; use VersionedTable.append/overwrite"
@@ -1047,12 +1089,12 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, path: str, schema: T.StructType):
         self.path = os.path.abspath(path)
         self.schema_json = _strip_field_ids(schema).json()  # see batch writer
-        if os.path.exists(os.path.join(self.path, "_constraints.json")):
+        if _sidecar_active(self.path, "_constraints.json"):
             raise ValueError(
                 "format('versioned') stream sink cannot enforce CHECK "
                 "constraints; use foreachBatch + VersionedTable"
             )
-        if os.path.exists(os.path.join(self.path, "_generated.json")):
+        if _sidecar_active(self.path, "_generated.json"):
             raise ValueError(
                 "format('versioned') stream sink cannot compute/validate "
                 "generated columns; use foreachBatch + VersionedTable"

@@ -205,12 +205,28 @@ def test_clone_carries_deletion_vectors(spark, tmp_path):
     dst = src.clone(str(tmp_path / "dst"), shallow=True)
     assert dst.get_commit().dv_files == src.get_commit().dv_files
     assert sorted(r.id for r in dst.read().collect()) == list(range(5, 20))
-    # deep clone copies the sidecars too and survives source vacuum
+    # deep clone REMAPS the sidecars' file references to its own tree —
+    # a byte-copy would mask nothing and resurrect the deleted rows
     deep = src.clone(str(tmp_path / "deep"), shallow=False)
     assert all(f.startswith(deep.path) for f in deep.get_commit().dv_files)
+    assert sorted(r.id for r in deep.read().collect()) == list(range(5, 20))
     grand = dst.clone(str(tmp_path / "grand"), shallow=True)
     assert grand.read().count() == 15
     # compacting the clone materializes the vectors locally
     dst.compact()
     assert dst.get_commit().dv_files == []
     assert dst.read().count() == 15
+
+
+def test_clone_at_old_version_skips_current_sidecars(spark, tmp_path):
+    """Sidecars describe the CURRENT schema; cloning an older snapshot
+    must not inherit a constraint its own schema can't even resolve."""
+    src = _mk(spark, str(tmp_path / "src"), n=5)
+    src.rename_column("g", "grp")
+    src.add_constraint("grp_pos", "grp >= 0")
+    dst = src.clone(str(tmp_path / "dst"), version=0)
+    assert dst.constraints() == {}
+    # writes to the clone work (v0 schema has 'g', not 'grp')
+    dst.append(spark.createDataFrame([(9, 9)], "id long, g long"))
+    latest = src.clone(str(tmp_path / "dst2"))  # latest DOES carry
+    assert latest.constraints() == {"grp_pos": "grp >= 0"}

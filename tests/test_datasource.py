@@ -981,3 +981,115 @@ def test_stream_initial_snapshot_rejects_starting_version(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+
+
+def test_stream_initial_snapshot_honors_max_files_per_trigger(spark, tmp_path):
+    """Under a normal trigger (initialOffset → latestOffset per batch),
+    the bootstrap ships the snapshot in maxFilesPerTrigger-sized slices.
+    Driven at the offset protocol level because Trigger.AvailableNow
+    captures latestOffset BEFORE initialOffset (one unbounded batch —
+    the documented availableNow behavior, same as the tail budget)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from nrtwithdeltalake_spark.sources.datasource import (
+        _ChangeFeedStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(i, "x") for i in range(8)], "id long, v string"
+        ).repartition(4),
+    )
+    t.append(spark.createDataFrame([(100, "tail")], "id long, v string"))
+    n_files = len(t.get_commit().files)
+    assert n_files >= 5
+    feed_schema = T.StructType.fromJson(
+        json.loads(t.get_commit().schema_json)
+    ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
+    r = _ChangeFeedStreamReader(
+        t.path, -1, feed_schema, max_files_per_trigger=2, initial_snapshot=True
+    )
+    seen_ids = []
+    start = r.initialOffset()
+    assert start == {"version": 1, "snapshot": "pending", "pos": 0}
+    slices = 0
+    while True:
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        if start.get("snapshot") == "pending":
+            assert len(parts) <= 2  # the slice bound
+        for part in parts:
+            for batch in r.read(part):
+                seen_ids.extend(batch.to_pydict()["id"])
+        r.commit(end)
+        slices += 1
+        if end == {"version": 1, "snapshot": "done"}:
+            break
+        start = end
+        assert slices < 10
+    assert slices >= 3  # ceil(n_files/2), never one blob
+    assert sorted(seen_ids) == sorted(list(range(8)) + [100])
+    # after the snapshot, the tail resumes plain
+    t.append(spark.createDataFrame([(200, "t2")], "id long, v string"))
+    end2 = r.latestOffset()
+    assert end2 == {"version": 2}
+    tail_rows = [
+        x
+        for part in r.partitions({"version": 1, "snapshot": "done"}, end2)
+        for batch in r.read(part)
+        for x in batch.to_pydict()["id"]
+    ]
+    assert tail_rows == [200]
+
+
+def test_stream_initial_snapshot_available_now_drains_with_budget(
+    spark, tmp_path
+):
+    """availableNow + maxFilesPerTrigger still delivers everything
+    (the budget is a rate limit, never a truncation)."""
+    p = str(tmp_path / "t")
+    VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(i, "x") for i in range(8)], "id long, v string"
+        ).repartition(4),
+    )
+    rows = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", p)
+        .option("feed", "changes")
+        .option("initialSnapshot", "true")
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: rows.extend(r.id for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(rows) == list(range(8))
+
+
+def test_format_write_allowed_after_unbinding_sidecars(spark, tmp_path):
+    """Dropping the last constraint/generated column leaves an empty
+    sidecar file — the format writers must look at content, not
+    existence."""
+    p = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, 100)], "id long, cents long")
+    )
+    t.add_constraint("c_pos", "cents > 0")
+    t.drop_constraint("c_pos")
+    spark.createDataFrame([(2, 200)], "id long, cents long").write.format(
+        "versioned"
+    ).mode("append").save(p)
+    assert VersionedTable(spark, p).read().count() == 2
