@@ -2410,7 +2410,10 @@ class VersionedTable:
         return df
 
     def vacuum(
-        self, retain_last: int = 1, retain_hours: float | None = None
+        self,
+        retain_last: int = 1,
+        retain_hours: float | None = None,
+        clean_orphans_hours: float | None = None,
     ) -> dict:
         """Delete data/CDF files referenced only by expired versions —
         the storage-reclamation half of copy-on-write (Delta VACUUM
@@ -2423,7 +2426,16 @@ class VersionedTable:
         what keeps a merge-heavy table from storing every rewrite
         forever. Metadata-only on the driver (file-list set algebra);
         deletion is idempotent — a crash mid-delete just leaves garbage
-        for the next vacuum."""
+        for the next vacuum.
+
+        ``clean_orphans_hours``: also remove files under the table's
+        data/CDF/DV trees that NO commit (of any version) references
+        and whose mtime is older than the window — the debris of
+        writers that crashed between writing their files and publishing
+        a commit, which the set algebra above can never see (Delta's
+        uncommitted-file cleanup uses the same age rule). The window is
+        the in-flight-writer guard: pick it longer than any plausible
+        write duration (Delta defaults to 7 days)."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         commits = self.history()
@@ -2458,10 +2470,40 @@ class VersionedTable:
                 freed += os.path.getsize(f)
                 os.remove(f)
                 n_deleted += 1
+        n_orphans = 0
+        if clean_orphans_hours is not None:
+            if clean_orphans_hours < 0:
+                raise ValueError("clean_orphans_hours must be >= 0")
+            age_floor = time.time() - clean_orphans_hours * 3600.0
+            referenced = keep | drop  # every path ANY commit names
+            for base in (self.data_dir, self.cdf_dir, self.dv_dir):
+                if not os.path.isdir(base):
+                    continue
+                for dirpath, _dirs, fnames in os.walk(base):
+                    for fn in fnames:
+                        p = os.path.join(dirpath, fn)
+                        if p in referenced:
+                            continue
+                        try:
+                            if os.path.getmtime(p) >= age_floor:
+                                continue  # possibly an in-flight writer
+                            freed += os.path.getsize(p)
+                            os.remove(p)
+                            n_orphans += 1
+                        except FileNotFoundError:
+                            continue  # concurrent vacuum — idempotent
+                # drop now-empty uuid dirs (metadata tidiness only)
+                for dirpath, dirs, fnames in os.walk(base, topdown=False):
+                    if dirpath != base and not dirs and not fnames:
+                        try:
+                            os.rmdir(dirpath)
+                        except OSError:
+                            pass
         return {
             "deleted_files": n_deleted,
             "freed_bytes": freed,
             "oldest_readable_version": cutoff,
+            "orphans_deleted": n_orphans,
         }
 
     # -- change feed (O20-O21) --------------------------------------------

@@ -230,3 +230,30 @@ def test_clone_at_old_version_skips_current_sidecars(spark, tmp_path):
     dst.append(spark.createDataFrame([(9, 9)], "id long, g long"))
     latest = src.clone(str(tmp_path / "dst2"))  # latest DOES carry
     assert latest.constraints() == {"grp_pos": "grp >= 0"}
+
+
+def test_vacuum_cleans_aged_orphans_only(spark, tmp_path):
+    """Files no commit references (a crashed writer's debris) reclaim
+    once older than the guard window; fresh ones — possibly an
+    in-flight writer — survive, and committed data is untouched."""
+    import time as _time
+
+    t = _mk(spark, str(tmp_path / "t"), n=10, parts=1)
+    orphan_dir = os.path.join(t.data_dir, "deadbeefcafe")
+    os.makedirs(orphan_dir)
+    old = os.path.join(orphan_dir, "part-00000-dead.parquet")
+    fresh = os.path.join(orphan_dir, "part-00001-live.parquet")
+    for p in (old, fresh):
+        with open(p, "wb") as f:
+            f.write(b"not really parquet")
+    stale_t = _time.time() - 8 * 24 * 3600
+    os.utime(old, (stale_t, stale_t))
+    out = t.vacuum(clean_orphans_hours=7 * 24)
+    assert out["orphans_deleted"] >= 1
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)  # age-guarded
+    assert t.read().count() == 10  # committed files untouched
+    # without the flag, orphans are never touched
+    out2 = t.vacuum()
+    assert out2["orphans_deleted"] == 0
+    assert os.path.exists(fresh)
