@@ -2138,8 +2138,18 @@ class VersionedTable:
     def update(self, condition: str, assignments: dict[str, F.Column]) -> int:
         """Conditional UPDATE — the reference's CloseWatermark proc (O28,
         ``dbrconfig.sql:85-91``). Copy-on-write on files containing
-        matching rows."""
+        matching rows.
+
+        Generated columns not explicitly assigned are RECOMPUTED on the
+        updated rows (Delta does the same): updating a referenced
+        column keeps the derivation true instead of tripping the
+        write probe."""
         prev = self.get_commit()
+        gen_recompute = {
+            g: e
+            for g, e in self.generated_columns().items()
+            if g not in assignments
+        }
         tgt_all = self._snapshot(prev)
         touched = sorted(
             _strip_scheme(r[0])
@@ -2158,8 +2168,17 @@ class VersionedTable:
                 if f.name in assignments
                 else F.col(f.name)
                 for f in tgt.schema.fields
-            ]
+            ],
+            cond.alias("__upd"),  # evaluated on PRE-update values
         )
+        # recompute unassigned generated columns from the POST-update
+        # row — an assignment changing a referenced column keeps the
+        # derivation true (Delta recomputes the same way)
+        for g, e in gen_recompute.items():
+            updated = updated.withColumn(
+                g, F.when(F.col("__upd"), F.expr(e)).otherwise(F.col(g))
+            )
+        updated = updated.drop("__upd")
         new_files = self._write_files(updated, self.data_dir)
         # CDF = pre-update matching rows, emitted twice: as-is
         # (update_preimage) and with assignments applied
@@ -2177,6 +2196,8 @@ class VersionedTable:
                 for f in tgt.schema.fields
             ]
         )
+        for g, e in gen_recompute.items():
+            post_image = post_image.withColumn(g, F.expr(e))
         cdf_files = self._write_files(
             post_image.withColumn(
                 CHANGE_TYPE_COL, F.lit("update_postimage")

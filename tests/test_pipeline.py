@@ -2348,3 +2348,28 @@ def test_generated_column_carries_through_clone(spark, tmp_path):
     assert fork.generated_columns() == {"dollars": "cents div 100"}
     fork.append(spark.createDataFrame([(2, 350)], "id long, cents long"))
     assert {r.id: r.dollars for r in fork.read().collect()} == {1: 1, 2: 3}
+
+
+def test_update_recomputes_generated_columns(spark, tmp_path):
+    """UPDATE changing a referenced column keeps the derivation true
+    (recomputed from POST-update values, Delta semantics) — and the
+    change feed's post-images carry the recomputed value."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, 100, 1), (2, 250, 2)], "id long, cents long, dollars long"
+        ),
+    )
+    t.add_generated_column("dollars", "cents div 100")
+    t.update("id = 1", {"cents": F.col("cents") * 5})
+    got = {r.id: (r.cents, r.dollars) for r in t.read().collect()}
+    assert got == {1: (500, 5), 2: (250, 2)}
+    post = t.change_feed(0).filter("_change_type = 'update_postimage'")
+    assert [(r.cents, r.dollars) for r in post.collect()] == [(500, 5)]
+    # explicitly assigning the generated column bypasses recompute but
+    # still validates through the probe
+    from nrtwithdeltalake_spark.pipeline.tables import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError, match="generated:dollars"):
+        t.update("id = 2", {"dollars": F.lit(99)})
