@@ -2373,3 +2373,88 @@ def test_update_recomputes_generated_columns(spark, tmp_path):
 
     with pytest.raises(ConstraintViolationError, match="generated:dollars"):
         t.update("id = 2", {"dollars": F.lit(99)})
+
+
+def test_mixed_writer_storm_with_dv_and_nmbs_converges(spark, tmp_path):
+    """Round-8 ops join the storm: a deletion-vector deleter, a
+    scoped NOT-MATCHED-BY-SOURCE merger, appenders, and a compactor
+    race one table. Every writer retries surfaced conflicts; invariant
+    — the final state equals the serial expectation for the disjoint
+    key ranges each writer owns, deleted rows never resurrect, and the
+    change feed reconstructs the snapshot (checksum convergence)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nrtwithdeltalake_spark.pipeline.checksum_view import IncrementalChecksum
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "storm")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(i, "base") for i in range(40)], "id long, v string"
+        ).repartition(4),
+    )
+
+    def retry(fn):
+        for _ in range(12):
+            try:
+                return fn()
+            except CommitConflictError:
+                _time.sleep(0.25)
+        raise AssertionError("writer starved")
+
+    def appender(w: int):
+        VersionedTable(spark, p).append(
+            spark.createDataFrame(
+                [(1000 + w * 10 + i, f"a{w}") for i in range(4)],
+                "id long, v string",
+            )
+        )
+
+    def dv_deleter():
+        # owns ids 30..34
+        retry(
+            lambda: VersionedTable(spark, p).delete(
+                "id >= 30 and id < 35", use_dv=True
+            )
+        )
+
+    def nmbs_merger():
+        # owns ids 20..24: full-sync that slice to exactly {20, 21}
+        src = spark.createDataFrame(
+            [(20, "keep"), (21, "keep")], "id long, v string"
+        )
+        retry(
+            lambda: VersionedTable(spark, p).merge(
+                src,
+                ["id"],
+                not_matched_by_source_delete="id >= 22 and id < 25",
+            )
+        )
+
+    def compactor():
+        retry(
+            lambda: VersionedTable(spark, p).compact(target_file_bytes=1 << 20)
+        )
+
+    jobs = (
+        [lambda w=w: appender(w) for w in range(2)]
+        + [dv_deleter, nmbs_merger, compactor]
+    )
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        list(ex.map(lambda f: f(), jobs))
+
+    rows = {r.id: r.v for r in VersionedTable(spark, p).read().collect()}
+    want = {i: "base" for i in range(40) if not (30 <= i < 35 or 22 <= i < 25)}
+    want.update({20: "keep", 21: "keep"})
+    for w in range(2):
+        want.update({1000 + w * 10 + i: f"a{w}" for i in range(4)})
+    assert rows == want
+    t2 = VersionedTable(spark, p)
+    versions = [c.version for c in t2.history()]
+    assert versions == list(range(len(versions)))
+    cs = IncrementalChecksum(spark, t2, str(tmp_path / "cs"))
+    cs.refresh()
+    assert cs.current() == cs.compute_now()
