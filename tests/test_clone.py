@@ -257,3 +257,26 @@ def test_vacuum_cleans_aged_orphans_only(spark, tmp_path):
     out2 = t.vacuum()
     assert out2["orphans_deleted"] == 0
     assert os.path.exists(fresh)
+
+
+def test_clone_any_version_equals_time_travel(spark, tmp_path):
+    """Property over a mixed op history: a clone pinned at version N
+    reads exactly what time travel to N reads, for every N, both
+    shallow and deep."""
+    src = _mk(spark, str(tmp_path / "src"), n=10, parts=2)
+    src.append(spark.range(10, 14).select(F.col("id"), F.lit(9).alias("g")))
+    src.merge(
+        spark.createDataFrame([(1, 77), (99, 77)], "id long, g long"), ["id"]
+    )
+    src.delete("id >= 12 and id < 14", use_dv=True)
+    src.update("id = 0", {"g": F.lit(42)})
+    for v in range(src.latest_version() + 1):
+        for shallow in (True, False):
+            dst = src.clone(
+                str(tmp_path / f"c{v}_{int(shallow)}"),
+                shallow=shallow,
+                version=v,
+            )
+            want = sorted((r.id, r.g) for r in src.read(version=v).collect())
+            got = sorted((r.id, r.g) for r in dst.read().collect())
+            assert got == want, f"version {v} shallow={shallow}"
