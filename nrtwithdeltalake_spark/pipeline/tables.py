@@ -36,6 +36,8 @@ import uuid
 import dataclasses
 from dataclasses import dataclass
 
+from . import logcodec
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -335,17 +337,38 @@ class VersionedTable:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
+    def _materialized_record(self, version: int) -> dict:
+        """The commit record with full file lists — delta-encoded
+        records (see ``logcodec``) resolve through the parent chain,
+        bounded by the checkpoint cadence."""
+        with open(self._commit_path(version)) as f:
+            raw = json.loads(f.read())
+        return logcodec.materialize(raw, self._materialized_record)
+
     def get_commit(self, version: int | None = None) -> Commit:
         v = self.latest_version() if version is None else version
-        with open(self._commit_path(v)) as f:
-            return Commit.from_json(f.read())
+        return Commit(**self._materialized_record(v))
 
     def history(self) -> list[Commit]:
-        return [
-            self.get_commit(int(f[: -len(".json")]))
-            for f in sorted(os.listdir(self.log_dir))
-            if f.endswith(".json")
-        ]
+        # sequential forward materialization: each record decodes
+        # against the previous one already in hand — O(n) total, no
+        # per-version parent-chain walk
+        out: list[Commit] = []
+        prev: dict | None = None
+        for f in sorted(os.listdir(self.log_dir)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(self.log_dir, f)) as fh:
+                raw = json.loads(fh.read())
+            rec = logcodec.materialize(
+                raw,
+                lambda v: prev
+                if prev is not None and prev["version"] == v
+                else self._materialized_record(v),
+            )
+            out.append(Commit(**rec))
+            prev = rec
+        return out
 
     def version_at(self, timestamp) -> int:
         """Latest version committed at or before ``timestamp`` — the
@@ -378,7 +401,14 @@ class VersionedTable:
         )
         if m:
             commit.stats["max_field_id"] = m
-        publish_commit_file(self.log_dir, commit.version, commit.to_json())
+        parent: dict | None = None
+        if commit.version > 0:
+            try:
+                parent = self._materialized_record(commit.version - 1)
+            except FileNotFoundError:
+                parent = None
+        payload = logcodec.encode(dict(commit.__dict__), parent)
+        publish_commit_file(self.log_dir, commit.version, json.dumps(payload))
         reg = self._read_registration()
         if reg is not None:
             self._sync_registration(commit, reg)

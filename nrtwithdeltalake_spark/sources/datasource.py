@@ -95,8 +95,14 @@ def _versions(path: str) -> list[int]:
 
 
 def _commit(path: str, version: int) -> dict:
+    """Commit record with full file lists — delta-encoded records (see
+    ``pipeline.logcodec``) resolve through the parent chain, pure local
+    JSON, still SparkSession-free."""
+    from ..pipeline import logcodec
+
     with open(os.path.join(_log_dir(path), f"{version:020d}.json")) as f:
-        return json.loads(f.read())
+        raw = json.loads(f.read())
+    return logcodec.materialize(raw, lambda v: _commit(path, v))
 
 
 @dataclass
@@ -679,7 +685,16 @@ def _publish_record(path: str, record: dict) -> None:
     )
     if m:
         record.setdefault("stats", {})["max_field_id"] = m
-    publish_commit_file(_log_dir(path), record["version"], json.dumps(record))
+    from ..pipeline import logcodec
+
+    parent = None
+    if record["version"] > 0:
+        try:
+            parent = _commit(path, record["version"] - 1)
+        except FileNotFoundError:
+            parent = None
+    payload = logcodec.encode(record, parent)
+    publish_commit_file(_log_dir(path), record["version"], json.dumps(payload))
 
 
 def _check_type_compat(

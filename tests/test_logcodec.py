@@ -1,0 +1,172 @@
+"""Delta-encoded commit log (pipeline/logcodec.py) — Delta's
+log + checkpoint design applied to the self-contained JSON commits.
+
+Scale contract: per-commit log cost is O(file churn), not O(live
+files); every reader (native, format batch, format stream) sees
+exactly the lists the writer committed, at every version, across
+every op kind; old full-list logs keep working untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark.pipeline import logcodec
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+from nrtwithdeltalake_spark.sources import datasource as ds
+
+
+def _raw(t, v):
+    with open(t._commit_path(v)) as f:
+        return json.loads(f.read())
+
+
+def test_appends_delta_encode_and_checkpoint(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(64).select(F.col("id")).repartition(8),
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(1000 + i,)], "id long"))
+    # v0 is a checkpoint (full); later appends carry only their adds
+    assert "files" in _raw(t, 0)
+    for v in range(1, 5):
+        raw = _raw(t, v)
+        assert "files" not in raw and raw["files_base"] == v - 1
+        assert len(raw["files_add"]) >= 1 and raw["files_del"] == []
+    # materialization is exact and cumulative: v4 = v0 + every add
+    adds = sum(len(_raw(t, v)["files_add"]) for v in range(1, 5))
+    assert len(t.get_commit(4).files) == len(t.get_commit(0).files) + adds
+    assert sorted(r.id for r in t.read().collect()) == sorted(
+        list(range(64)) + [1000, 1001, 1002, 1003]
+    )
+    # the payload shrank: an encoded append commit is far smaller than
+    # the full-list form it replaces
+    full = len(json.dumps(dict(t.get_commit(4).__dict__)))
+    stored = os.path.getsize(t._commit_path(4))
+    assert stored < full / 2
+
+
+def test_checkpoint_every_20_bounds_the_chain(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), spark.createDataFrame([(0,)], "id long")
+    )
+    for i in range(1, 22):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    assert "files" in _raw(t, 0)
+    assert "files" in _raw(t, logcodec.CHECKPOINT_EVERY)  # the checkpoint
+    assert "files" not in _raw(t, 19) and "files" not in _raw(t, 21)
+    assert t.read().count() == 22
+    assert len(t.history()) == 22  # O(n) forward materialization
+
+
+def test_reordering_ops_fall_back_to_full_lists(spark, tmp_path):
+    """restore() re-publishes an older version's list verbatim — a diff
+    can't reproduce an arbitrary reorder exactly, so the encoder stores
+    the full list rather than approximate."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(16).select(F.col("id")).repartition(4),
+    )
+    t.append(spark.range(16, 20).select(F.col("id")))
+    t.overwrite(spark.range(3).select(F.col("id")))
+    rv = t.restore(1)
+    assert sorted(r.id for r in t.read().collect()) == list(range(20))
+    # whatever the on-disk form, every version materializes exactly
+    for v in range(rv + 1):
+        c = t.get_commit(v)
+        assert len(c.files) == len(set(c.files))
+
+
+def test_encoded_log_roundtrips_every_op_and_reader(spark, tmp_path):
+    """merge (CoW), DV delete, compaction and vacuum on a delta-encoded
+    log; native time travel, CDF, the format batch reader and the
+    format stream tail all agree."""
+    ds.register(spark)
+    p = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.range(24).select(
+            F.col("id"), (F.col("id") % 3).alias("g")
+        ).repartition(4),
+    )
+    t.append(spark.range(24, 30).select(F.col("id"), F.lit(9).alias("g")))
+    t.merge(spark.createDataFrame([(0, 99)], "id long, g long"), ["id"])
+    t.delete("id >= 28", use_dv=True)
+    t.compact(target_file_bytes=1 << 20)
+    want = {r.id: r.g for r in t.read().collect()}
+    assert want[0] == 99 and 28 not in want and len(want) == 28
+    # per-version native reads
+    for v in range(t.latest_version() + 1):
+        assert t.read(version=v).count() > 0
+    # format batch read sees the same snapshot
+    got = {
+        r.id: r.g
+        for r in spark.read.format("versioned").option("path", p).load().collect()
+    }
+    assert got == want
+    # stream tail from birth replays the full history
+    rows = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", p)
+        .option("feed", "changes")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: rows.extend(
+                (r.id, r._change_type) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (0, "update_postimage") in rows and (28, "delete") in rows
+    # vacuum still computes exact keep/drop sets over encoded history
+    t.vacuum(retain_last=1)
+    assert {r.id: r.g for r in t.read().collect()} == want
+
+
+def test_format_writer_delta_encodes_too(spark, tmp_path):
+    ds.register(spark)
+    p = str(tmp_path / "t")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.range(32).select(F.col("id")).repartition(8),
+    )
+    spark.createDataFrame([(900,)], "id long").write.format("versioned").mode(
+        "append"
+    ).save(p)
+    raw = _raw(t, 1)
+    assert "files" not in raw and raw["files_base"] == 0
+    assert t.read().count() == 33
+    assert (
+        spark.read.format("versioned").option("path", p).load().count() == 33
+    )
+
+
+def test_legacy_full_list_log_reads_unchanged(spark, tmp_path):
+    """A log written before the codec (full lists everywhere) needs no
+    migration — and new commits on top of it delta-encode."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), spark.createDataFrame([(0,)], "id long")
+    )
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    # rewrite v1 in the legacy (full-list) form
+    c1 = t.get_commit(1)
+    with open(t._commit_path(1), "w") as f:
+        f.write(json.dumps(dict(c1.__dict__)))
+    assert "files" in _raw(t, 1)
+    t2 = VersionedTable(spark, t.path)
+    assert t2.read().count() == 2
+    t2.append(spark.createDataFrame([(2,)], "id long"))
+    assert "files" not in _raw(t2, 2)  # new commit encodes against v1
+    assert sorted(r.id for r in t2.read().collect()) == [0, 1, 2]
