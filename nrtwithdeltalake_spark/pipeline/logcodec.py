@@ -62,6 +62,25 @@ def encode(record: dict, parent: dict | None) -> dict:
         out[kb] = version - 1
         out[ka] = add
         out[kd] = dele
+    # per-file skipping stats are the other O(live files) payload: a
+    # commit carrying stats for 10^5 files re-serializes them all even
+    # when only a handful of files changed (_carry_stats copies the
+    # dict forward). Diff the dict the same way — entries are matched
+    # by key with exact-equality values, and consumers only ever
+    # .get(path), so no ordering contract exists to guard.
+    cur_stats = dict(record.get("stats") or {})
+    par_stats = parent.get("stats") or {}
+    fs_cur = cur_stats.get("file_stats")
+    fs_par = par_stats.get("file_stats")
+    if isinstance(fs_cur, dict) and isinstance(fs_par, dict) and fs_par:
+        add = {k: v for k, v in fs_cur.items() if fs_par.get(k) != v}
+        dele = sorted(k for k in fs_par if k not in fs_cur)
+        if len(add) + len(dele) < len(fs_cur):
+            cur_stats.pop("file_stats")
+            cur_stats["file_stats_base"] = version - 1
+            cur_stats["file_stats_add"] = add
+            cur_stats["file_stats_del"] = dele
+            out["stats"] = cur_stats
     return out
 
 
@@ -70,18 +89,35 @@ def materialize(record: dict, load_parent) -> dict:
     ``load_parent(version) -> dict`` must return the MATERIALIZED
     parent record (callers recurse through their own loader, bounded
     by the checkpoint cadence)."""
-    if not any(kb in record for _, kb, _a, _d in _LISTS):
+    stats_encoded = "file_stats_base" in (record.get("stats") or {})
+    if not stats_encoded and not any(
+        kb in record for _, kb, _a, _d in _LISTS
+    ):
         return record
     out = dict(record)
     parents: dict[int, dict] = {}
+
+    def parent_of(v: int) -> dict:
+        if v not in parents:
+            parents[v] = load_parent(v)
+        return parents[v]
+
     for key, kb, ka, kd in _LISTS:
         if kb not in out:
             continue
         base = out.pop(kb)
-        if base not in parents:
-            parents[base] = load_parent(base)
-        par = list(parents[base].get(key) or [])
+        par = list(parent_of(base).get(key) or [])
         dele = set(out.pop(kd))
         add = out.pop(ka)
         out[key] = [f for f in par if f not in dele] + add
+    if stats_encoded:
+        stats = dict(out["stats"])
+        base = stats.pop("file_stats_base")
+        dele = set(stats.pop("file_stats_del"))
+        add = stats.pop("file_stats_add")
+        par_fs = (parent_of(base).get("stats") or {}).get("file_stats") or {}
+        fs = {k: v for k, v in par_fs.items() if k not in dele}
+        fs.update(add)
+        stats["file_stats"] = fs
+        out["stats"] = stats
     return out

@@ -170,3 +170,38 @@ def test_legacy_full_list_log_reads_unchanged(spark, tmp_path):
     t2.append(spark.createDataFrame([(2,)], "id long"))
     assert "files" not in _raw(t2, 2)  # new commit encodes against v1
     assert sorted(r.id for r in t2.read().collect()) == [0, 1, 2]
+
+
+def test_file_stats_delta_encode_and_pruning_survives(spark, tmp_path):
+    """Per-file skipping stats diff too: appends after a clustered
+    compaction carry only their own files' entries, and read_between
+    pruning works identically at every version."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(300_000).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        ).repartition(8),
+    )
+    t.compact(target_file_bytes=256 * 1024, cluster_by=["id"])
+    n_stats = len(t.get_commit().stats["file_stats"])
+    assert n_stats >= 4
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(100_000 + i, 0)], "id long, g long")
+        )
+    raw = _raw(t, t.latest_version())
+    assert "file_stats" not in raw["stats"]
+    assert len(raw["stats"]["file_stats_add"]) <= 2  # only the new files
+    assert raw["stats"]["file_stats_del"] == []
+    # materialized stats cover the full set; pruning still exact
+    assert len(t.get_commit().stats["file_stats"]) >= n_stats
+    got = sorted(r.id for r in t.read_between("id", 100, 110).collect())
+    assert got == list(range(100, 111))
+    # a merge rewriting a clustered file DROPS its stats entry via the
+    # dict diff (rewritten file's stats die with the file)
+    t.merge(spark.createDataFrame([(50, 99)], "id long, g long"), ["id"])
+    raw2 = _raw(t, t.latest_version())
+    if "file_stats_del" in raw2["stats"]:
+        assert len(raw2["stats"]["file_stats_del"]) >= 1
+    assert {r.g for r in t.read().filter("id = 50").collect()} == {99}
