@@ -108,12 +108,19 @@ class IncrementalJoinView:
         return (st.get("fact_version", -1), st.get("dim_version", -1))
 
     def _stamp(self, t: VersionedTable, fv: int, dv: int) -> None:
-        c = t.get_commit()
-        c.stats = {**c.stats, "fact_version": fv, "dim_version": dv}
-        path = t._commit_path(c.version)
+        # patch the RAW record — rewriting the materialized Commit
+        # would un-delta-encode the view's log (pipeline.logcodec)
+        path = t._commit_path(t.latest_version())
+        with open(path) as f:
+            raw = json.loads(f.read())
+        raw["stats"] = {
+            **(raw.get("stats") or {}),
+            "fact_version": fv,
+            "dim_version": dv,
+        }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(c.to_json())
+            f.write(json.dumps(raw))
         os.replace(tmp, path)
 
     # -- refresh -------------------------------------------------------------

@@ -52,7 +52,8 @@ def encode(record: dict, parent: dict | None) -> dict:
         cur = list(record.get(key) or [])
         par = list(parent.get(key) or [])
         cur_set = set(cur)
-        add = [f for f in cur if f not in set(par)]
+        par_set = set(par)
+        add = [f for f in cur if f not in par_set]
         dele = sorted(f for f in par if f not in cur_set)
         if len(add) + len(dele) >= len(cur):
             continue  # the diff doesn't shrink the payload

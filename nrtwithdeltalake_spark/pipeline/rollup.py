@@ -171,13 +171,16 @@ class IncrementalRollup:
         import json
         import os
 
-        c = t.get_commit()
-        c.stats = {**c.stats, "base_version": base_version}
-        # atomic replace of the same version record
-        path = t._commit_path(c.version)
+        # patch the RAW on-disk record: rewriting the materialized
+        # Commit would permanently un-delta-encode a continuously
+        # refreshed view table's log (see pipeline.logcodec)
+        path = t._commit_path(t.latest_version())
+        with open(path) as f:
+            raw = json.loads(f.read())
+        raw["stats"] = {**(raw.get("stats") or {}), "base_version": base_version}
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(c.to_json())
+            f.write(json.dumps(raw))
         os.replace(tmp, path)
 
     # -- reads --------------------------------------------------------------

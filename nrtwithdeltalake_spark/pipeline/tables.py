@@ -116,10 +116,6 @@ class Commit:
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
 
-    @staticmethod
-    def from_json(s: str) -> "Commit":
-        return Commit(**json.loads(s))
-
 
 def _as_epoch(timestamp) -> float:
     """Epoch seconds from an epoch number, datetime (naive = UTC — the
@@ -402,7 +398,9 @@ class VersionedTable:
         if m:
             commit.stats["max_field_id"] = m
         parent: dict | None = None
-        if commit.version > 0:
+        if commit.version > 0 and commit.version % logcodec.CHECKPOINT_EVERY:
+            # checkpoint versions store full lists — don't pay the
+            # parent-chain walk for a parent encode() won't look at
             try:
                 parent = self._materialized_record(commit.version - 1)
             except FileNotFoundError:
@@ -2192,6 +2190,9 @@ class VersionedTable:
         carryover = [f for f in prev.files if f not in set(touched)]
         tgt = self._snapshot(prev, touched)
         cond = F.expr(condition)
+        # collision-proof marker: a user column literally named "__upd"
+        # would otherwise be dropped along with the temp column
+        upd_col = f"__upd_{uuid.uuid4().hex[:8]}"
         updated = tgt.select(
             *[
                 F.when(cond, assignments[f.name]).otherwise(F.col(f.name)).alias(f.name)
@@ -2199,16 +2200,16 @@ class VersionedTable:
                 else F.col(f.name)
                 for f in tgt.schema.fields
             ],
-            cond.alias("__upd"),  # evaluated on PRE-update values
+            cond.alias(upd_col),  # evaluated on PRE-update values
         )
         # recompute unassigned generated columns from the POST-update
         # row — an assignment changing a referenced column keeps the
         # derivation true (Delta recomputes the same way)
         for g, e in gen_recompute.items():
             updated = updated.withColumn(
-                g, F.when(F.col("__upd"), F.expr(e)).otherwise(F.col(g))
+                g, F.when(F.col(upd_col), F.expr(e)).otherwise(F.col(g))
             )
-        updated = updated.drop("__upd")
+        updated = updated.drop(upd_col)
         new_files = self._write_files(updated, self.data_dir)
         # CDF = pre-update matching rows, emitted twice: as-is
         # (update_preimage) and with assignments applied
@@ -2526,14 +2527,19 @@ class VersionedTable:
             if clean_orphans_hours < 0:
                 raise ValueError("clean_orphans_hours must be >= 0")
             age_floor = time.time() - clean_orphans_hours * 3600.0
-            referenced = keep | drop  # every path ANY commit names
+            # realpath BOTH sides: commits record the path spelling the
+            # writer used, and a symlinked mount opened under another
+            # spelling must not make every live file look unreferenced
+            # (exact-string matching here would delete the whole table
+            # once aged)
+            referenced = {os.path.realpath(f) for f in keep | drop}
             for base in (self.data_dir, self.cdf_dir, self.dv_dir):
                 if not os.path.isdir(base):
                     continue
                 for dirpath, _dirs, fnames in os.walk(base):
                     for fn in fnames:
                         p = os.path.join(dirpath, fn)
-                        if p in referenced:
+                        if os.path.realpath(p) in referenced:
                             continue
                         try:
                             if os.path.getmtime(p) >= age_floor:

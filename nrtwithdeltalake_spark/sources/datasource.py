@@ -688,7 +688,8 @@ def _publish_record(path: str, record: dict) -> None:
     from ..pipeline import logcodec
 
     parent = None
-    if record["version"] > 0:
+    if record["version"] > 0 and record["version"] % logcodec.CHECKPOINT_EVERY:
+        # checkpoint versions store full lists — skip the parent walk
         try:
             parent = _commit(path, record["version"] - 1)
         except FileNotFoundError:

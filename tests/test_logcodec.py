@@ -205,3 +205,24 @@ def test_file_stats_delta_encode_and_pruning_survives(spark, tmp_path):
     if "file_stats_del" in raw2["stats"]:
         assert len(raw2["stats"]["file_stats_del"]) >= 1
     assert {r.g for r in t.read().filter("id = 50").collect()} == {99}
+
+
+def test_view_stamp_preserves_encoded_record(spark, tmp_path):
+    """Rollup/joinview stamp their watermarks by patching the RAW
+    commit record — stamping must not silently un-delta-encode a view
+    table's log."""
+    from nrtwithdeltalake_spark.pipeline.rollup import IncrementalRollup
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(32).select(F.col("id")).repartition(4),
+    )
+    t.append(spark.createDataFrame([(99,)], "id long"))  # v1: encoded
+    assert "files_base" in _raw(t, 1)
+    IncrementalRollup._stamp(object(), t, 7)  # self unused by _stamp
+    raw = _raw(t, 1)
+    assert "files_base" in raw  # still encoded
+    assert raw["stats"]["base_version"] == 7
+    assert t.get_commit().stats["base_version"] == 7
+    assert t.read().count() == 33
