@@ -226,3 +226,58 @@ def test_view_stamp_preserves_encoded_record(spark, tmp_path):
     assert raw["stats"]["base_version"] == 7
     assert t.get_commit().stats["base_version"] == 7
     assert t.read().count() == 33
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    parent_files=st.lists(st.integers(0, 40), unique=True, max_size=30),
+    keep_mask=st.lists(st.booleans(), min_size=30, max_size=30),
+    added=st.lists(st.integers(100, 140), unique=True, max_size=10),
+    reorder=st.booleans(),
+    version=st.integers(1, 45),
+    stats_keys=st.lists(st.integers(0, 40), unique=True, max_size=10),
+)
+def test_codec_roundtrip_property(
+    parent_files, keep_mask, added, reorder, version, stats_keys
+):
+    """encode→materialize is the identity for EVERY child derivable
+    from a parent — kept-in-order subsets with appends take the delta
+    path; reorders and shrink-less diffs fall back to full lists; the
+    stats dict diffs by key. Pure python, no Spark."""
+    par = [f"f{i}" for i in parent_files]
+    kept = [f for f, m in zip(par, keep_mask) if m]
+    cur = kept + [f"g{i}" for i in added]
+    if reorder:
+        cur = list(reversed(cur))
+    parent = {
+        "version": version - 1,
+        "files": par,
+        "dv_files": [],
+        "stats": {"file_stats": {f"f{i}": {"id": [str(i), str(i)]} for i in parent_files}},
+    }
+    record = {
+        "version": version,
+        "op": "x",
+        "files": cur,
+        "cdf_files": [],
+        "schema_json": "{}",
+        "ts": 0.0,
+        "stats": {"file_stats": {k: {"id": [str(i), str(i)]} for i, k in enumerate(stats_keys)}},
+        "dv_files": [],
+    }
+    import copy
+
+    snap = copy.deepcopy(record)
+    enc = logcodec.encode(record, parent)
+    assert record == snap  # encode never mutates its input
+    out = logcodec.materialize(enc, lambda v: parent)
+    for key in ("files", "dv_files"):
+        assert out[key] == snap[key], (key, enc)
+    assert out["stats"].get("file_stats") == snap["stats"]["file_stats"]
+    # json-serializable on-disk form
+    import json as _json
+
+    _json.dumps(enc)
