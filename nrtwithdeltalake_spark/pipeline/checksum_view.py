@@ -100,6 +100,16 @@ class IncrementalChecksum:
         schema = base.schema()
         self.cols = list(cols) if cols else [f.name for f in schema.fields]
         self.dtypes = {f.name: f.dataType for f in schema.fields}
+        # the canonical string form a value hashes through depends on
+        # its TYPE (5 as int vs 5.0 after an int→double widening, float
+        # repr after float→double, decimal scale growth) — so a schema
+        # TYPE change invalidates the running sum exactly like a
+        # formula change does, even though every value is "the same".
+        # Positional (name-free) on purpose: a rename_column leaves the
+        # fingerprint untouched and must keep resuming.
+        self._schema_sig = ",".join(
+            self.dtypes[c].simpleString() for c in self.cols
+        )
 
     # -- state ----------------------------------------------------------------
 
@@ -118,6 +128,12 @@ class IncrementalChecksum:
             # pre-versioning commit): its running sum cannot absorb
             # this formula's deltas — treat as never-refreshed so the
             # next refresh() re-bootstraps from the snapshot
+            return -1
+        if stats.get("fp_schema") != self._schema_sig:
+            # the base schema's type signature changed (e.g. a safe
+            # int→bigint widening): pre-widening rows were summed under
+            # the old canonical string forms, so deltas computed under
+            # the new types would silently diverge — re-bootstrap
             return -1
         return stats.get("base_version", -1)
 
@@ -193,7 +209,11 @@ class IncrementalChecksum:
             except ValueError:
                 last = -1  # vacuumed past the watermark → rebuild
 
-        stamp = {"base_version": base_version, "fp_formula": FP_FORMULA_VERSION}
+        stamp = {
+            "base_version": base_version,
+            "fp_formula": FP_FORMULA_VERSION,
+            "fp_schema": self._schema_sig,
+        }
         if last < 0:
             state = self._full(self.base.read(base_version))
             if self.exists():

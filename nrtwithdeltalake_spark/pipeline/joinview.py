@@ -108,20 +108,7 @@ class IncrementalJoinView:
         return (st.get("fact_version", -1), st.get("dim_version", -1))
 
     def _stamp(self, t: VersionedTable, fv: int, dv: int) -> None:
-        # patch the RAW record — rewriting the materialized Commit
-        # would un-delta-encode the view's log (pipeline.logcodec)
-        path = t._commit_path(t.latest_version())
-        with open(path) as f:
-            raw = json.loads(f.read())
-        raw["stats"] = {
-            **(raw.get("stats") or {}),
-            "fact_version": fv,
-            "dim_version": dv,
-        }
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(raw))
-        os.replace(tmp, path)
+        t.patch_latest_stats({"fact_version": fv, "dim_version": dv})
 
     # -- refresh -------------------------------------------------------------
 

@@ -168,20 +168,7 @@ class IncrementalRollup:
         commit (merged into stats via a metadata-only rewrite of the
         commit record — single-writer, same guarantee as the log
         itself)."""
-        import json
-        import os
-
-        # patch the RAW on-disk record: rewriting the materialized
-        # Commit would permanently un-delta-encode a continuously
-        # refreshed view table's log (see pipeline.logcodec)
-        path = t._commit_path(t.latest_version())
-        with open(path) as f:
-            raw = json.loads(f.read())
-        raw["stats"] = {**(raw.get("stats") or {}), "base_version": base_version}
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(raw))
-        os.replace(tmp, path)
+        t.patch_latest_stats({"base_version": base_version})
 
     # -- reads --------------------------------------------------------------
 

@@ -333,6 +333,22 @@ class VersionedTable:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
+    def patch_latest_stats(self, extra: dict) -> None:
+        """Merge ``extra`` into the LATEST commit's stats by patching
+        the RAW on-disk record in place (atomic replace; single-writer,
+        same guarantee as the log itself). Views stamp their refresh
+        watermarks this way — patching raw keeps a delta-encoded
+        record encoded (rewriting the materialized Commit would
+        silently revert the log to full lists)."""
+        path = self._commit_path(self.latest_version())
+        with open(path) as f:
+            raw = json.loads(f.read())
+        raw["stats"] = {**(raw.get("stats") or {}), **extra}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(raw))
+        os.replace(tmp, path)
+
     def _materialized_record(self, version: int) -> dict:
         """The commit record with full file lists — delta-encoded
         records (see ``logcodec``) resolve through the parent chain,
@@ -1107,7 +1123,13 @@ class VersionedTable:
         if not shallow:
             os.makedirs(dest.data_dir, exist_ok=True)
             for i, f in enumerate(files):
-                out = os.path.join(dest.data_dir, os.path.basename(f))
+                # index-prefix the copies: basenames are NOT unique
+                # across commits (the format writer names every task
+                # file part-00000.parquet inside per-commit dirs), and
+                # a flat basename copy would silently overwrite
+                out = os.path.join(
+                    dest.data_dir, f"{i:06d}_{os.path.basename(f)}"
+                )
                 shutil.copy2(f, out)
                 files[i] = out
                 file_map[f] = out
@@ -1133,7 +1155,9 @@ class VersionedTable:
                     return uri[: len(uri) - len(plain)] + new
 
                 for i, f in enumerate(dv_files):
-                    out = os.path.join(dest.dv_dir, os.path.basename(f))
+                    out = os.path.join(
+                        dest.dv_dir, f"{i:06d}_{os.path.basename(f)}"
+                    )
                     tbl = pq.read_table(f)
                     remapped = pa.array(
                         [_remap(u) for u in tbl.column("file").to_pylist()],

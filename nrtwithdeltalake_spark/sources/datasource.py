@@ -94,15 +94,22 @@ def _versions(path: str) -> list[int]:
     )
 
 
+def _raw_commit(path: str, version: int) -> dict:
+    """The on-disk record, possibly delta-encoded — enough for fields
+    the codec never encodes (schema_json, stats flags, cdf_files)."""
+    with open(os.path.join(_log_dir(path), f"{version:020d}.json")) as f:
+        return json.loads(f.read())
+
+
 def _commit(path: str, version: int) -> dict:
     """Commit record with full file lists — delta-encoded records (see
     ``pipeline.logcodec``) resolve through the parent chain, pure local
     JSON, still SparkSession-free."""
     from ..pipeline import logcodec
 
-    with open(os.path.join(_log_dir(path), f"{version:020d}.json")) as f:
-        raw = json.loads(f.read())
-    return logcodec.materialize(raw, lambda v: _commit(path, v))
+    return logcodec.materialize(
+        _raw_commit(path, version), lambda v: _commit(path, v)
+    )
 
 
 @dataclass
@@ -429,6 +436,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         self.initial_snapshot = initial_snapshot
         self._snap_state: str | None = None
         self._snap_base: int | None = None
+        self._snap_n: int | None = None  # file count of the base commit
         self._pos: int | None = None  # last end version this reader saw
         # declared output schema minus the appended version column: every
         # commit's CDF aligns to THIS (older files null-fill newer columns)
@@ -452,7 +460,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             # 'done' marks 'everything through base delivered'
             base = self._snap_base
             p = self._snap_pos or 0
-            n = len(_commit(self.path, base).get("files", []))
+            if self._snap_n is None:
+                self._snap_n = len(_commit(self.path, base).get("files", []))
+            n = self._snap_n
             if self.max_files is not None and p + self.max_files < n:
                 return {
                     "version": base,
@@ -468,7 +478,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         for v in _versions(self.path):
             if v <= self._pos or v > latest:
                 continue
-            n = len(_commit(self.path, v).get("cdf_files", []))
+            # cdf_files is never delta-encoded: the raw record counts
+            # the backlog without materializing parent chains per trigger
+            n = len(_raw_commit(self.path, v).get("cdf_files", []))
             if n > budget and end > self._pos:
                 break  # budget spent (but always admit ≥ 1 commit)
             budget -= n
@@ -478,7 +490,12 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         v = end["version"]
         if end.get("snapshot") == "pending":
+            # checkpointed-restart recovery: this reader instance may
+            # never have seen initialOffset, so the base version must
+            # come back from the offset itself or the next
+            # latestOffset would format None into a commit path
             self._snap_state = "pending"
+            self._snap_base = v
             self._snap_pos = end.get("pos", 0)
         elif end.get("snapshot") == "done":
             self._snap_state = "done"
@@ -529,6 +546,8 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             snap_files = c.get("files", [])
             if end.get("snapshot") == "pending":
                 sel = snap_files[p0 : end["pos"]]
+                self._snap_state = "pending"
+                self._snap_base = lo
                 self._snap_pos = end["pos"]
             else:
                 # end is 'done' — or, after a restart whose reader never
@@ -564,7 +583,9 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         for v in _versions(self.path):
             if not (lo < v <= hi):
                 continue
-            c = _commit(self.path, v)
+            # stats flags and cdf_files are never delta-encoded: the
+            # raw record suffices, no parent-chain materialization
+            c = _raw_commit(self.path, v)
             if (c.get("stats") or {}).get("cdf_schema_break"):
                 # incompatible retype: no pre-images exist for this
                 # commit — the tail cannot cross it (same contract as

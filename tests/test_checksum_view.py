@@ -349,3 +349,27 @@ def test_old_formula_state_rebootstraps(spark, tmp_path):
     assert cs.current() == cs.compute_now()
     # and the re-bootstrapped state carries the current formula stamp
     assert cs._table().get_commit().stats["fp_formula"] == cv.FP_FORMULA_VERSION
+
+
+def test_checksum_rebootstraps_after_type_widening(spark, tmp_path):
+    """A safe int→bigint widening changes nothing about the values but
+    everything about their canonical string forms — a checksum state
+    carried across it must re-bootstrap, not mix old-type sums with
+    new-type deltas."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(6).select(
+            F.col("id"), (F.col("id") * 10).cast("int").alias("n")
+        ),
+    )
+    cs = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    cs.refresh()
+    # widening append: n becomes bigint
+    t.append(spark.createDataFrame([(100, 1000)], "id long, n long"))
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    t.delete("id = 0")  # the delta whose pre-image reads through bigint
+    cs2 = IncrementalChecksum(spark, t, str(tmp_path / "cs"))
+    out = cs2.refresh()
+    assert out.get("bootstrap") is True  # signature change forced rebuild
+    assert cs2.current() == cs2.compute_now()
