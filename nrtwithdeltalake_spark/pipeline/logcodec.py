@@ -74,7 +74,12 @@ def encode(record: dict, parent: dict | None) -> dict:
     fs_cur = cur_stats.get("file_stats")
     fs_par = par_stats.get("file_stats")
     if isinstance(fs_cur, dict) and isinstance(fs_par, dict) and fs_par:
-        add = {k: v for k, v in fs_cur.items() if fs_par.get(k) != v}
+        # membership test, not .get(): a NEW key whose value is None
+        # must land in the add-set (None would alias the missing-key
+        # sentinel and break encode→materialize identity)
+        add = {
+            k: v for k, v in fs_cur.items() if k not in fs_par or fs_par[k] != v
+        }
         dele = sorted(k for k in fs_par if k not in fs_cur)
         if len(add) + len(dele) < len(fs_cur):
             cur_stats.pop("file_stats")

@@ -1,0 +1,379 @@
+"""SQL DML surface for versioned tables: ``MERGE INTO`` / ``DELETE
+FROM`` / ``UPDATE`` statements routed to ``VersionedTable.merge/
+delete/update``.
+
+The reference is SQL-first — its MERGE is string-built T-SQL executed
+through a SQL session (``/root/reference/COPY_MSQL_TO_SILVER.py:
+200-209,223-249``) — and Delta exposes the same three statements as
+SQL. This engine's mutations were Python-API-only; this module closes
+that gap for migrated SQL workloads.
+
+Parsing is NOT hand-rolled: statements go through **Spark's own SQL
+parser** (``sessionState().sqlParser().parsePlan``), and this module
+interprets the resulting Catalyst logical plan (``MergeIntoTable`` /
+``DeleteFromTable`` / ``UpdateTable``) — so syntax, quoting, comments
+and expression grammar are exactly Spark SQL's. The interpreter then
+maps plan nodes onto the table API:
+
+* target resolution — ``versioned.`/abs/path``` addresses a table by
+  root path (the ``delta.`/path``` convention); any other name is
+  looked up in the catalog and must be a table registered via
+  ``VersionedTable.register`` (its LOCATION is the ``_current/``
+  manifest dir the registration maintains).
+* ``MERGE``: the ON clause must be a conjunction of same-name equality
+  keys (``t.k = s.k``) — exactly the shape the reference string-builds
+  (``:203-206``). Clauses map to ``merge()``'s parameters; target/source
+  aliases must be ``t``/``s`` (or be omitted) when clause conditions
+  reference columns, because the API evaluates those predicates over
+  aliases of those names. ``WHEN MATCHED THEN DELETE`` conditions may
+  reference only source columns (the API's CDC-flag semantics: an
+  UNMATCHED delete-flagged row is a no-op, not an insert).
+* Unsupported shapes — non-equi ON, ``UPDATE SET col=...`` in a matched
+  clause (the API is UPDATE ALL), conditional ``INSERT``, column-list
+  inserts — raise ``UnsupportedSqlError`` loudly; nothing degrades to
+  a silent approximation.
+
+Scale posture: this is a dispatcher — the statement's execution is the
+same copy-on-write merge / DV delete / update path the Python API
+takes; no extra plan, shuffle, or driver materialization is added.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import VersionedTable
+
+
+class UnsupportedSqlError(ValueError):
+    """The statement parsed, but maps onto no versioned-table operation."""
+
+
+# ---------------------------------------------------------------------------
+# plan-node helpers (py4j)
+
+
+def _seq(jseq) -> list:
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _opt(jopt):
+    return jopt.get() if jopt.isDefined() else None
+
+
+def _cls(jobj) -> str:
+    return jobj.getClass().getSimpleName()
+
+
+def _relation_parts(node) -> tuple[str | None, list[str]]:
+    """(alias, multipart identifier) of a target/source relation node,
+    unwrapping one SubqueryAlias if present."""
+    alias = None
+    if _cls(node) == "SubqueryAlias":
+        alias = node.alias()
+        node = node.child()
+    if _cls(node) != "UnresolvedRelation":
+        raise UnsupportedSqlError(
+            f"cannot resolve relation node {_cls(node)} — expected a table "
+            "name or aliased table name"
+        )
+    return alias, _seq(node.multipartIdentifier())
+
+
+def resolve_versioned(spark: SparkSession, parts: list[str]) -> VersionedTable:
+    """A VersionedTable from a statement's table identifier: either
+    ``versioned.`/path``` (path addressing) or a catalog name whose
+    LOCATION is a ``register()``-maintained ``_current/`` dir."""
+    if len(parts) == 2 and parts[0].lower() == "versioned":
+        root = parts[1]
+        if not VersionedTable.exists(root):
+            raise ValueError(f"no versioned table at path {root!r}")
+        return VersionedTable(spark, root)
+    name = ".".join(f"`{p}`" for p in parts)
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    location = next(
+        (r.data_type for r in rows if r.col_name == "Location"), None
+    )
+    if not location:
+        raise ValueError(f"catalog table {name} has no LOCATION")
+    path = re.sub(r"^[a-z][a-z0-9+.-]*:(//)?", "", location)
+    if os.path.basename(path.rstrip("/")) != "_current":
+        raise UnsupportedSqlError(
+            f"{name} is not a versioned table registered via register() "
+            f"(location {location!r} is not a _current/ manifest dir) — "
+            "DML through this dispatcher only mutates versioned tables"
+        )
+    root = os.path.dirname(path.rstrip("/"))
+    if not VersionedTable.exists(root):
+        raise ValueError(f"{name}: no commit log found at {root!r}")
+    return VersionedTable(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# condition/text utilities
+
+
+def _strip_outer_parens(sql: str) -> str:
+    s = sql.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0 and i < len(s) - 1:
+                return s  # outer parens don't wrap the whole string
+        s = s[1:-1].strip()
+    return s
+
+
+def _split_top_and(sql: str) -> list[str]:
+    """Split a Catalyst-printed condition on top-level ANDs."""
+    s = _strip_outer_parens(sql)
+    out, depth, last = [], 0, 0
+    i = 0
+    up = s.upper()
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "'":  # skip string literal
+            j = i + 1
+            while j < len(s) and s[j] != "'":
+                j += 1
+            i = j
+        elif depth == 0 and up.startswith(" AND ", i):
+            out.append(s[last:i])
+            i += 4
+            last = i + 1
+        i += 1
+    out.append(s[last:])
+    return [_strip_outer_parens(p) for p in out]
+
+
+_EQ_KEY = re.compile(
+    r"^\s*`?(?:(?P<la>[A-Za-z_][\w]*)`?\s*\.\s*)?`?(?P<lc>[A-Za-z_][\w]*)`?\s*"
+    r"=\s*`?(?:(?P<ra>[A-Za-z_][\w]*)`?\s*\.\s*)?`?(?P<rc>[A-Za-z_][\w]*)`?\s*$"
+)
+
+
+def _merge_keys(cond_sql: str) -> list[str]:
+    """Equality key columns from an ON condition; requires the
+    reference's shape — a conjunction of same-name column equalities."""
+    keys = []
+    for part in _split_top_and(cond_sql):
+        m = _EQ_KEY.match(part)
+        if not m or m.group("lc").lower() != m.group("rc").lower():
+            raise UnsupportedSqlError(
+                f"MERGE ON clause term {part!r} is not a same-name column "
+                "equality (t.k = s.k) — the merge API joins on key "
+                "columns; rewrite the condition as key equalities"
+            )
+        keys.append(m.group("lc"))
+    return keys
+
+
+_ALIAS_REF = re.compile(r"(?<![\w.`])([A-Za-z_]\w*)\s*\.")
+
+
+def _check_aliases(cond_sql: str, allowed: set[str], where: str) -> None:
+    refs = {m.group(1) for m in _ALIAS_REF.finditer(cond_sql)}
+    bad = refs - allowed
+    if bad:
+        raise UnsupportedSqlError(
+            f"{where} references alias(es) {sorted(bad)}; the merge API "
+            f"evaluates this predicate over aliases {sorted(allowed)} — "
+            "alias the target as `t` and the source as `s`"
+        )
+
+
+def _strip_alias(cond_sql: str, alias: str) -> str:
+    """Remove `alias.` qualifiers (for predicates the API evaluates on
+    one side only, where qualified references would not resolve)."""
+    return re.sub(rf"(?<![\w.`]){re.escape(alias)}\s*\.\s*", "", cond_sql)
+
+
+def _source_df(spark: SparkSession, sql_text: str, node) -> DataFrame:
+    """DataFrame for the USING source: a named table resolves through
+    the session catalog; a subquery is extracted from the original
+    statement text (balanced parens after USING) and run via
+    spark.sql — the parser already validated it."""
+    if _cls(node) == "SubqueryAlias" and _cls(node.child()) == "UnresolvedRelation":
+        return spark.table(".".join(_seq(node.child().multipartIdentifier())))
+    if _cls(node) == "UnresolvedRelation":
+        return spark.table(".".join(_seq(node.multipartIdentifier())))
+    m = re.search(r"\bUSING\b", sql_text, re.IGNORECASE)
+    if not m:
+        raise UnsupportedSqlError("MERGE statement has no USING clause")
+    i = sql_text.find("(", m.end())
+    if i < 0:
+        raise UnsupportedSqlError(
+            f"cannot extract MERGE source (node {_cls(node)})"
+        )
+    depth = 0
+    for j in range(i, len(sql_text)):
+        ch = sql_text[j]
+        if ch == "'":
+            j2 = sql_text.find("'", j + 1)
+            if j2 < 0:
+                break
+        depth += ch == "("
+        depth -= ch == ")"
+        if depth == 0:
+            return spark.sql(sql_text[i + 1 : j])
+    raise UnsupportedSqlError("unbalanced parentheses in MERGE source")
+
+
+# ---------------------------------------------------------------------------
+# statement executors
+
+
+def _execute_merge(spark: SparkSession, plan, sql_text: str) -> dict:
+    t_alias, t_parts = _relation_parts(plan.targetTable())
+    table = resolve_versioned(spark, t_parts)
+    src_node = plan.sourceTable()
+    s_alias = src_node.alias() if _cls(src_node) == "SubqueryAlias" else None
+    source = _source_df(spark, sql_text, src_node)
+
+    for alias, side in ((t_alias, "target"), (s_alias, "source")):
+        if alias is not None and alias not in ("t", "s"):
+            # conditions below are evaluated over t/s; enforce up front
+            # rather than letting a predicate silently miss its alias
+            raise UnsupportedSqlError(
+                f"{side} alias {alias!r} unsupported — alias the target "
+                "as `t` and the source as `s` (or omit aliases)"
+            )
+
+    keys = _merge_keys(plan.mergeCondition().sql())
+
+    matched_update_condition = None
+    delete_condition = None
+    saw_update_star = False
+    for a in _seq(plan.matchedActions()):
+        kind = _cls(a)
+        cond = _opt(a.condition())
+        if kind == "UpdateStarAction":
+            if saw_update_star:
+                raise UnsupportedSqlError("multiple UPDATE SET * clauses")
+            saw_update_star = True
+            if cond is not None:
+                _check_aliases(cond.sql(), {"t", "s"}, "WHEN MATCHED AND ...")
+                matched_update_condition = cond.sql()
+        elif kind == "DeleteAction":
+            if delete_condition is not None:
+                raise UnsupportedSqlError("multiple WHEN MATCHED DELETE clauses")
+            if cond is None:
+                raise UnsupportedSqlError(
+                    "unconditional WHEN MATCHED THEN DELETE is unsupported: "
+                    "the API's delete flag is evaluated on SOURCE rows "
+                    "(CDC semantics — unmatched flagged rows are no-ops, "
+                    "not inserts); add a source-column condition"
+                )
+            _check_aliases(cond.sql(), {"s"}, "WHEN MATCHED ... THEN DELETE")
+            delete_condition = _strip_alias(cond.sql(), "s")
+        else:
+            raise UnsupportedSqlError(
+                f"matched clause {kind} unsupported — the merge API is "
+                "UPDATE ALL (`UPDATE SET *`) or DELETE"
+            )
+
+    inserts = _seq(plan.notMatchedActions())
+    if len(inserts) != 1 or _cls(inserts[0]) != "InsertStarAction":
+        raise UnsupportedSqlError(
+            "exactly one `WHEN NOT MATCHED THEN INSERT *` clause is "
+            "required (the merge API always inserts unmatched source rows)"
+        )
+    if _opt(inserts[0].condition()) is not None:
+        raise UnsupportedSqlError("conditional INSERT is unsupported")
+
+    nmbs_delete = None
+    nmbs_update = None
+    nmbs_update_condition = None
+    for a in _seq(plan.notMatchedBySourceActions()):
+        kind = _cls(a)
+        cond = _opt(a.condition())
+        if cond is not None:
+            _check_aliases(cond.sql(), {"t"}, "WHEN NOT MATCHED BY SOURCE")
+        cond_sql = _strip_alias(cond.sql(), "t") if cond is not None else None
+        if kind == "DeleteAction":
+            if nmbs_delete is not None:
+                raise UnsupportedSqlError("multiple BY SOURCE DELETE clauses")
+            nmbs_delete = cond_sql or "true"
+        elif kind == "UpdateAction":
+            if nmbs_update is not None:
+                raise UnsupportedSqlError("multiple BY SOURCE UPDATE clauses")
+            nmbs_update = {}
+            for asn in _seq(a.assignments()):
+                col = asn.key().sql().strip("`")
+                _check_aliases(asn.value().sql(), {"t"}, "BY SOURCE UPDATE SET")
+                nmbs_update[col] = _strip_alias(asn.value().sql(), "t")
+            nmbs_update_condition = cond_sql
+        else:
+            raise UnsupportedSqlError(f"BY SOURCE clause {kind} unsupported")
+
+    return table.merge(
+        source,
+        keys,
+        delete_condition=delete_condition,
+        matched_update_condition=matched_update_condition,
+        not_matched_by_source_delete=nmbs_delete,
+        not_matched_by_source_update=nmbs_update,
+        not_matched_by_source_update_condition=nmbs_update_condition,
+    )
+
+
+def _execute_delete(spark: SparkSession, plan) -> dict:
+    _, parts = _relation_parts(plan.table())
+    table = resolve_versioned(spark, parts)
+    return {"version": table.delete(plan.condition().sql())}
+
+
+def _execute_update(spark: SparkSession, plan) -> dict:
+    from pyspark.sql import functions as F
+
+    _, parts = _relation_parts(plan.table())
+    table = resolve_versioned(spark, parts)
+    cond = _opt(plan.condition())
+    assignments = {}
+    for asn in _seq(plan.assignments()):
+        assignments[asn.key().sql().strip("`")] = F.expr(asn.value().sql())
+    return {
+        "version": table.update(
+            cond.sql() if cond is not None else "true", assignments
+        )
+    }
+
+
+def execute_dml(spark: SparkSession, sql_text: str) -> dict:
+    """Parse and execute one MERGE/DELETE/UPDATE statement against a
+    versioned table; returns the operation's result dict (at minimum
+    the new ``version``). Any other statement kind raises
+    UnsupportedSqlError — route it to ``spark.sql`` instead."""
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
+    kind = _cls(plan)
+    if kind == "MergeIntoTable":
+        try:
+            wse = bool(plan.withSchemaEvolution())
+        except Exception:  # older plan shape without the clause
+            wse = False
+        if wse:
+            # merge() already evolves schema by default; the explicit
+            # clause would imply Delta's stricter opt-in semantics
+            raise UnsupportedSqlError(
+                "WITH SCHEMA EVOLUTION clause is unsupported (schema "
+                "evolution is the merge API's default behavior)"
+            )
+        return _execute_merge(spark, plan, sql_text)
+    if kind == "DeleteFromTable":
+        return _execute_delete(spark, plan)
+    if kind == "UpdateTable":
+        return _execute_update(spark, plan)
+    raise UnsupportedSqlError(
+        f"statement parses to {kind}, which this dispatcher does not "
+        "execute — only MERGE INTO / DELETE FROM / UPDATE on versioned "
+        "tables; run queries through spark.sql"
+    )

@@ -26,6 +26,7 @@ executor-parallel; only file *lists* (metadata) touch the driver.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -425,7 +426,9 @@ class VersionedTable:
         publish_commit_file(self.log_dir, commit.version, json.dumps(payload))
         reg = self._read_registration()
         if reg is not None:
-            self._sync_registration(commit, reg)
+            self._sync_registration(
+                commit, reg, parent_files=parent["files"] if parent else None
+            )
 
     # -- metastore registration (O5) ---------------------------------------
 
@@ -478,21 +481,74 @@ class VersionedTable:
         )
         return self
 
-    def _sync_registration(self, commit: Commit, reg: dict) -> None:
+    @staticmethod
+    def _link_name(fpath: str) -> str:
+        """Stable, position-independent ``_current/`` entry name for a
+        source data file: a short path digest (clone sources live in
+        OTHER table dirs, so basenames alone could collide) + the
+        basename (human-debuggable). Stability across commits is what
+        makes the incremental diff sync possible."""
+        digest = hashlib.sha1(fpath.encode()).hexdigest()[:12]
+        return f"{digest}_{os.path.basename(fpath)}"
+
+    @staticmethod
+    def _link_in(fpath: str, dst: str) -> None:
+        try:
+            os.link(fpath, dst)
+        except FileExistsError:
+            pass  # crashed prior sync already linked it; same inode
+        except OSError:  # cross-device / fs without hardlinks
+            shutil.copy2(fpath, dst)
+
+    def _sync_registration(
+        self, commit: Commit, reg: dict, parent_files: list[str] | None = None
+    ) -> None:
+        """Maintain ``_current/`` (hardlink manifest dir) + the catalog
+        entry for a registered table.
+
+        Cost model (the logcodec idea applied to the manifest dir):
+        *append-only* commits — the NRT per-trigger hot path — link just
+        the commit's new files into the live dir: O(churn) metadata ops,
+        not O(live files). A reader listing the dir mid-sync sees old
+        files plus a prefix of the appends — exactly the visibility any
+        raw parquet directory gives while a writer drops files in; no
+        duplicates, no loss. Commits that REMOVE files (merge rewrites,
+        compaction, materialized deletes) take the build-then-rename
+        path: in-place unlink+link interleavings would expose
+        torn snapshots (rows missing or doubled) to concurrent external
+        readers, and an atomic dir swap is the only POSIX way to cut
+        over a plain-parquet manifest in one step — so full rebuilds
+        stay O(live files) by design, paid only on rewriting commits
+        (register compacted silver, not merge-heavy bronze)."""
         cur = self._current_dir()
-        tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
-        os.makedirs(tmp)
-        for i, fpath in enumerate(commit.files):
-            dst = os.path.join(tmp, f"{i:06d}_{os.path.basename(fpath)}")
+        prev_synced = reg.get("synced_version")
+        if parent_files is None and prev_synced == commit.version - 1:
             try:
-                os.link(fpath, dst)
-            except OSError:  # cross-device / fs without hardlinks
-                shutil.copy2(fpath, dst)
-        old = f"{cur}.old.{uuid.uuid4().hex}"
-        if os.path.exists(cur):
-            os.rename(cur, old)
-        os.rename(tmp, cur)
-        shutil.rmtree(old, ignore_errors=True)
+                parent_files = self._materialized_record(prev_synced)["files"]
+            except FileNotFoundError:
+                parent_files = None
+        incremental = (
+            os.path.isdir(cur)
+            and prev_synced == commit.version - 1
+            and parent_files is not None
+            and reg.get("schema_json") == commit.schema_json
+            and set(parent_files) <= set(commit.files)  # append-only
+        )
+        if incremental:
+            prev = set(parent_files)
+            for fpath in commit.files:
+                if fpath not in prev:
+                    self._link_in(fpath, os.path.join(cur, self._link_name(fpath)))
+        else:
+            tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
+            os.makedirs(tmp)
+            for fpath in commit.files:
+                self._link_in(fpath, os.path.join(tmp, self._link_name(fpath)))
+            old = f"{cur}.old.{uuid.uuid4().hex}"
+            if os.path.exists(cur):
+                os.rename(cur, old)
+            os.rename(tmp, cur)
+            shutil.rmtree(old, ignore_errors=True)
 
         fq = f"`{reg['db']}`.`{reg['table']}`"
         if reg.get("schema_json") != commit.schema_json:
@@ -514,6 +570,7 @@ class VersionedTable:
                     "db": reg["db"],
                     "table": reg["table"],
                     "schema_json": commit.schema_json,
+                    "synced_version": commit.version,
                 },
                 f,
             )
@@ -2535,9 +2592,12 @@ class VersionedTable:
         doomed = drop - keep
         freed = 0
         n_deleted = 0
-        root = self.path + os.sep
+        # realpath both sides, mirroring the orphan pass below: a table
+        # opened through a symlinked/alternate path spelling must still
+        # recognize (and reclaim) its own files
+        root = os.path.realpath(self.path) + os.sep
         for f in sorted(doomed):
-            if not f.startswith(root):
+            if not os.path.realpath(f).startswith(root):
                 # a shallow clone's early commits reference files inside
                 # the SOURCE table's tree — reclaiming our own history
                 # must never delete another table's live data

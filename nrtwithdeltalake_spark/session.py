@@ -21,6 +21,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from nrtwithdeltalake_spark._protobuf_compat import ensure_protobuf
+
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
@@ -35,6 +37,9 @@ def build_spark(
     On a cluster, ``master`` comes from spark-submit; locally we default to
     ``local[$SPARK_GRAFT_CPUS]``.
     """
+    # must run before the JVM launches: workers inherit the PYTHONPATH /
+    # env this sets (see _protobuf_compat module docstring)
+    ensure_protobuf()
     master = master or f"local[{DEFAULT_CPUS}]"
     n_shuffle = shuffle_partitions or int(DEFAULT_CPUS)
     builder = (

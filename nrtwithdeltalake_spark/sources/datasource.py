@@ -472,6 +472,14 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             return {"version": base, "snapshot": "done"}
         latest = _versions(self.path)[-1]
         if self.max_files is None or self._pos is None:
+            # _pos None = a checkpointed restart whose resume point this
+            # reader has not observed yet (Spark hands the checkpoint to
+            # partitions()/commit(), never to latestOffset) — including
+            # a restart mid-initial-snapshot. That one recovery
+            # micro-batch is UNBOUNDED (snapshot remainder + full CDF
+            # tail, maxFilesPerTrigger not applied); exactness is
+            # preserved by the mixed-pair handling in partitions(), and
+            # rate limiting resumes from the next trigger on.
             return {"version": latest}
         budget = self.max_files
         end = self._pos

@@ -18,12 +18,18 @@ deltas, not a full snapshot.
 
 Runtime dependency: the TWS python worker exchanges state over protobuf
 with the JVM state server; executing (not merely planning) a TWS query
-requires the ``protobuf`` package. The end-to-end test is gated on it
-(``tests/test_streaming.py``); plan construction and output schema are
-asserted unconditionally.
+requires a ``google.protobuf`` runtime. ``_protobuf_compat.
+ensure_protobuf()`` (run by ``session.build_spark``) locates a public
+runtime when none is pip-installed; the end-to-end tests
+(``tests/test_streaming.py``: running profiles across a checkpointed
+restart, and TTL expiry) execute the full worker↔state-server path.
+Execution also requires the RocksDB state store — see
+``rocksdb_state`` below.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -31,6 +37,57 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_ROCKSDB_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+    # Spark 4.1's checkpoint file-checksum manager deadlocks local-mode
+    # RocksDB snapshot uploads (executor tasks park forever in
+    # ChecksumCheckpointFileManager.awaitResult inside
+    # RocksDBFileManager.saveCheckpointToDfs — observed via jstack);
+    # the checksum is an integrity add-on, not a correctness dependency.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    # per-batch checkpointing ships the RocksDB CHANGELOG, not a full
+    # snapshot zip — O(churn) per batch instead of O(state); snapshots
+    # still happen in background maintenance. Besides being the right
+    # 100 TB posture, locally each snapshot file op goes through
+    # Hadoop's ChecksumFs, which forks a shell per rename (observed:
+    # minutes-long micro-batches on a 32-core box without this).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+@contextlib.contextmanager
+def rocksdb_state(spark):
+    """Run a ``with`` block under the RocksDB state store provider.
+
+    TWS keeps each named state/timer handle in its own column family,
+    which Spark's default ``HDFSBackedStateStoreProvider`` does not
+    support — starting a TWS query under it fails with
+    STATE_STORE_MULTIPLE_COLUMN_FAMILIES. Streaming queries capture SQL
+    confs at ``.start()``, so wrapping only the start call is enough;
+    the previous confs are restored for later queries (the rest of the
+    suite's stateful queries keep the in-memory default)."""
+    prev: dict[str, str | None] = {}
+    for k, v in _ROCKSDB_CONFS.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
 
 PROFILE_OUT_SCHEMA = (
     "user_id long, n_events long, total_value double, last_seen timestamp"
@@ -85,10 +142,16 @@ class RunningProfileProcessor(StatefulProcessor):
 def running_profiles(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming per-user running profiles over the ``events`` schema
     (``ts``, ``user_id``, ``value``); one updated row per active key per
-    micro-batch."""
+    micro-batch.
+
+    timeMode is ``none`` unless TTL is requested: with a time mode, TWS
+    answers "should run another batch" affirmatively on every trigger
+    (processing-time timers might fire), which turns an
+    ``availableNow`` drain into an unbounded micro-batch loop (observed:
+    200+ empty epochs for a 1-file source before timeout)."""
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningProfileProcessor(ttl_ms),
         PROFILE_OUT_SCHEMA,
         outputMode="update",
-        timeMode="processingTime",
+        timeMode="none" if ttl_ms is None else "processingTime",
     )

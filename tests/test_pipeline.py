@@ -815,6 +815,69 @@ def test_register_makes_table_name_addressable_across_sessions(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS reg_db1 CASCADE")
 
 
+def test_register_sync_is_o_churn_on_append(spark, tmp_path, monkeypatch):
+    """A single-file append to a registered N-file table performs
+    O(churn) link ops — only the commit's NEW files are linked into
+    ``_current/`` (the logcodec idea applied to the hardlink manifest
+    dir), never the N live files. Rewriting commits (merge) still take
+    the atomic build-then-rename and stay correct through the name."""
+    import os as _os
+
+    import nrtwithdeltalake_spark.pipeline.tables as tb
+
+    path = str(tmp_path / "regchurn")
+    t = VersionedTable.create(
+        spark, path, _txn_df(spark, [(1, "a", 1.0)], "2024-01-01 10:00:00")
+    )
+    for i in range(2, 10):
+        t.append(_txn_df(spark, [(i, "x", float(i))], "2024-01-01 10:00:00"))
+    t.register("reg_db3", "regchurn")
+    try:
+        n_live = len(t.get_commit().files)
+        assert n_live >= 9
+
+        linked = []
+        real_link = _os.link
+        monkeypatch.setattr(
+            tb.os,
+            "link",
+            lambda s, d: (
+                linked.append(d) if "_current" in d else None,
+                real_link(s, d),
+            )[1],
+        )
+        t.append(_txn_df(spark, [(100, "y", 9.9)], "2024-01-02 10:00:00"))
+        added = len(t.get_commit().files) - n_live
+        assert added >= 1
+        assert len(linked) == added, (
+            f"append linked {len(linked)} files into _current/ for a "
+            f"{added}-file commit over {n_live} live files — sync is not "
+            "O(churn)"
+        )
+        monkeypatch.undo()
+
+        fresh = spark.newSession()
+        fresh.sql("REFRESH TABLE reg_db3.regchurn")
+        assert {
+            r.TransactionId for r in fresh.table("reg_db3.regchurn").collect()
+        } == set(range(1, 10)) | {100}
+
+        # a rewriting commit falls back to the atomic rebuild and the
+        # registered name keeps reading the post-merge snapshot
+        t.merge(
+            _txn_df(spark, [(1, "a2", 11.0)], "2024-01-03 10:00:00"),
+            ["TransactionId"],
+        )
+        fresh.sql("REFRESH TABLE reg_db3.regchurn")
+        got = {
+            r.TransactionId: r.TransactionAmount
+            for r in fresh.table("reg_db3.regchurn").collect()
+        }
+        assert got[1] == 11.0 and set(got) == set(range(1, 10)) | {100}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS reg_db3 CASCADE")
+
+
 def test_register_follows_schema_evolution(spark, tmp_path):
     """Schema evolution re-creates the catalog entry: after a merge adds
     a column, the registered name exposes it (nulls on old rows)."""

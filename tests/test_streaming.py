@@ -541,17 +541,19 @@ def test_transform_with_state_running_profiles(spark, tmp_path):
     must equal a batch recomputation over all batches.
 
     The TWS python worker talks to the JVM state server over protobuf;
-    environments without the protobuf package can't execute it (the
-    module still imports — the plan/schema surface stays checkable), so
-    this end-to-end test is gated on the dependency."""
+    _protobuf_compat.ensure_protobuf() (invoked by build_spark, i.e. by
+    the session fixture) locates a public runtime when none is
+    pip-installed. Only if none can be found anywhere does this gate
+    skip. TWS also requires the RocksDB state store (named column
+    families), set per-query below."""
     import datetime as dt
 
     import pytest
 
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithStateInPandas worker requires protobuf",
-    )
+    from nrtwithdeltalake_spark._protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime found for the TWS worker")
 
     from nrtwithdeltalake_spark.streaming import tws
 
@@ -581,21 +583,33 @@ def test_transform_with_state_running_profiles(spark, tmp_path):
     )
     batch1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
 
-    stream = spark.readStream.schema(batch1.schema).parquet(f"{sdir}/*.parquet")
-    q = (
-        tws.running_profiles(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName("t_tws_prof")
-        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
-        .start()
-    )
-    q.processAllAvailable()
-    batch2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
-    q.processAllAvailable()
-    q.stop()
+    rows = []
 
-    rows = spark.sql("SELECT * FROM t_tws_prof").collect()
+    def run_once():
+        """One availableNow run against the shared checkpoint: drains
+        what's there, then self-stops — the second run proves TWS state
+        survives a checkpointed restart. (availableNow, not
+        processAllAvailable: a free-running stateful query fires empty
+        micro-batches continuously, each paying state-checkpoint cost;
+        foreachBatch, not the memory sink, which refuses checkpoint
+        recovery.)"""
+        stream = spark.readStream.schema(batch1.schema).parquet(
+            f"{sdir}/*.parquet"
+        )
+        with tws.rocksdb_state(spark):
+            q = (
+                tws.running_profiles(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: rows.extend(bdf.collect()))
+                .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+                .trigger(availableNow=True)
+                .start()
+            )
+        assert q.awaitTermination(300), "TWS micro-batch did not finish"
+
+    run_once()
+    batch2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    run_once()
     # latest emission per user = final profile
     final = {}
     for r in rows:
@@ -617,6 +631,76 @@ def test_transform_with_state_running_profiles(spark, tmp_path):
     for u, r in final.items():
         n, t, last = want[u]
         assert (r.n_events, r.total_value, r.last_seen) == (n, t, last), u
+
+
+def test_transform_with_state_ttl_expires_state(spark, tmp_path):
+    """Engine-enforced state TTL: a key's profile written with a 1 ms
+    TTL is gone by the next micro-batch, so the second batch restarts
+    the count at 1 instead of accumulating — the bounded-state story a
+    100 TB/day stream needs, executed for real."""
+    import datetime as dt
+    import time as _time
+
+    import pytest
+
+    from nrtwithdeltalake_spark._protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime found for the TWS worker")
+
+    from nrtwithdeltalake_spark.streaming import tws
+
+    def d(s):
+        return dt.datetime.fromisoformat(s)
+
+    sdir = str(tmp_path / "src_ttl")
+    os.makedirs(sdir, exist_ok=True)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, d("2024-01-01 10:00:00"), 1, "click", 2.0, "{}")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, d("2024-01-01 11:00:00"), 1, "buy", 7.0, "{}")], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+
+    rows = []
+
+    def run_one_batch():
+        """TTL requires processingTime timeMode, under which TWS asks
+        for another batch on EVERY trigger — availableNow never
+        terminates and processAllAvailable never latches quiescence.
+        Trigger.Once runs exactly one micro-batch and stops, which is
+        precisely what a deterministic expiry test needs."""
+        stream = spark.readStream.schema(b1.schema).parquet(
+            f"{sdir}/*.parquet"
+        )
+        with tws.rocksdb_state(spark):
+            q = (
+                tws.running_profiles(stream, ttl_ms=1)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda bdf, _bid: rows.extend(bdf.collect()))
+                .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+                .trigger(once=True)
+                .start()
+            )
+        assert q.awaitTermination(300), "TWS micro-batch did not finish"
+
+    run_one_batch()
+    _time.sleep(2)  # let the 1 ms TTL lapse in wall-clock time
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    run_one_batch()
+
+    per_batch = [
+        (r.n_events, r.total_value) for r in rows if r.user_id == 1
+    ]
+    assert per_batch[0] == (1, 2.0)
+    # state expired between batches: the second emission restarts at 1
+    # (an un-TTL'd profile would read (2, 9.0))
+    assert per_batch[-1] == (1, 7.0), per_batch
 
 
 def test_transform_with_state_plan_builds(spark, tmp_path):

@@ -1,0 +1,164 @@
+"""Table-format operations micro-bench: puts measured numbers behind
+the versioned-table claims (merge, deletion-vector vs copy-on-write
+delete, commit-log snapshot resolution).
+
+``bench.py`` measures queries and ``tools/stream_bench.py`` measures
+streams; this tool measures the table format itself — the engine's NRT
+core (O6 merge is the reference's central operator,
+``/root/reference/COPY_MSQL_TO_SILVER.py:200-209``):
+
+* ``merge_pct{1,10,50}`` — MERGE upsert throughput (source rows/s and
+  wall secs) when the batch's keys touch ~1% / ~10% / ~50% of the
+  table's files. Copy-on-write cost scales with TOUCHED files, not
+  table size — the numbers make that claim measurable.
+* ``delete_cow`` vs ``delete_dv`` — a sparse predicate hitting every
+  file (0.1% of rows, uniformly spread): the CoW worst case (rewrites
+  the whole table) against the merge-on-read deletion-vector path
+  (writes only position sidecars). The ratio is the DV crossover
+  argument.
+* ``read_at_checkpoint`` vs ``read_mid_chain`` — snapshot resolution +
+  count at a logcodec checkpoint version vs a version
+  ``CHECKPOINT_EVERY-1`` deltas past one: the delta-decode chain cost.
+
+Run: ``python tools/table_bench.py [n_rows]`` (default 1.2M). Prints
+one JSON line: ``{"cases": {...}, "n_rows": N, "n_files": F}``.
+Recorded floors live in TABLE_BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nrtwithdeltalake_spark.pipeline import logcodec
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+from nrtwithdeltalake_spark.session import build_spark
+
+N_FILES = 32
+
+
+def _base_df(spark, n_rows: int):
+    """Key-ranged rows so a key-interval merge batch touches a
+    controlled fraction of the table's files."""
+    return spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("s"),
+    )
+
+
+def _fresh_table(spark, root: str, name: str, n_rows: int) -> VersionedTable:
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    df = _base_df(spark, n_rows).repartitionByRange(N_FILES, "k")
+    return VersionedTable.create(spark, path, df)
+
+
+def bench_merge(spark, root: str, n_rows: int, pct: int) -> dict:
+    """Merge a batch whose keys span the first `pct`% of key space:
+    ~pct% of the range-partitioned files are touched; half the batch
+    updates existing keys, half inserts new ones."""
+    t = _fresh_table(spark, root, f"merge_{pct}", n_rows)
+    span = n_rows * pct // 100
+    batch = spark.range(span // 64).select(
+        (F.col("id") * 64).alias("k"),  # spread across the span
+        F.lit(-1.0).alias("v"),
+        F.lit("updated").alias("s"),
+    )
+    inserts = spark.range(span // 64).select(
+        (F.col("id") + n_rows).alias("k"),
+        F.lit(-2.0).alias("v"),
+        F.lit("inserted").alias("s"),
+    )
+    src = batch.unionAll(inserts)
+    n_src = src.count()  # materialize the plan outside the timed window
+    t0 = time.monotonic()
+    t.merge(src, ["k"])
+    secs = time.monotonic() - t0
+    touched = len(set(t.get_commit(0).files) - set(t.get_commit().files))
+    return {
+        "secs": round(secs, 3),
+        "src_rows_per_s": int(n_src / secs),
+        "files_touched": touched,
+        "files_total": N_FILES,
+    }
+
+
+def bench_delete(spark, root: str, n_rows: int, use_dv: bool) -> dict:
+    """0.1% of rows, uniformly spread so EVERY file is hit — the
+    worst case for copy-on-write, the design case for DVs."""
+    t = _fresh_table(spark, root, f"del_{'dv' if use_dv else 'cow'}", n_rows)
+    t0 = time.monotonic()
+    n = t.delete("k % 1000 = 0", use_dv=use_dv)
+    secs = time.monotonic() - t0
+    t0 = time.monotonic()
+    remaining = t.read().count()
+    read_secs = time.monotonic() - t0
+    assert remaining == n_rows - n, (remaining, n_rows, n)
+    return {
+        "secs": round(secs, 3),
+        "deleted_rows": n,
+        "post_delete_read_secs": round(read_secs, 3),
+    }
+
+
+def bench_snapshot_read(spark, root: str, n_rows: int) -> dict:
+    """Build a history of 2*CHECKPOINT_EVERY+1 commits of small appends;
+    time read(version).count() at a checkpoint version vs the version
+    just before the next checkpoint (longest delta chain)."""
+    ck = logcodec.CHECKPOINT_EVERY
+    t = _fresh_table(spark, root, "snap", n_rows // 10)
+    one = spark.range(1).select(
+        (F.col("id") + 10_000_000).alias("k"),
+        F.lit(0.0).alias("v"),
+        F.lit("x").alias("s"),
+    )
+    for _ in range(2 * ck):
+        t.append(one)
+    out = {}
+    for label, version in (
+        ("read_at_checkpoint", 2 * ck),
+        ("read_mid_chain", 2 * ck - 1),
+    ):
+        t0 = time.monotonic()
+        t.read(version=version).count()
+        out[label] = {"secs": round(time.monotonic() - t0, 3), "version": version}
+    return out
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    root = os.path.join("/tmp", f"table_bench_{os.getpid()}")
+    os.makedirs(root, exist_ok=True)
+    spark = build_spark(app_name="table_bench")
+    try:
+        cases = {}
+        for pct in (1, 10, 50):
+            cases[f"merge_pct{pct}"] = bench_merge(spark, root, n_rows, pct)
+        cases["delete_cow"] = bench_delete(spark, root, n_rows, use_dv=False)
+        cases["delete_dv"] = bench_delete(spark, root, n_rows, use_dv=True)
+        cases.update(bench_snapshot_read(spark, root, n_rows))
+        print(
+            json.dumps(
+                {
+                    "metric": "table_ops",
+                    "n_rows": n_rows,
+                    "n_files": N_FILES,
+                    "cases": cases,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
