@@ -271,34 +271,160 @@ def _attach_ids(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+class LocalLinkCommitStore:
+    """The default commit primitive: POSIX hardlink put-if-absent.
+
+    THE contract every backend must meet (this is the single seam the
+    whole format's optimistic concurrency rests on):
+
+    ``put_if_absent(target, payload) -> bool`` publishes the COMPLETE
+    payload at ``target`` if and only if nothing exists there, ATOMICALLY
+    with respect to every concurrent caller — of all racers for one
+    target, exactly one returns True; the rest return False and the
+    stored bytes are exactly the winner's. Readers must never observe a
+    partial payload. A crash mid-call must leave either nothing or the
+    full payload at ``target``.
+
+    Local/POSIX (this class, also correct for HDFS via create-no-
+    overwrite): write a tempfile in the same directory, then
+    ``os.link`` to the target — link is atomic and fails with EEXIST
+    for losers.
+
+    S3-class object stores: a bare PUT is last-writer-wins and a
+    HEAD-then-PUT race loses commits SILENTLY — do NOT point this
+    engine at S3 through a filesystem shim. Implement the seam with the
+    store's conditional write (S3 ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``, ADLS ETag preconditions) or an
+    external coordinator (the DynamoDB lock table Delta's S3DynamoDBLogStore
+    uses). ``tests/test_logcodec.py`` carries a conformance storm
+    (``storm_commit_store``) that any new backend must pass — a fake
+    non-atomic (check-then-put) store demonstrably fails it."""
+
+    def put_if_absent(self, target: str, payload: str) -> bool:
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        if os.path.exists(target):
+            return False
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+COMMIT_STORE = LocalLinkCommitStore()
+
+
+def storm_commit_store(store, scratch_dir: str, racers: int = 16) -> None:
+    """Conformance check for the put-if-absent contract: ``racers``
+    threads race one target; exactly one may win and the stored bytes
+    must be the winner's. Raises AssertionError on any violation —
+    point it at a candidate backend before trusting commits to it."""
+    import threading
+
+    target = os.path.join(scratch_dir, "storm_commit.json")
+    results: list[tuple[int, bool]] = []
+    barrier = threading.Barrier(racers)
+
+    def race(i: int) -> None:
+        barrier.wait()
+        results.append((i, store.put_if_absent(target, f"payload-{i}")))
+
+    threads = [threading.Thread(target=race, args=(i,)) for i in range(racers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [i for i, won in results if won]
+    assert len(winners) == 1, (
+        f"put_if_absent violated: {len(winners)} of {racers} racers "
+        "believe they won the same commit (lost-commit hazard)"
+    )
+    with open(target) as f:
+        assert f.read() == f"payload-{winners[0]}", (
+            "stored payload is not the winner's — torn/overwritten commit"
+        )
+
+
 def publish_commit_file(log_dir: str, version: int, payload: str) -> None:
     """Atomic put-if-absent commit publish, shared by every writer of
     the ``versioned`` log (the native API here and both DataSource
-    writers in ``sources/datasource.py``): the complete record is
-    written to a tempfile, then ``os.link``ed to the version path —
-    link fails with EEXIST atomically, so two racing writers can never
-    both believe they own a version (a bare ``rename`` would let the
-    second silently overwrite the first: a lost commit). A crash before
-    the link leaves the previous version intact (data files without a
-    commit record are invisible garbage, as in any log-structured
-    format)."""
-    os.makedirs(log_dir, exist_ok=True)
+    writers in ``sources/datasource.py``). The atomicity itself is the
+    commit-store seam's contract (``LocalLinkCommitStore``): two racing
+    writers can never both believe they own a version — a bare rename
+    or blind PUT would let the second silently overwrite the first (a
+    lost commit). A crash before publish leaves the previous version
+    intact (data files without a commit record are invisible garbage,
+    as in any log-structured format).
+
+    Checkpoint-cadence versions also refresh the ``_last_checkpoint``
+    pointer (Delta's file of the same name), which turns
+    latest-version resolution from an O(total commits) directory
+    listing into an O(commits since checkpoint) existence probe — the
+    snapshot-read tax at 10^5–10^6 commits is the listing itself."""
     target = os.path.join(log_dir, f"{version:020d}.json")
-    if os.path.exists(target):
+    if not COMMIT_STORE.put_if_absent(target, payload):
         raise CommitConflictError(
             f"concurrent write detected: version {version} exists"
         )
-    fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+    if version % logcodec.CHECKPOINT_EVERY == 0:
+        write_log_pointer(log_dir, version)
+
+
+LAST_CHECKPOINT_FILE = "_last_checkpoint"
+
+
+def write_log_pointer(log_dir: str, version: int) -> None:
+    """Atomically advance ``_last_checkpoint`` to ``version`` (never
+    backwards — a slow writer must not regress a newer pointer). The
+    pointer is advisory: every reader falls back to a full listing when
+    it is missing or stale, so a crash between commit publish and
+    pointer write costs nothing but probe length."""
+    p = os.path.join(log_dir, LAST_CHECKPOINT_FILE)
+    cur = read_log_pointer(log_dir)
+    if cur is not None and cur >= version:
+        return
+    fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".ptrtmp")
     with os.fdopen(fd, "w") as f:
-        f.write(payload)
+        json.dump({"version": version}, f)
+    os.replace(tmp, p)
+
+
+def read_log_pointer(log_dir: str) -> int | None:
     try:
-        os.link(tmp, target)
-    except FileExistsError:
-        raise CommitConflictError(
-            f"concurrent write detected: version {version} exists"
-        ) from None
-    finally:
-        os.unlink(tmp)
+        with open(os.path.join(log_dir, LAST_CHECKPOINT_FILE)) as f:
+            return int(json.load(f)["version"])
+    except (FileNotFoundError, ValueError, KeyError, TypeError):
+        return None
+
+
+def latest_version_in(log_dir: str) -> int:
+    """Resolve the newest commit version: probe forward from the
+    ``_last_checkpoint`` pointer (versions are dense — every commit is
+    parent+1 and commit files are never deleted), falling back to a
+    full directory listing for legacy/pointerless logs. Cost with a
+    pointer: O(commits since the last checkpoint) existence checks."""
+    ptr = read_log_pointer(log_dir)
+    if ptr is not None and os.path.exists(
+        os.path.join(log_dir, f"{ptr:020d}.json")
+    ):
+        v = ptr
+        while os.path.exists(os.path.join(log_dir, f"{v + 1:020d}.json")):
+            v += 1
+        return v
+    versions = [
+        int(f[: -len(".json")])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and not f.endswith(".ptrtmp")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no commits in {log_dir}")
+    return max(versions)
 
 
 class VersionedTable:
@@ -322,14 +448,7 @@ class VersionedTable:
         )
 
     def latest_version(self) -> int:
-        versions = [
-            int(f[: -len(".json")])
-            for f in os.listdir(self.log_dir)
-            if f.endswith(".json")
-        ]
-        if not versions:
-            raise FileNotFoundError(f"no commits in {self.log_dir}")
-        return max(versions)
+        return latest_version_in(self.log_dir)
 
     def _commit_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")

@@ -87,9 +87,23 @@ def _log_dir(path: str) -> str:
 
 
 def _versions(path: str) -> list[int]:
+    """All commit versions, ascending. With a ``_last_checkpoint``
+    pointer present, the dense range [0, latest] is derived from an
+    O(commits since checkpoint) probe (versions are parent+1 sequential
+    and never deleted) instead of listing the whole log dir — the
+    stream reader calls this EVERY trigger, so at 10^5+ commits the
+    listing itself would be the per-trigger tax."""
+    from ..pipeline.tables import latest_version_in, read_log_pointer
+
+    log = _log_dir(path)
+    if read_log_pointer(log) is not None:
+        try:
+            return list(range(0, latest_version_in(log) + 1))
+        except FileNotFoundError:
+            return []
     return sorted(
         int(f[: -len(".json")])
-        for f in os.listdir(_log_dir(path))
+        for f in os.listdir(log)
         if f.endswith(".json")
     )
 

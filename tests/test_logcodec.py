@@ -281,3 +281,101 @@ def test_codec_roundtrip_property(
     import json as _json
 
     _json.dumps(enc)
+
+
+def test_last_checkpoint_pointer_bounds_version_resolution(tmp_path):
+    """`_last_checkpoint` (Delta's pointer file): latest-version
+    resolution probes forward from the pointer — O(commits since the
+    last checkpoint) existence checks, NO directory listing — against a
+    synthetic long history; legacy logs without a pointer fall back to
+    the full listing; the pointer never regresses."""
+    from nrtwithdeltalake_spark.pipeline import tables as tb
+
+    log = str(tmp_path / "_log")
+    n = 10 * logcodec.CHECKPOINT_EVERY + 5  # 205 commits, 10 checkpoints
+    for v in range(n + 1):
+        tb.publish_commit_file(log, v, json.dumps({"version": v}))
+    assert tb.read_log_pointer(log) == 10 * logcodec.CHECKPOINT_EVERY
+
+    probes = []
+    real_exists = os.path.exists
+    real_listdir = os.listdir
+
+    def counting_exists(p):
+        probes.append(p)
+        return real_exists(p)
+
+    def no_listdir(p):
+        raise AssertionError(f"latest_version_in listed {p} despite pointer")
+
+    tb.os.path.exists = counting_exists
+    tb.os.listdir = no_listdir
+    try:
+        assert tb.latest_version_in(log) == n
+    finally:
+        tb.os.path.exists = real_exists
+        tb.os.listdir = real_listdir
+    # pointer check + probe to n + one miss at n+1 — bounded by the
+    # checkpoint cadence, independent of the 206-file history
+    assert len(probes) <= logcodec.CHECKPOINT_EVERY + 3
+
+    # monotonic: a stale writer cannot move the pointer backwards
+    tb.write_log_pointer(log, 3 * logcodec.CHECKPOINT_EVERY)
+    assert tb.read_log_pointer(log) == 10 * logcodec.CHECKPOINT_EVERY
+
+    # legacy/pointerless log: full-listing fallback still resolves
+    os.remove(os.path.join(log, tb.LAST_CHECKPOINT_FILE))
+    assert tb.latest_version_in(log) == n
+
+    # the datasource's per-trigger version walk takes the same probe
+    tb.write_log_pointer(log, 10 * logcodec.CHECKPOINT_EVERY)
+    root = str(tmp_path)
+    assert ds._versions(root) == list(range(n + 1))
+
+
+def test_commit_store_conformance_and_nonatomic_detection(tmp_path):
+    """The put-if-absent seam: the default local-link store passes the
+    conformance storm; a fake NON-atomic store (check-then-put — the
+    semantics of a bare S3 PUT behind a filesystem shim) is DETECTED by
+    the same storm, proving the harness catches the lost-commit hazard
+    instead of silently assuming a local filesystem."""
+    import time as _time
+
+    import pytest
+
+    from nrtwithdeltalake_spark.pipeline import tables as tb
+
+    # the real store: every storm round has exactly one winner
+    for i in range(3):
+        tb.storm_commit_store(
+            tb.LocalLinkCommitStore(), str(tmp_path / f"ok{i}")
+        )
+
+    class CheckThenPutStore:
+        """Last-writer-wins object-store semantics: existence check,
+        then an unconditional write with a widened race window."""
+
+        def put_if_absent(self, target, payload):
+            if os.path.exists(target):
+                return False
+            _time.sleep(0.01)  # the S3 HEAD->PUT window
+            with open(target, "w") as f:
+                f.write(payload)
+            return True
+
+    detected = False
+    for i in range(5):  # racy by nature; any round may catch it
+        try:
+            tb.storm_commit_store(
+                CheckThenPutStore(), str(tmp_path / f"bad{i}")
+            )
+        except AssertionError:
+            detected = True
+            break
+    assert detected, "conformance storm failed to flag a non-atomic store"
+
+    # and publish_commit_file surfaces the loser as CommitConflictError
+    log = str(tmp_path / "log")
+    tb.publish_commit_file(log, 7, "{}")
+    with pytest.raises(tb.CommitConflictError):
+        tb.publish_commit_file(log, 7, "{}")

@@ -95,16 +95,17 @@ def bench_delete(spark, root: str, n_rows: int, use_dv: bool) -> dict:
     """0.1% of rows, uniformly spread so EVERY file is hit — the
     worst case for copy-on-write, the design case for DVs."""
     t = _fresh_table(spark, root, f"del_{'dv' if use_dv else 'cow'}", n_rows)
+    expect_deleted = len(range(0, n_rows, 1000))
     t0 = time.monotonic()
-    n = t.delete("k % 1000 = 0", use_dv=use_dv)
+    t.delete("k % 1000 = 0", use_dv=use_dv)  # returns the commit version
     secs = time.monotonic() - t0
     t0 = time.monotonic()
     remaining = t.read().count()
     read_secs = time.monotonic() - t0
-    assert remaining == n_rows - n, (remaining, n_rows, n)
+    assert remaining == n_rows - expect_deleted, (remaining, n_rows)
     return {
         "secs": round(secs, 3),
-        "deleted_rows": n,
+        "deleted_rows": expect_deleted,
         "post_delete_read_secs": round(read_secs, 3),
     }
 
@@ -139,6 +140,9 @@ def main() -> None:
     os.makedirs(root, exist_ok=True)
     spark = build_spark(app_name="table_bench")
     try:
+        # warm-up: the first merge pays JVM/codegen/Arrow init (~2s),
+        # which would otherwise land entirely on the pct1 case
+        bench_merge(spark, root, max(n_rows // 10, 10_000), 10)
         cases = {}
         for pct in (1, 10, 50):
             cases[f"merge_pct{pct}"] = bench_merge(spark, root, n_rows, pct)
