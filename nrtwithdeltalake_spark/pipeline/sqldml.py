@@ -215,16 +215,25 @@ def _source_df(spark: SparkSession, sql_text: str, node) -> DataFrame:
             f"cannot extract MERGE source (node {_cls(node)})"
         )
     depth = 0
-    for j in range(i, len(sql_text)):
+    j = i
+    while j < len(sql_text):
         ch = sql_text[j]
-        if ch == "'":
-            j2 = sql_text.find("'", j + 1)
-            if j2 < 0:
-                break
-        depth += ch == "("
-        depth -= ch == ")"
-        if depth == 0:
-            return spark.sql(sql_text[i + 1 : j])
+        if ch == "'":  # skip string literal wholesale ('' = escaped quote)
+            j += 1
+            while j < len(sql_text):
+                if sql_text[j] == "'":
+                    if j + 1 < len(sql_text) and sql_text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return spark.sql(sql_text[i + 1 : j])
+        j += 1
     raise UnsupportedSqlError("unbalanced parentheses in MERGE source")
 
 
@@ -348,11 +357,81 @@ def _execute_update(spark: SparkSession, plan) -> dict:
     }
 
 
-def execute_dml(spark: SparkSession, sql_text: str) -> dict:
-    """Parse and execute one MERGE/DELETE/UPDATE statement against a
-    versioned table; returns the operation's result dict (at minimum
-    the new ``version``). Any other statement kind raises
-    UnsupportedSqlError — route it to ``spark.sql`` instead."""
+# ---------------------------------------------------------------------------
+# Delta-extension statements Spark's parser does not know (OPTIMIZE /
+# VACUUM / DESCRIBE HISTORY): matched strictly by shape BEFORE parsePlan.
+# The identifier grammar matches one table reference — `versioned`.`/p`,
+# db.t, or a bare name, each part optionally backquoted.
+
+_IDENT = r"((?:`[^`]+`|[\w]+)(?:\s*\.\s*(?:`[^`]+`|[\w]+))*)"
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+{_IDENT}\s*"
+    r"(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+{_IDENT}\s*"
+    r"(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+HISTORY\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _ident_parts(ident: str) -> list[str]:
+    return [
+        p[1:-1] if p.startswith("`") else p
+        for p in re.findall(r"`[^`]+`|[\w]+", ident)
+    ]
+
+
+def execute_dml(spark: SparkSession, sql_text: str):
+    """Parse and execute one mutation/maintenance statement against a
+    versioned table.
+
+    ``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE`` go through Spark's
+    parser and return the operation's result dict (at minimum the new
+    ``version``). The Delta-extension statements Spark's parser lacks
+    are shape-matched here: ``OPTIMIZE t [ZORDER BY (c, ...)]`` →
+    ``compact()``; ``VACUUM t [RETAIN n HOURS]`` → ``vacuum()``;
+    ``DESCRIBE HISTORY t`` → the commit history as a DataFrame. Any
+    other statement raises UnsupportedSqlError — route it to
+    ``spark.sql`` instead."""
+    m = _OPTIMIZE_RE.match(sql_text)
+    if m:
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        zorder = (
+            [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        return {"version": table.compact(zorder_by=zorder)}
+    m = _VACUUM_RE.match(sql_text)
+    if m:
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        # Delta's default retention window when RETAIN is omitted
+        hours = float(m.group(2)) if m.group(2) else 168.0
+        return table.vacuum(retain_hours=hours)
+    m = _HISTORY_RE.match(sql_text)
+    if m:
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        return spark.createDataFrame(
+            [
+                (c.version, c.op, float(c.ts), len(c.files), len(c.dv_files))
+                for c in reversed(table.history())
+            ],
+            "version bigint, operation string, timestamp double, "
+            "num_files bigint, num_dv_files bigint",
+        )
+    if re.match(
+        r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+HISTORY)\b", sql_text, re.IGNORECASE
+    ):
+        raise UnsupportedSqlError(
+            "statement shape not recognized — supported forms: "
+            "OPTIMIZE t [ZORDER BY (c, ...)], VACUUM t [RETAIN n HOURS], "
+            "DESCRIBE HISTORY t"
+        )
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
     kind = _cls(plan)
     if kind == "MergeIntoTable":

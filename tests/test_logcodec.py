@@ -356,6 +356,7 @@ def test_commit_store_conformance_and_nonatomic_detection(tmp_path):
         then an unconditional write with a widened race window."""
 
         def put_if_absent(self, target, payload):
+            os.makedirs(os.path.dirname(target), exist_ok=True)
             if os.path.exists(target):
                 return False
             _time.sleep(0.01)  # the S3 HEAD->PUT window

@@ -139,6 +139,27 @@ def test_delete_and_update_sql_match_api(spark, twin_tables):
     assert _snap(sql_t) == _snap(api_t) == {(1, "a", 20.0), (2, "b", 20.0)}
 
 
+def test_merge_source_subquery_with_paren_in_literal(spark, twin_tables):
+    """The USING-subquery extractor must skip string literals: a
+    parenthesis inside a quoted value (with a doubled-quote escape)
+    would otherwise unbalance the scan."""
+    sql_t, _ = twin_tables
+    execute_dml(
+        spark,
+        f"""
+        MERGE INTO versioned.`{sql_t.path}` t
+        USING (SELECT CAST(99 AS BIGINT) AS TransactionId,
+                      concat('x''(', ')y') AS name,
+                      CAST(1.0 AS DOUBLE) AS amount) s
+        ON t.TransactionId = s.TransactionId
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    got = {r.TransactionId: r.name for r in sql_t.read().collect()}
+    assert got[99] == "x'()y"
+
+
 def test_dml_via_registered_catalog_name(spark, tmp_path):
     """DML addresses a register()ed table by its catalog name — the
     LOCATION round-trip (db.t -> _current/ -> table root)."""
@@ -157,6 +178,33 @@ def test_dml_via_registered_catalog_name(spark, tmp_path):
         assert t.read().collect()[0].amount == 99.0
     finally:
         spark.sql("DROP DATABASE IF EXISTS dml_db CASCADE")
+
+
+def test_maintenance_statements(spark, twin_tables):
+    """Delta's SQL maintenance surface: OPTIMIZE / VACUUM / DESCRIBE
+    HISTORY shape-matched ahead of Spark's parser and routed to
+    compact()/vacuum()/history()."""
+    sql_t, _ = twin_tables
+    tgt = f"versioned.`{sql_t.path}`"
+
+    execute_dml(spark, f"UPDATE {tgt} SET amount = amount + 1")
+    res = execute_dml(spark, f"OPTIMIZE {tgt} ZORDER BY (TransactionId)")
+    assert res["version"] == 2
+
+    hist = execute_dml(spark, f"DESCRIBE HISTORY {tgt}")
+    ops = [r.operation for r in hist.collect()]
+    assert ops[0] == "compact" and hist.columns[0] == "version"
+    assert len(ops) == 3  # create, update, compact — newest first
+
+    vac = execute_dml(spark, f"VACUUM {tgt} RETAIN 0 HOURS")
+    assert vac["deleted_files"] >= 1  # pre-compaction files reclaimed
+    assert {r.TransactionId for r in sql_t.read().collect()} == {1, 2, 3}
+
+    from nrtwithdeltalake_spark.pipeline.sqldml import UnsupportedSqlError
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedSqlError):
+        execute_dml(spark, f"OPTIMIZE {tgt} WHERE day = 3")  # unsupported shape
 
 
 def test_unsupported_statements_fail_loudly(spark, tmp_path, twin_tables):
