@@ -659,6 +659,23 @@ class VersionedTable:
                 if fpath not in prev:
                     self._link_in(fpath, os.path.join(cur, self._link_name(fpath)))
         else:
+            # sweep leftovers of crashed rebuilds first: readers only
+            # ever resolve `cur` itself, and commits are OCC-serialized,
+            # so aged .tmp./.old. siblings are garbage by construction
+            # (age-gated to spare a concurrent successor's in-flight tmp)
+            base = os.path.basename(cur)
+            for entry in os.listdir(self.path):
+                if not (
+                    entry.startswith(f"{base}.tmp.")
+                    or entry.startswith(f"{base}.old.")
+                ):
+                    continue
+                stale = os.path.join(self.path, entry)
+                try:
+                    if time.time() - os.path.getmtime(stale) > 3600:
+                        shutil.rmtree(stale, ignore_errors=True)
+                except OSError:
+                    pass
             tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
             os.makedirs(tmp)
             for fpath in commit.files:

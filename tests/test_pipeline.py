@@ -878,6 +878,53 @@ def test_register_sync_is_o_churn_on_append(spark, tmp_path, monkeypatch):
         spark.sql("DROP DATABASE IF EXISTS reg_db3 CASCADE")
 
 
+def test_register_sync_recovers_from_crashed_partial_sync(spark, tmp_path):
+    """Crash between _current linking and the registration-metadata
+    write: the recorded synced_version stays stale, so the NEXT commit
+    must take the full atomic rebuild — after it, _current contains
+    exactly the live files (the half-synced garbage is gone) and aged
+    leftovers of crashed rebuild dirs are swept."""
+    import json
+    import time as _time
+
+    path = str(tmp_path / "regcrash")
+    t = VersionedTable.create(
+        spark, path, _txn_df(spark, [(1, "a", 1.0)], "2024-01-01 10:00:00")
+    ).register("reg_db4", "regcrash")
+    try:
+        cur = t._current_dir()
+        # simulate the torn state a crash mid-incremental-sync leaves:
+        # an extra link that belongs to no commit...
+        with open(os.path.join(cur, "deadbeef0000_orphan.parquet"), "w") as f:
+            f.write("not a real parquet")
+        # ...and a stale synced_version (the metadata write never ran)
+        reg = t._read_registration()
+        reg["synced_version"] = 7  # != next commit - 1 → forces rebuild
+        with open(t._registration_path(), "w") as f:
+            json.dump(reg, f)
+        # plus an aged crashed-rebuild dir that the sweep should remove
+        stale = f"{cur}.tmp.deadbeef"
+        os.makedirs(stale)
+        _time.sleep(0.01)
+        os.utime(stale, (_time.time() - 7200, _time.time() - 7200))
+
+        t.append(_txn_df(spark, [(2, "b", 2.0)], "2024-01-02 10:00:00"))
+
+        linked = sorted(os.listdir(cur))
+        expect = sorted(
+            VersionedTable._link_name(f) for f in t.get_commit().files
+        )
+        assert linked == expect, "rebuild did not converge _current/"
+        assert not os.path.exists(stale), "aged crashed tmp dir not swept"
+        fresh = spark.newSession()
+        fresh.sql("REFRESH TABLE reg_db4.regcrash")
+        assert {
+            r.TransactionId for r in fresh.table("reg_db4.regcrash").collect()
+        } == {1, 2}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS reg_db4 CASCADE")
+
+
 def test_register_follows_schema_evolution(spark, tmp_path):
     """Schema evolution re-creates the catalog entry: after a merge adds
     a column, the registered name exposes it (nulls on old rows)."""

@@ -5,8 +5,6 @@ unsupported statements must fail loudly."""
 
 from __future__ import annotations
 
-import datetime
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -239,3 +237,55 @@ def test_unsupported_statements_fail_loudly(spark, tmp_path, twin_tables):
             execute_dml(spark, sql)
     # and the table was never touched
     assert sql_t.latest_version() == 0
+
+
+def test_merge_sql_equals_api_randomized(spark, tmp_path):
+    """Property-style equivalence sweep: random batches of upserts /
+    CDC-deletes / inserts applied to twin tables — once as SQL MERGE,
+    once through the API — must converge to identical contents at every
+    step. Deterministic seed: the sweep is reproducible, not flaky."""
+    import random
+
+    rng = random.Random(90210)
+    base = _df(
+        spark,
+        [(i, f"n{i}", float(i * 10), "I", 1) for i in range(1, 21)],
+    ).drop("op", "seq")
+    sql_t = VersionedTable.create(spark, str(tmp_path / "rsql"), base)
+    api_t = VersionedTable.create(spark, str(tmp_path / "rapi"), base)
+
+    for step in range(4):
+        rows = []
+        for _ in range(rng.randint(3, 8)):
+            key = rng.randint(1, 30)  # may or may not exist
+            op = rng.choice(["U", "U", "D"])
+            rows.append(
+                (key, f"s{step}k{key}", rng.randint(0, 999) / 10.0, op,
+                 step + 2)
+            )
+        # one batch row per key (merge dedups; keep the comparison exact)
+        seen = set()
+        rows = [
+            r for r in rows if not (r[0] in seen or seen.add(r[0]))
+        ]
+        src = _df(spark, rows)
+        src.createOrReplaceTempView("rand_src")
+
+        api_t.merge(
+            src,
+            ["TransactionId"],
+            delete_condition="op = 'D'",
+            exclude_cols=["op", "seq"],
+        )
+        execute_dml(
+            spark,
+            f"""
+            MERGE INTO versioned.`{sql_t.path}` t
+            USING (SELECT TransactionId, name, amount, op FROM rand_src) s
+            ON t.TransactionId = s.TransactionId
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        assert _snap(sql_t) == _snap(api_t), f"diverged at step {step}"

@@ -95,6 +95,33 @@ def main() -> None:
     sessions = stateful_sessions(_rate_events(spark), gap_seconds=5)
     print(json.dumps(_run("sessions", sessions, seconds, output_mode="append")))
 
+    # transformWithStateInPandas path (typed state handles + RocksDB
+    # store, executable since round 9): same per-key running-profile
+    # shape as a feature store next to an NRT corpus. Measures the
+    # protobuf state-server round-trip, the third stateful mechanism
+    # after JVM windowed agg and applyInPandasWithState.
+    try:
+        from nrtwithdeltalake_spark._protobuf_compat import ensure_protobuf
+        from nrtwithdeltalake_spark.streaming import tws
+
+        if ensure_protobuf():
+            ev3 = _rate_events(spark).select(
+                "ts", "user_id", "value",
+                F.lit(0).cast("long").alias("event_id"),
+                F.lit("e").alias("event_type"),
+                F.lit("{}").alias("props"),
+            )
+            with tws.rocksdb_state(spark):
+                print(
+                    json.dumps(
+                        _run("tws_profiles", tws.running_profiles(ev3), seconds)
+                    )
+                )
+        else:
+            print(json.dumps({"case": "tws_profiles", "skipped": "no protobuf"}))
+    except Exception as e:  # record, don't mask the two core cases
+        print(json.dumps({"case": "tws_profiles", "error": str(e)[:200]}))
+
 
 if __name__ == "__main__":
     main()
