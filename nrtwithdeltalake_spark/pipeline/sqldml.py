@@ -1,6 +1,8 @@
-"""SQL DML surface for versioned tables: ``MERGE INTO`` / ``DELETE
-FROM`` / ``UPDATE`` statements routed to ``VersionedTable.merge/
-delete/update``.
+"""SQL surface for versioned tables: ``MERGE INTO`` / ``DELETE FROM``
+/ ``UPDATE`` / ``ALTER TABLE`` (column DDL + CHECK constraints) routed
+to the ``VersionedTable`` API, plus the Delta-extension maintenance
+verbs Spark's grammar lacks (``OPTIMIZE`` / ``VACUUM`` / ``RESTORE`` /
+``DESCRIBE HISTORY``), shape-matched strictly.
 
 The reference is SQL-first — its MERGE is string-built T-SQL executed
 through a SQL session (``/root/reference/COPY_MSQL_TO_SILVER.py:
@@ -377,6 +379,11 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     rf"^\s*DESC(?:RIBE)?\s+HISTORY\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
 )
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?{_IDENT}\s+(?:TO\s+)?"
+    r"VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _ident_parts(ident: str) -> list[str]:
@@ -424,13 +431,19 @@ def execute_dml(spark: SparkSession, sql_text: str):
             "version bigint, operation string, timestamp double, "
             "num_files bigint, num_dv_files bigint",
         )
+    m = _RESTORE_RE.match(sql_text)
+    if m:
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        return {"version": table.restore(int(m.group(2)))}
     if re.match(
-        r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+HISTORY)\b", sql_text, re.IGNORECASE
+        r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+HISTORY|RESTORE)\b",
+        sql_text,
+        re.IGNORECASE,
     ):
         raise UnsupportedSqlError(
             "statement shape not recognized — supported forms: "
             "OPTIMIZE t [ZORDER BY (c, ...)], VACUUM t [RETAIN n HOURS], "
-            "DESCRIBE HISTORY t"
+            "DESCRIBE HISTORY t, RESTORE [TABLE] t [TO] VERSION AS OF n"
         )
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
     kind = _cls(plan)
@@ -451,8 +464,102 @@ def execute_dml(spark: SparkSession, sql_text: str):
         return _execute_delete(spark, plan)
     if kind == "UpdateTable":
         return _execute_update(spark, plan)
+    if kind in (
+        "AddColumns",
+        "RenameColumn",
+        "DropColumns",
+        "AddCheckConstraint",
+        "DropConstraint",
+    ):
+        return _execute_alter(spark, plan, kind)
     raise UnsupportedSqlError(
         f"statement parses to {kind}, which this dispatcher does not "
-        "execute — only MERGE INTO / DELETE FROM / UPDATE on versioned "
-        "tables; run queries through spark.sql"
+        "execute — only MERGE INTO / DELETE FROM / UPDATE / ALTER TABLE "
+        "(columns, CHECK constraints) / OPTIMIZE / VACUUM / RESTORE / "
+        "DESCRIBE HISTORY on versioned tables; run queries through "
+        "spark.sql"
     )
+
+
+def _field_name(unresolved_field) -> str:
+    parts = _seq(unresolved_field.name())
+    if len(parts) != 1:
+        raise UnsupportedSqlError(
+            f"nested field {'.'.join(parts)!r} unsupported — versioned "
+            "tables evolve top-level columns only"
+        )
+    return parts[0]
+
+
+def _execute_alter(spark: SparkSession, plan, kind: str) -> dict:
+    """ALTER TABLE → schema-evolution / constraint API. Column DDL maps
+    onto the id-mapped evolution primitives (each column op is its own
+    metadata-only commit, exactly like the Python API); CHECK
+    constraints go to the write-gating constraint registry."""
+    if kind == "AddCheckConstraint":
+        cc = plan.checkConstraint()
+        # the parsed child is the validation plan (Filter over the
+        # relation); unwrap to the table reference underneath
+        node = plan.child()
+        while _cls(node) in ("Filter", "SubqueryAlias", "Project"):
+            node = node.child()
+        _, parts = _relation_parts_table(node)
+        table = resolve_versioned(spark, parts)
+        table.add_constraint(cc.name(), cc.condition())
+        return {"constraint": cc.name()}
+    _, parts = _relation_parts_table(plan.table())
+    table = resolve_versioned(spark, parts)
+    if kind == "AddColumns":
+        version = None
+        for c in _seq(plan.columnsToAdd()):
+            name_parts = _seq(c.name())
+            if len(name_parts) != 1:
+                raise UnsupportedSqlError(
+                    f"nested column {'.'.join(name_parts)!r} unsupported"
+                )
+            for opt_attr in ("position", "default", "comment"):
+                try:
+                    if _opt(getattr(c, opt_attr)()) is not None:
+                        raise UnsupportedSqlError(
+                            f"ADD COLUMN {opt_attr.upper()} clause unsupported"
+                        )
+                except AttributeError:
+                    pass
+            version = table.add_column(
+                name_parts[0], c.dataType().simpleString()
+            )
+        if version is None:
+            raise UnsupportedSqlError("ADD COLUMNS lists no columns")
+        return {"version": version}
+    if kind == "RenameColumn":
+        return {
+            "version": table.rename_column(
+                _field_name(plan.column()), plan.newName()
+            )
+        }
+    if kind == "DropColumns":
+        version = None
+        for f in _seq(plan.columnsToDrop()):
+            name = _field_name(f)
+            try:
+                version = table.drop_column(name)
+            except (KeyError, ValueError):
+                if not plan.ifExists():
+                    raise
+        return {"version": version}
+    if kind == "DropConstraint":
+        name = plan.name()
+        if name not in table.constraints():
+            if plan.ifExists():
+                return {"constraint": name}
+            raise ValueError(f"no CHECK constraint named {name!r}")
+        table.drop_constraint(name)
+        return {"constraint": name}
+    raise UnsupportedSqlError(f"unhandled ALTER kind {kind}")
+
+
+def _relation_parts_table(node) -> tuple[str | None, list[str]]:
+    """Like _relation_parts but for UnresolvedTable (ALTER TARGET) nodes."""
+    if _cls(node) == "UnresolvedTable":
+        return None, _seq(node.multipartIdentifier())
+    return _relation_parts(node)

@@ -289,3 +289,48 @@ def test_merge_sql_equals_api_randomized(spark, tmp_path):
             """,
         )
         assert _snap(sql_t) == _snap(api_t), f"diverged at step {step}"
+
+
+def test_alter_table_ddl_and_restore(spark, twin_tables):
+    """ALTER TABLE column DDL + CHECK constraints + RESTORE through the
+    SQL surface: Spark-parsed AddColumns/RenameColumn/DropColumns/
+    AddCheckConstraint/DropConstraint plans route to the metadata-only
+    evolution API; RESTORE is shape-matched (not in Spark's grammar)."""
+    from nrtwithdeltalake_spark.pipeline.tables import (
+        ConstraintViolationError,
+    )
+
+    sql_t, _ = twin_tables
+    tgt = f"versioned.`{sql_t.path}`"
+
+    execute_dml(
+        spark, f"ALTER TABLE {tgt} ADD COLUMNS (note STRING, score DOUBLE)"
+    )
+    assert {"note", "score"} <= set(sql_t.read().columns)
+
+    execute_dml(spark, f"ALTER TABLE {tgt} RENAME COLUMN note TO remark")
+    execute_dml(spark, f"ALTER TABLE {tgt} DROP COLUMN score")
+    cols = set(sql_t.read().columns)
+    assert "remark" in cols and "note" not in cols and "score" not in cols
+
+    # IF EXISTS tolerates a missing column; without it the drop is loud
+    execute_dml(spark, f"ALTER TABLE {tgt} DROP COLUMN IF EXISTS ghost")
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_dml(spark, f"ALTER TABLE {tgt} DROP COLUMN ghost")
+
+    execute_dml(
+        spark, f"ALTER TABLE {tgt} ADD CONSTRAINT amt_pos CHECK (amount > 0)"
+    )
+    assert "amt_pos" in sql_t.constraints()
+    with pytest.raises(ConstraintViolationError):
+        sql_t.append(
+            _df(spark, [(9, "bad", -1.0, "I", 1)]).drop("op", "seq")
+        )
+    execute_dml(spark, f"ALTER TABLE {tgt} DROP CONSTRAINT amt_pos")
+    assert sql_t.constraints() == {}
+
+    v = sql_t.latest_version()
+    res = execute_dml(spark, f"RESTORE TABLE {tgt} TO VERSION AS OF 0")
+    assert res["version"] == v + 1  # restore commits a new version
+    assert set(sql_t.read().columns) == {"TransactionId", "name", "amount"}
+    assert _snap(sql_t) == {(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)}
