@@ -195,8 +195,16 @@ def _check_aliases(cond_sql: str, allowed: set[str], where: str) -> None:
 
 def _strip_alias(cond_sql: str, alias: str) -> str:
     """Remove `alias.` qualifiers (for predicates the API evaluates on
-    one side only, where qualified references would not resolve)."""
-    return re.sub(rf"(?<![\w.`]){re.escape(alias)}\s*\.\s*", "", cond_sql)
+    one side only, where qualified references would not resolve) —
+    only OUTSIDE single-quoted string literals, so a literal value that
+    happens to contain ``t.`` survives untouched."""
+    pat = re.compile(rf"(?<![\w.`]){re.escape(alias)}\s*\.\s*")
+    out = []
+    # split keeps the quoted spans (odd indices) verbatim; '' escapes
+    # stay inside one span because the regex is non-greedy per quote pair
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", cond_sql)):
+        out.append(seg if i % 2 else pat.sub("", seg))
+    return "".join(out)
 
 
 def _source_df(spark: SparkSession, sql_text: str, node) -> DataFrame:
@@ -373,7 +381,7 @@ _OPTIMIZE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+{_IDENT}\s*"
-    r"(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
+    r"(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
@@ -397,14 +405,16 @@ def execute_dml(spark: SparkSession, sql_text: str):
     """Parse and execute one mutation/maintenance statement against a
     versioned table.
 
-    ``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE`` go through Spark's
-    parser and return the operation's result dict (at minimum the new
-    ``version``). The Delta-extension statements Spark's parser lacks
-    are shape-matched here: ``OPTIMIZE t [ZORDER BY (c, ...)]`` →
-    ``compact()``; ``VACUUM t [RETAIN n HOURS]`` → ``vacuum()``;
-    ``DESCRIBE HISTORY t`` → the commit history as a DataFrame. Any
-    other statement raises UnsupportedSqlError — route it to
-    ``spark.sql`` instead."""
+    ``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE`` / ``ALTER TABLE``
+    (ADD/RENAME/DROP COLUMN, ADD/DROP CONSTRAINT ... CHECK) go through
+    Spark's parser and return the operation's result dict (at minimum
+    the new ``version``). The Delta-extension statements Spark's parser
+    lacks are shape-matched here: ``OPTIMIZE t [ZORDER BY (c, ...)]`` →
+    ``compact()``; ``VACUUM t [RETAIN n HOURS] [DRY RUN]`` →
+    ``vacuum()``; ``RESTORE [TABLE] t [TO] VERSION AS OF n`` →
+    ``restore()``; ``DESCRIBE HISTORY t`` → the commit history as a
+    DataFrame. Any other statement raises UnsupportedSqlError — route
+    it to ``spark.sql`` instead."""
     m = _OPTIMIZE_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
@@ -419,7 +429,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
         # Delta's default retention window when RETAIN is omitted
         hours = float(m.group(2)) if m.group(2) else 168.0
-        return table.vacuum(retain_hours=hours)
+        return table.vacuum(retain_hours=hours, dry_run=bool(m.group(3)))
     m = _HISTORY_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))

@@ -2683,6 +2683,7 @@ class VersionedTable:
         retain_last: int = 1,
         retain_hours: float | None = None,
         clean_orphans_hours: float | None = None,
+        dry_run: bool = False,
     ) -> dict:
         """Delete data/CDF files referenced only by expired versions —
         the storage-reclamation half of copy-on-write (Delta VACUUM
@@ -2704,7 +2705,11 @@ class VersionedTable:
         a commit, which the set algebra above can never see (Delta's
         uncommitted-file cleanup uses the same age rule). The window is
         the in-flight-writer guard: pick it longer than any plausible
-        write duration (Delta defaults to 7 days)."""
+        write duration (Delta defaults to 7 days).
+
+        ``dry_run`` (Delta's ``VACUUM ... DRY RUN``): compute and
+        report exactly what a real run would reclaim — same set
+        algebra, same guards — deleting nothing."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         commits = self.history()
@@ -2740,7 +2745,8 @@ class VersionedTable:
                 continue
             if os.path.exists(f):
                 freed += os.path.getsize(f)
-                os.remove(f)
+                if not dry_run:
+                    os.remove(f)
                 n_deleted += 1
         n_orphans = 0
         if clean_orphans_hours is not None:
@@ -2765,22 +2771,25 @@ class VersionedTable:
                             if os.path.getmtime(p) >= age_floor:
                                 continue  # possibly an in-flight writer
                             freed += os.path.getsize(p)
-                            os.remove(p)
+                            if not dry_run:
+                                os.remove(p)
                             n_orphans += 1
                         except FileNotFoundError:
                             continue  # concurrent vacuum — idempotent
                 # drop now-empty uuid dirs (metadata tidiness only)
-                for dirpath, dirs, fnames in os.walk(base, topdown=False):
-                    if dirpath != base and not dirs and not fnames:
-                        try:
-                            os.rmdir(dirpath)
-                        except OSError:
-                            pass
+                if not dry_run:
+                    for dirpath, dirs, fnames in os.walk(base, topdown=False):
+                        if dirpath != base and not dirs and not fnames:
+                            try:
+                                os.rmdir(dirpath)
+                            except OSError:
+                                pass
         return {
             "deleted_files": n_deleted,
             "freed_bytes": freed,
             "oldest_readable_version": cutoff,
             "orphans_deleted": n_orphans,
+            "dry_run": dry_run,
         }
 
     # -- change feed (O20-O21) --------------------------------------------

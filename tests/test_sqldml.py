@@ -194,8 +194,12 @@ def test_maintenance_statements(spark, twin_tables):
     assert ops[0] == "compact" and hist.columns[0] == "version"
     assert len(ops) == 3  # create, update, compact — newest first
 
+    dry = execute_dml(spark, f"VACUUM {tgt} RETAIN 0 HOURS DRY RUN")
+    assert dry["dry_run"] and dry["deleted_files"] >= 1
     vac = execute_dml(spark, f"VACUUM {tgt} RETAIN 0 HOURS")
-    assert vac["deleted_files"] >= 1  # pre-compaction files reclaimed
+    assert not vac["dry_run"]
+    # the dry run deleted nothing: the real pass reclaims the same set
+    assert vac["deleted_files"] == dry["deleted_files"] >= 1
     assert {r.TransactionId for r in sql_t.read().collect()} == {1, 2, 3}
 
     from nrtwithdeltalake_spark.pipeline.sqldml import UnsupportedSqlError
