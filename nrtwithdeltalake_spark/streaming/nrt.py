@@ -265,18 +265,27 @@ def run_stream_to_table(
     keys: list[str],
     checkpoint_dir: str,
     output_mode: str = "update",
+    txn_app: str | None = None,
 ) -> None:
     """The NRT sink: every micro-batch MERGEs into a versioned table —
     the reference's loadToSilverZone as a ``foreachBatch`` function.
     Replayed batches (restart from checkpoint) converge by merge
-    idempotency."""
+    idempotency; pass ``txn_app`` to additionally stamp Delta-style
+    ``(txn_app, epoch_id)`` transaction tokens so a replayed epoch is
+    SKIPPED outright (exactly-once even for payloads whose merge would
+    not be naturally idempotent, e.g. additive assignments)."""
     spark = stream_df.sparkSession
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
         if VersionedTable.exists(target_path):
-            VersionedTable(spark, target_path).merge(batch_df, keys)
+            VersionedTable(spark, target_path).merge(
+                batch_df,
+                keys,
+                txn_app=txn_app,
+                txn_version=epoch_id if txn_app else None,
+            )
         else:
             VersionedTable.create(spark, target_path, batch_df)
 

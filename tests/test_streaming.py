@@ -1030,3 +1030,72 @@ def test_dedup_bands_mirror_join_no_index_shuffle(spark, tmp_path):
         } == versioned
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {mirror}")
+
+
+def test_tws_profiles_merge_into_versioned_table(spark, tmp_path):
+    """Capstone NRT flow: transformWithState running profiles (update
+    deltas) land in a versioned table via the foreachBatch MERGE sink
+    with Delta-style (txn_app, epoch) tokens — across a checkpointed
+    restart the table equals a batch recomputation, no duplicates, and
+    replayed epochs are skipped by the txn guard."""
+    import datetime as dt
+
+    import pytest
+
+    from nrtwithdeltalake_spark._protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime found for the TWS worker")
+
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+    from nrtwithdeltalake_spark.streaming import tws
+    from nrtwithdeltalake_spark.streaming.nrt import run_stream_to_table
+
+    def d(s):
+        return dt.datetime.fromisoformat(s)
+
+    sdir = str(tmp_path / "src_cap")
+    os.makedirs(sdir, exist_ok=True)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, d("2024-01-01 10:00:00"), 1, "click", 2.0, "{}"),
+            (2, d("2024-01-01 10:10:00"), 2, "view", 3.0, "{}"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, d("2024-01-01 11:00:00"), 1, "buy", 7.0, "{}")], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+
+    tbl = str(tmp_path / "profiles_tbl")
+    ckpt = str(tmp_path / "ckpt_cap")
+
+    def run():
+        stream = spark.readStream.schema(b1.schema).parquet(f"{sdir}/*.parquet")
+        with tws.rocksdb_state(spark):
+            run_stream_to_table(
+                tws.running_profiles(stream),
+                tbl,
+                ["user_id"],
+                ckpt,
+                txn_app="tws_profiles_cap",
+            )
+
+    run()
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    run()  # checkpointed restart: state + sink both resume
+
+    t = VersionedTable(spark, tbl)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in t.read().collect()
+    }
+    assert got == {1: (2, 9.0), 2: (1, 3.0)}
+    assert t.read().count() == 2  # one profile row per user, no dups
+    # the txn ledger recorded the sink's epochs (exactly-once guard)
+    assert t.txn_version("tws_profiles_cap") is not None
