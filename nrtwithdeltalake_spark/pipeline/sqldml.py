@@ -1,8 +1,10 @@
-"""SQL surface for versioned tables: ``MERGE INTO`` / ``DELETE FROM``
-/ ``UPDATE`` / ``ALTER TABLE`` (column DDL + CHECK constraints) routed
-to the ``VersionedTable`` API, plus the Delta-extension maintenance
-verbs Spark's grammar lacks (``OPTIMIZE`` / ``VACUUM`` / ``RESTORE`` /
-``DESCRIBE HISTORY``), shape-matched strictly.
+"""SQL surface for versioned tables — the full lifecycle: ``CREATE
+TABLE ... AS SELECT`` / ``INSERT INTO`` / ``INSERT OVERWRITE`` /
+``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE`` / ``ALTER TABLE`` (column
+DDL + CHECK constraints) routed to the ``VersionedTable`` API, plus the
+Delta-extension maintenance verbs Spark's grammar lacks (``OPTIMIZE`` /
+``VACUUM [DRY RUN]`` / ``RESTORE`` / ``DESCRIBE HISTORY``),
+shape-matched strictly.
 
 The reference is SQL-first — its MERGE is string-built T-SQL executed
 through a SQL session (``/root/reference/COPY_MSQL_TO_SILVER.py:
@@ -207,15 +209,30 @@ def _strip_alias(cond_sql: str, alias: str) -> str:
     return "".join(out)
 
 
+def _plan_df(spark: SparkSession, jplan) -> DataFrame:
+    """A DataFrame over an unresolved Catalyst subtree (Dataset.ofRows
+    resolves it against the session catalog) — how subquery sources and
+    CTAS bodies run without re-parsing statement text."""
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, jplan
+    )
+    return DataFrame(jdf, spark)
+
+
 def _source_df(spark: SparkSession, sql_text: str, node) -> DataFrame:
     """DataFrame for the USING source: a named table resolves through
-    the session catalog; a subquery is extracted from the original
-    statement text (balanced parens after USING) and run via
-    spark.sql — the parser already validated it."""
+    the session catalog; any other subtree (subquery) runs via
+    Dataset.ofRows, with balanced-paren extraction from the statement
+    text as the fallback."""
     if _cls(node) == "SubqueryAlias" and _cls(node.child()) == "UnresolvedRelation":
         return spark.table(".".join(_seq(node.child().multipartIdentifier())))
     if _cls(node) == "UnresolvedRelation":
         return spark.table(".".join(_seq(node.multipartIdentifier())))
+    try:
+        inner = node.child() if _cls(node) == "SubqueryAlias" else node
+        return _plan_df(spark, inner)
+    except Exception:
+        pass  # fall back to text extraction below
     m = re.search(r"\bUSING\b", sql_text, re.IGNORECASE)
     if not m:
         raise UnsupportedSqlError("MERGE statement has no USING clause")
@@ -474,6 +491,10 @@ def execute_dml(spark: SparkSession, sql_text: str):
         return _execute_delete(spark, plan)
     if kind == "UpdateTable":
         return _execute_update(spark, plan)
+    if kind == "InsertIntoStatement":
+        return _execute_insert(spark, plan)
+    if kind == "CreateTableAsSelect":
+        return _execute_ctas(spark, plan)
     if kind in (
         "AddColumns",
         "RenameColumn",
@@ -489,6 +510,66 @@ def execute_dml(spark: SparkSession, sql_text: str):
         "DESCRIBE HISTORY on versioned tables; run queries through "
         "spark.sql"
     )
+
+
+def _execute_insert(spark: SparkSession, plan) -> dict:
+    """INSERT INTO → append(); INSERT OVERWRITE → overwrite(). Standard
+    SQL positional semantics: the query's columns map to the table's
+    schema order (or to an explicit ``(col, ...)`` list); arity
+    mismatches fail loudly. Partition-spec inserts are unsupported
+    (the format's layout is file-statistic clustering, not Hive
+    partition dirs)."""
+    if plan.partitionSpec().size() or plan.ifPartitionNotExists():
+        raise UnsupportedSqlError(
+            "INSERT ... PARTITION is unsupported — the versioned format "
+            "clusters by file statistics (OPTIMIZE ZORDER BY), not "
+            "Hive partition directories"
+        )
+    _, parts = _relation_parts(plan.table())
+    table = resolve_versioned(spark, parts)
+    df = _plan_df(spark, plan.query())
+    user_cols = _seq(plan.userSpecifiedCols())
+    target_cols = user_cols or [f.name for f in table.schema().fields]
+    if len(df.columns) != len(target_cols):
+        raise UnsupportedSqlError(
+            f"INSERT arity mismatch: query produces {len(df.columns)} "
+            f"column(s), target list has {len(target_cols)}"
+        )
+    df = df.toDF(*target_cols)
+    if plan.overwrite():
+        return {"version": table.overwrite(df)}
+    return {"version": table.append(df)}
+
+
+def _execute_ctas(spark: SparkSession, plan) -> dict:
+    """CREATE TABLE versioned.`/path` AS SELECT → VersionedTable.create
+    (IF NOT EXISTS honored). Only path addressing: a CTAS into the
+    session catalog would be a plain Spark table, not a versioned one —
+    create then register() for name addressing."""
+    name_parts = _seq(plan.name().nameParts())
+    if len(name_parts) != 2 or name_parts[0].lower() != "versioned":
+        raise UnsupportedSqlError(
+            "CTAS supports only `CREATE TABLE versioned.`/abs/path`` AS "
+            "SELECT ...` — create at a path, then .register(db, table) "
+            "for catalog addressing"
+        )
+    provider = None
+    try:
+        provider = _opt(plan.tableSpec().provider())
+    except Exception:
+        pass
+    if provider is not None and provider.lower() != "versioned":
+        raise UnsupportedSqlError(
+            f"USING {provider} conflicts with the versioned.`path` target"
+        )
+    root = name_parts[1]
+    if VersionedTable.exists(root):
+        if plan.ignoreIfExists():
+            return {"version": VersionedTable(spark, root).latest_version()}
+        raise ValueError(f"versioned table already exists at {root!r}")
+    df = _plan_df(spark, plan.query())
+    VersionedTable.create(spark, root, df)
+    return {"version": 0}
 
 
 def _field_name(unresolved_field) -> str:

@@ -338,3 +338,66 @@ def test_alter_table_ddl_and_restore(spark, twin_tables):
     assert res["version"] == v + 1  # restore commits a new version
     assert set(sql_t.read().columns) == {"TransactionId", "name", "amount"}
     assert _snap(sql_t) == {(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)}
+
+
+def test_insert_into_and_ctas(spark, tmp_path, twin_tables):
+    """The remaining lifecycle statements: CTAS creates a versioned
+    table from a query; INSERT INTO appends with SQL positional
+    semantics (explicit column list honored); INSERT OVERWRITE replaces
+    the snapshot; partition-spec inserts and arity mismatches are loud."""
+    sql_t, api_t = twin_tables
+    tgt = f"versioned.`{sql_t.path}`"
+
+    res = execute_dml(
+        spark,
+        f"INSERT INTO {tgt} SELECT CAST(10 AS BIGINT), 'j', CAST(1.5 AS DOUBLE)",
+    )
+    assert res["version"] == 1
+    api_t.append(_df(spark, [(10, "j", 1.5, "I", 1)]).drop("op", "seq"))
+    assert _snap(sql_t) == _snap(api_t)
+
+    # explicit column list maps positionally to the NAMED columns
+    execute_dml(
+        spark,
+        f"INSERT INTO {tgt} (amount, TransactionId, name) "
+        "VALUES (CAST(2.5 AS DOUBLE), CAST(11 AS BIGINT), 'k')",
+    )
+    assert (11, "k", 2.5) in _snap(sql_t)
+
+    with pytest.raises(UnsupportedSqlError, match="arity"):
+        execute_dml(spark, f"INSERT INTO {tgt} SELECT 1, 'x'")
+    with pytest.raises(UnsupportedSqlError, match="PARTITION"):
+        execute_dml(
+            spark, f"INSERT INTO {tgt} PARTITION (name='x') SELECT 1, 2.0"
+        )
+
+    execute_dml(
+        spark,
+        f"INSERT OVERWRITE {tgt} "
+        "SELECT CAST(1 AS BIGINT), 'only', CAST(9.0 AS DOUBLE)",
+    )
+    assert _snap(sql_t) == {(1, "only", 9.0)}
+
+    # CTAS at a path; IF NOT EXISTS is a no-op on the second run
+    new_path = str(tmp_path / "ctas_t")
+    spark.createDataFrame([(1, "a")], "id bigint, s string") \
+        .createOrReplaceTempView("ctas_src")
+    res = execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{new_path}` AS SELECT * FROM ctas_src",
+    )
+    assert res["version"] == 0
+    assert VersionedTable(spark, new_path).read().count() == 1
+    res2 = execute_dml(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS versioned.`{new_path}` AS "
+        "SELECT * FROM ctas_src",
+    )
+    assert res2["version"] == 0  # no-op, table untouched
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(
+            spark,
+            f"CREATE TABLE versioned.`{new_path}` AS SELECT * FROM ctas_src",
+        )
+    with pytest.raises(UnsupportedSqlError):
+        execute_dml(spark, "CREATE TABLE plain_db.t AS SELECT 1 AS a")
