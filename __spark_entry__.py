@@ -30,24 +30,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotation_order(names) -> list[str]:
-    """Never-driver-sampled queries first: the driver samples a subset
-    of the registry per round, and a stable registry order would
-    re-sample the same prefix forever — rotating untested-first makes
-    the official CORRECTNESS artifacts converge on full coverage.
+    """Coverage-converging order for the driver's per-round sample:
+
+    1. queries whose LAST driver sample failed (hash/schema/row mismatch
+       or an oracle error) — fixes must be re-verified before anything
+       else, so known-bad entries sort FIRST, never hide at the back;
+    2. queries never sampled by the driver — converge to full coverage;
+    3. queries that passed cleanly — re-sampled last.
+
     (The local pytest oracle sweep covers ALL queries every round; this
     only affects which subset lands in the driver's artifact.)"""
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    last_status: dict[str, bool] = {}  # name -> cleanly passed in latest sample
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                seen |= set(json.load(f))
+                data = json.load(f)
         except (OSError, ValueError):
             continue
-    return sorted(names, key=lambda n: (n in seen, n))
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                last_status[name] = False
+                continue
+            err = rec.get("err")
+            declared_rows_only = err == "no_oracle"
+            clean = declared_rows_only or (
+                rec.get("hash_match") is True
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is True
+                and err is None
+            )
+            last_status[name] = clean
+
+    def rank(n: str) -> int:
+        if n not in last_status:
+            return 1  # never sampled
+        return 0 if not last_status[n] else 2  # failed first, clean last
+
+    return sorted(names, key=lambda n: (rank(n), n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -153,7 +153,7 @@ WITH pairs AS (
 SELECT node // 2 AS entity_key,
        CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
            AS entity_type,
-       r AS rank_micro
+       CAST(r AS BIGINT) AS rank_micro
 FROM i{N_ITERS}
 """
 

@@ -64,7 +64,8 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_VARIANT = """
 SELECT event_type,
        count(*) AS n,
-       sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+       CAST(sum(cast(json_extract_string(props, '$.k') as bigint))
+            AS BIGINT) AS sum_k,
        min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
        max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k,
        count(cast(json_extract_string(props, '$.missing') as bigint))
@@ -154,7 +155,7 @@ WITH toks AS (
 )
 SELECT lang, bucket, pack_id,
        count(*) AS n_docs,
-       sum(tokens) AS pack_tokens,
+       CAST(sum(tokens) AS BIGINT) AS pack_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM packed
@@ -284,10 +285,10 @@ WITH scanned AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_emails) AS n_emails,
-       sum(n_ips) AS n_ips,
-       sum(n_valid_cards) AS n_valid_cards,
-       sum(n_invalid_cards) AS n_invalid_cards,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+       CAST(sum(n_valid_cards) AS BIGINT) AS n_valid_cards,
+       CAST(sum(n_invalid_cards) AS BIGINT) AS n_invalid_cards,
        cast(sum(CASE WHEN n_emails + n_ips + n_valid_cards > 0 THEN 1
                 ELSE 0 END) as bigint) AS n_docs_with_pii
 FROM scanned
@@ -360,7 +361,7 @@ WITH parsed AS (
 SELECT tld,
        count(*) AS n_urls,
        count(DISTINCT domain) AS n_domains,
-       sum(page) AS sum_page,
+       CAST(sum(page) AS BIGINT) AS sum_page,
        cast(sum(path_len) as bigint) AS sum_path_len
 FROM parts
 GROUP BY tld
@@ -501,7 +502,7 @@ SELECT lang,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(toks) AS n_tokens
+       CAST(sum(toks) AS BIGINT) AS n_tokens
 FROM b
 GROUP BY 1, 2
 """
@@ -566,7 +567,7 @@ WITH quality AS (
 )
 SELECT lang, bucket, pack_id,
        count(*) AS n_docs,
-       sum(tokens) AS pack_tokens,
+       CAST(sum(tokens) AS BIGINT) AS pack_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM packed

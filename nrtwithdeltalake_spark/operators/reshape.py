@@ -146,7 +146,7 @@ WITH b AS (
   SELECT p_brand, count(*) AS n FROM part GROUP BY 1
 ), t AS (SELECT sum(n) AS tot FROM b)
 SELECT CASE WHEN n*22 >= tot THEN p_brand ELSE 'OTHER' END AS brand,
-       sum(n) AS n_parts, count(*) AS n_brands
+       CAST(sum(n) AS BIGINT) AS n_parts, count(*) AS n_brands
 FROM b CROSS JOIN t
 GROUP BY 1
 """

@@ -126,7 +126,8 @@ WITH bounds AS (
            AS is_clipped
   FROM lineitem li JOIN bounds b ON li.l_returnflag = b.l_returnflag
 )
-SELECT l_returnflag, count(*) AS n_rows, sum(is_clipped) AS n_clipped,
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(is_clipped) AS BIGINT) AS n_clipped,
        cast(round(sum(w_price), 2) AS double) AS winsorized_sum
 FROM clipped GROUP BY l_returnflag
 """

@@ -256,7 +256,7 @@ WITH parsed AS (
   SELECT cast(json_extract_string(props, '$.k') as bigint) AS k FROM events
 )
 SELECT k % 5 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
-       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
 FROM parsed GROUP BY k % 5
 ORDER BY k_mod NULLS FIRST
 """

@@ -574,7 +574,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     4× storage/bandwidth cut before ANN indexing at scale. Pure Catalyst
     (lambda references the precomputed scale column; no per-element
     rescan). Zero-vectors guarded with an epsilon floor so ANSI-mode
-    round(inf)→int can't trap."""
+    round(inf)→int can't trap.
+
+    The compare surface serializes the int8 vector with array_join
+    (same convention as ``q_agg_array``): the driver's pandas-based
+    value hasher cannot hash list cells (``sort_values`` → ``factorize``
+    → ``unhashable type: 'list'`` — the r09 red). The quantization
+    itself is still a per-element array transform in codegen."""
     emb = load_table(spark, sf_dir, "embeddings")
     am = F.expr(
         "greatest(array_max(transform(embedding, y -> abs(cast(y as double)))),"
@@ -584,9 +590,12 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding", am.alias("am"))
         .select(
             "vec_id",
-            F.expr(
-                "transform(embedding, x -> "
-                "cast(round(cast(x as double) * 127.0 / am) as int))"
+            F.array_join(
+                F.expr(
+                    "transform(embedding, x -> "
+                    "cast(round(cast(x as double) * 127.0 / am) as int))"
+                ),
+                ",",
             ).alias("q8"),
             F.round(F.col("am") / 127.0, 9).alias("scale"),
         )
@@ -601,8 +610,8 @@ WITH a AS (
   FROM embeddings
 )
 SELECT vec_id,
-       list_transform(embedding,
-                      x -> cast(round(cast(x as double) * 127.0 / am) as int))
+       array_to_string(list_transform(embedding,
+           x -> cast(round(cast(x as double) * 127.0 / am) as int)), ',')
            AS q8,
        round(am / 127.0, 9) AS scale
 FROM a

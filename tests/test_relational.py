@@ -105,3 +105,55 @@ def test_profile_columns_approx_agrees_with_exact(spark, sf_dir):
             e.n_rows, e.n_null, e.min_v, e.max_v, e.mean_v,
         )
         assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.1 * e.n_distinct)
+
+
+def test_oracle_output_types_survive_driver_canonicalizer(sf_dir):
+    """No oracle's DuckDB output may contain HUGEINT / DECIMAL(38,0)
+    (pandas materializes them as float64 → value-hash mismatch against
+    Spark's int64) or LIST/STRUCT/MAP cells (the driver's sort_values
+    canonicalizer crashes on unhashable cells). This is the r09 defect
+    class (12 oracles), encoded so it can never ship again."""
+    from tools.oracle_type_audit import audit
+
+    offenders = audit(sf_dir)
+    assert not offenders, (
+        "driver-canonicalizer-incompatible oracle output types: "
+        f"{offenders} — CAST final integer sums AS BIGINT / serialize "
+        "arrays with array_join (see q_agg_array)"
+    )
+
+
+def test_rotation_order_fails_first_then_unsampled():
+    """The driver-sample rotation must re-verify known-failed queries
+    FIRST (advisor r09: pushing failures to the back means the official
+    gate never re-samples a fix), then never-sampled, then clean."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, dict] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        with open(p) as f:
+            last.update(json.load(f))
+    if not last:
+        return  # round 1: nothing to rotate against
+    names = list(e.queries())
+    failed = {
+        n
+        for n, rec in last.items()
+        if rec.get("err") != "no_oracle"
+        and not (rec.get("hash_match") and rec.get("rows_match") and rec.get("schema_match") and rec.get("err") is None)
+    }
+    failed &= set(names)
+    if failed:
+        # every known-failed name must precede every clean sampled name
+        clean = [n for n in names if n in last and n not in failed]
+        worst_failed = max(names.index(n) for n in failed)
+        first_clean = min((names.index(n) for n in clean), default=len(names))
+        assert worst_failed < first_clean, (
+            f"failed queries {sorted(failed)} must sort before previously-"
+            "clean ones in the driver rotation"
+        )

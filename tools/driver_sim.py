@@ -1,10 +1,18 @@
 """Simulates the external driver: fresh plain SparkSession (hostile config:
 non-UTC tz, default shuffle partitions), imports __spark_entry__, smoke-runs
-entry(), then t2: every queries()[name] vs oracle_sql()[name] via DuckDB."""
-import sys, math
+entry(), then t2: every queries()[name] vs oracle_sql()[name] via DuckDB.
+
+Round-10 fidelity fix: canonicalization now goes through PANDAS on both
+sides (Spark ``toPandas()``, DuckDB ``.df()``) exactly like the official
+driver — the r09 reds proved ``fetchall()`` hides HUGEINT→float64 flips
+and unhashable list cells. Shares ``tests.oracle.canon_frame``.
+"""
+import sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
+
+from tests.oracle import canon_frame
 
 # deliberately NOT the engine's session factory; hostile tz probe
 spark = (SparkSession.builder.master("local[8]").appName("driver-sim")
@@ -30,22 +38,24 @@ if only:
 fails = []
 for name in sorted(qs):
     df = qs[name](spark, sf)
-    s_rows = df.collect(); s_cols = df.columns
     if name not in os_:
-        print(f"{name}: rows-only, {len(s_rows)} rows"); continue
-    d = con.execute(os_[name]); d_rows = d.fetchall(); d_cols = [x[0] for x in d.description]
-    ok_cols = sorted(s_cols) == sorted(d_cols)
-    ok_n = len(s_rows) == len(d_rows)
-    so = sorted(range(len(s_cols)), key=lambda i: s_cols[i]); do = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-    norm = lambda v: "NaN" if isinstance(v, float) and math.isnan(v) else v
-    ss = sorted(tuple(repr(norm(r[s_cols[i]])) for i in so) for r in s_rows)
-    ds = sorted(tuple(repr(norm(r[i])) for i in do) for r in d_rows)
-    ok_v = ss == ds
-    status = "OK" if (ok_cols and ok_n and ok_v) else "FAIL"
-    if status == "FAIL":
+        print(f"{name}: rows-only, {df.count()} rows"); continue
+    try:
+        s_pdf = df.toPandas()
+        d_pdf = con.execute(os_[name]).df()
+        ok_cols = sorted(s_pdf.columns) == sorted(d_pdf.columns)
+        ok_n = len(s_pdf) == len(d_pdf)
+        ss = sorted(canon_frame(s_pdf))
+        ds = sorted(canon_frame(d_pdf))
+        ok_v = ss == ds
+    except Exception as exc:  # canonicalizer crash == driver FAIL
         fails.append(name)
-        diff = next(((a,b) for a,b in zip(ss,ds) if a!=b), None)
-        print(f"{name}: FAIL cols={ok_cols} n={ok_n}({len(s_rows)}/{len(d_rows)}) first_diff={diff}")
+        print(f"{name}: FAIL canonicalizer error: {exc}")
+        continue
+    if not (ok_cols and ok_n and ok_v):
+        fails.append(name)
+        diff = next(((a, b) for a, b in zip(ss, ds) if a != b), None)
+        print(f"{name}: FAIL cols={ok_cols} n={ok_n}({len(s_pdf)}/{len(d_pdf)}) first_diff={diff}")
     else:
-        print(f"{name}: OK ({len(s_rows)} rows)")
+        print(f"{name}: OK ({len(s_pdf)} rows)")
 print("RESULT:", "ALL PASS" if not fails else f"FAILURES: {fails}")
