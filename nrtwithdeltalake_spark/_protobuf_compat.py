@@ -74,11 +74,22 @@ def ensure_protobuf() -> bool:
     if _resolved is not None:
         return _resolved
 
-    # protobuf's own escape hatch for gencode-minor > runtime-minor; must
-    # be in the environment before any pb2 module import, driver or worker.
-    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
-
     if _runtime_importable():
+        # a properly installed, version-matched runtime: leave protobuf's
+        # gencode/runtime compatibility guard fully enabled for the
+        # whole process (setting the escape hatch here would disable it
+        # for every protobuf user in the process, not just TWS)
+        _resolved = True
+        return True
+
+    # protobuf's own escape hatch for gencode-minor > runtime-minor; only
+    # now that the direct import failed and we probe fallback roots whose
+    # pure-python runtime may trail pyspark's gencode. Must be in the
+    # environment before any pb2 import, driver or worker.
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    _forget_google_modules()
+    if _runtime_importable():
+        # same runtime, previously rejected only by the version check
         _resolved = True
         return True
 

@@ -195,6 +195,37 @@ def _check_aliases(cond_sql: str, allowed: set[str], where: str) -> None:
         )
 
 
+_SQL_BARE_KEYWORDS = frozenset(
+    """and or not in is null true false like escape between case when then
+    else end cast as distinct interval exists rlike div""".split()
+)
+
+
+def _require_qualified(cond_sql: str, alias: str, where: str) -> None:
+    """Reject BARE column identifiers in a predicate the merge API
+    evaluates on one side only. An unqualified column in a matched-DELETE
+    condition (``WHEN MATCHED AND amount < 0 THEN DELETE``) would
+    silently resolve against SOURCE rows under the API's CDC-flag
+    semantics even when the author meant the target's column — require
+    every reference to be ``s.``-qualified so intent is explicit."""
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", cond_sql)):
+        if i % 2:
+            continue  # quoted literal
+        for m in re.finditer(r"(?<![\w.`'])([A-Za-z_]\w*)(?![\w`])", seg):
+            tok = m.group(1)
+            end = m.end()
+            rest = seg[end:].lstrip()
+            if rest.startswith(".") or rest.startswith("("):
+                continue  # qualifier or function call
+            if tok.lower() in _SQL_BARE_KEYWORDS:
+                continue
+            raise UnsupportedSqlError(
+                f"{where} references bare column {tok!r}; this predicate "
+                f"is evaluated over SOURCE rows only — qualify every "
+                f"column as `{alias}.{tok}` to make that explicit"
+            )
+
+
 def _strip_alias(cond_sql: str, alias: str) -> str:
     """Remove `alias.` qualifiers (for predicates the API evaluates on
     one side only, where qualified references would not resolve) —
@@ -302,6 +333,19 @@ def _execute_merge(spark: SparkSession, plan, sql_text: str) -> dict:
         elif kind == "DeleteAction":
             if delete_condition is not None:
                 raise UnsupportedSqlError("multiple WHEN MATCHED DELETE clauses")
+            if saw_update_star:
+                # SQL MERGE: the FIRST matching clause wins, so a row
+                # satisfying both the update and a LATER delete condition
+                # must UPDATE. The merge API's delete flag wins over the
+                # update unconditionally — only delete-before-update
+                # order has matching semantics; anything else would be a
+                # silent divergence.
+                raise UnsupportedSqlError(
+                    "WHEN MATCHED ... THEN DELETE after an UPDATE clause: "
+                    "SQL first-clause-wins would UPDATE rows matching "
+                    "both, but the merge API's delete flag wins — put "
+                    "the DELETE clause before the UPDATE clause"
+                )
             if cond is None:
                 raise UnsupportedSqlError(
                     "unconditional WHEN MATCHED THEN DELETE is unsupported: "
@@ -310,6 +354,7 @@ def _execute_merge(spark: SparkSession, plan, sql_text: str) -> dict:
                     "not inserts); add a source-column condition"
                 )
             _check_aliases(cond.sql(), {"s"}, "WHEN MATCHED ... THEN DELETE")
+            _require_qualified(cond.sql(), "s", "WHEN MATCHED ... THEN DELETE")
             delete_condition = _strip_alias(cond.sql(), "s")
         else:
             raise UnsupportedSqlError(
@@ -529,6 +574,16 @@ def _execute_insert(spark: SparkSession, plan) -> dict:
     table = resolve_versioned(spark, parts)
     df = _plan_df(spark, plan.query())
     user_cols = _seq(plan.userSpecifiedCols())
+    if user_cols:
+        known = {f.name for f in table.schema().fields}
+        unknown = [c for c in user_cols if c not in known]
+        if unknown:
+            # without this, append()'s schema evolution would silently
+            # CREATE a misspelled column instead of raising
+            raise UnsupportedSqlError(
+                f"INSERT column(s) {unknown} not in target schema "
+                f"{sorted(known)}"
+            )
     target_cols = user_cols or [f.name for f in table.schema().fields]
     if len(df.columns) != len(target_cols):
         raise UnsupportedSqlError(

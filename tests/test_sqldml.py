@@ -401,3 +401,76 @@ def test_insert_into_and_ctas(spark, tmp_path, twin_tables):
         )
     with pytest.raises(UnsupportedSqlError):
         execute_dml(spark, "CREATE TABLE plain_db.t AS SELECT 1 AS a")
+
+
+def test_merge_clause_order_delete_after_update_rejected(spark, twin_tables):
+    """SQL MERGE is first-clause-wins: a row matching both an UPDATE and
+    a LATER DELETE condition must update. The merge API's delete flag
+    wins unconditionally, so only delete-before-update order is
+    faithfully executable — anything else must raise, not silently
+    delete (advisor r09)."""
+    sql_t, _ = twin_tables
+    spark.createDataFrame(
+        [(1, "x", 1.0, "D", 9)],
+        "TransactionId bigint, name string, amount double, op string, seq bigint",
+    ).createOrReplaceTempView("dml_src_order")
+    with pytest.raises(UnsupportedSqlError, match="before the UPDATE"):
+        execute_dml(
+            spark,
+            f"""
+            MERGE INTO versioned.`{sql_t.path}` t USING dml_src_order s
+            ON t.TransactionId = s.TransactionId
+            WHEN MATCHED AND s.seq > 1 THEN UPDATE SET *
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+    assert sql_t.latest_version() == 0
+
+
+def test_merge_matched_delete_bare_column_rejected(spark, twin_tables):
+    """An unqualified column in a matched-DELETE condition would be
+    evaluated against SOURCE rows (CDC-flag semantics) even when the
+    author meant the target — require explicit s.-qualification
+    (advisor r09)."""
+    sql_t, _ = twin_tables
+    spark.createDataFrame(
+        [(1, "x", -1.0, "D", 1)],
+        "TransactionId bigint, name string, amount double, op string, seq bigint",
+    ).createOrReplaceTempView("dml_src_bare")
+    with pytest.raises(UnsupportedSqlError, match="bare column"):
+        execute_dml(
+            spark,
+            f"""
+            MERGE INTO versioned.`{sql_t.path}` t USING dml_src_bare s
+            ON t.TransactionId = s.TransactionId
+            WHEN MATCHED AND amount < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+    # string literals must not trip the bare-identifier scan
+    execute_dml(
+        spark,
+        f"""
+        MERGE INTO versioned.`{sql_t.path}` t USING dml_src_bare s
+        ON t.TransactionId = s.TransactionId
+        WHEN MATCHED AND s.op = 'delete me' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+
+
+def test_insert_unknown_column_rejected(spark, twin_tables):
+    """INSERT INTO t (misspelled_col) must raise, not let append()'s
+    schema evolution silently create the column (advisor r09)."""
+    sql_t, _ = twin_tables
+    with pytest.raises(UnsupportedSqlError, match="amout"):
+        execute_dml(
+            spark,
+            f"INSERT INTO versioned.`{sql_t.path}` (TransactionId, amout) "
+            "VALUES (99, 1.0)",
+        )
+    assert sql_t.latest_version() == 0
+    assert "amout" not in [f.name for f in sql_t.schema().fields]
