@@ -292,13 +292,16 @@ class LocalLinkCommitStore:
 
     S3-class object stores: a bare PUT is last-writer-wins and a
     HEAD-then-PUT race loses commits SILENTLY — do NOT point this
-    engine at S3 through a filesystem shim. Implement the seam with the
-    store's conditional write (S3 ``If-None-Match: *``, GCS
-    ``x-goog-if-generation-match: 0``, ADLS ETag preconditions) or an
-    external coordinator (the DynamoDB lock table Delta's S3DynamoDBLogStore
-    uses). ``tests/test_logcodec.py`` carries a conformance storm
-    (``storm_commit_store``) that any new backend must pass — a fake
-    non-atomic (check-then-put) store demonstrably fails it."""
+    engine at S3 through a filesystem shim. Use
+    ``pipeline/objectstore.py::ConditionalPutCommitStore``, which
+    implements this seam over the store's conditional write (S3
+    ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``, ADLS
+    ETag preconditions) including ambiguous-retry ownership resolution;
+    or an external coordinator (the DynamoDB lock table Delta's
+    S3DynamoDBLogStore uses). ``tests/test_logcodec.py`` carries a
+    conformance storm (``storm_commit_store``) that any new backend
+    must pass — a fake non-atomic (check-then-put) store and a
+    precondition-violating object store both demonstrably fail it."""
 
     def put_if_absent(self, target: str, payload: str) -> bool:
         d = os.path.dirname(target)
