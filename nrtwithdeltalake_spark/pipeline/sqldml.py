@@ -548,13 +548,74 @@ def execute_dml(spark: SparkSession, sql_text: str):
         "DropConstraint",
     ):
         return _execute_alter(spark, plan, kind)
+    if _TIME_TRAVEL_RX.search(sql_text):
+        # read-side time travel: a SELECT whose FROM carries
+        # VERSION AS OF / TIMESTAMP AS OF on a versioned table
+        return execute_query(spark, sql_text)
     raise UnsupportedSqlError(
         f"statement parses to {kind}, which this dispatcher does not "
         "execute — only MERGE INTO / DELETE FROM / UPDATE / ALTER TABLE "
         "(columns, CHECK constraints) / OPTIMIZE / VACUUM / RESTORE / "
-        "DESCRIBE HISTORY on versioned tables; run queries through "
-        "spark.sql"
+        "DESCRIBE HISTORY / SELECT ... VERSION|TIMESTAMP AS OF on "
+        "versioned tables; run plain queries through spark.sql"
     )
+
+
+_TIME_TRAVEL_RX = re.compile(
+    rf"{_IDENT}\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"('(?:[^']|'')*'|\d+(?:\.\d+)?)",
+    re.IGNORECASE,
+)
+
+
+def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
+    """Read-side SQL time travel: run a query whose FROM clause uses
+    ``VERSION AS OF n`` / ``TIMESTAMP AS OF ts`` on versioned tables —
+    the analog of the reference probing
+    ``CHANGE_TRACKING_CURRENT_VERSION()`` (COPY_MSQL_TO_SILVER.py:
+    128-129) and the read-side counterpart of this module's DML surface.
+
+    Each time-traveled relation (``versioned.`/path``` or a
+    ``register()``-ed catalog name) is resolved through
+    ``VersionedTable.read(version=/timestamp=)`` and substituted with a
+    session temp view; the rewritten statement then runs through
+    ``spark.sql`` unchanged, so projections/joins/aggregations keep
+    Spark's full grammar and Catalyst planning (snapshot pruning and
+    scan pushdown happen inside ``read()``'s plan exactly as in API
+    time travel). TIMESTAMP AS OF resolves to the last version
+    committed at or before the timestamp — Delta's rule
+    (``tables.version_at``)."""
+    out: list[str] = []
+    last = 0
+    n_found = 0
+    for m in _TIME_TRAVEL_RX.finditer(sql_text):
+        rel, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+        table = resolve_versioned(spark, _ident_parts(rel))
+        if kind == "VERSION":
+            if not val.isdigit():
+                raise UnsupportedSqlError(
+                    f"VERSION AS OF takes an integer version, got {val!r}"
+                )
+            df = table.read(version=int(val))
+        else:
+            ts = (
+                val[1:-1].replace("''", "'")
+                if val.startswith("'")
+                else float(val)
+            )
+            df = table.read(timestamp=ts)
+        view = f"__time_travel_{n_found}_{abs(hash((rel, kind, val))) % 10**8}"
+        df.createOrReplaceTempView(view)
+        out.append(sql_text[last : m.start()])
+        out.append(view)
+        last = m.end()
+        n_found += 1
+    if not n_found:
+        raise UnsupportedSqlError(
+            "no VERSION AS OF / TIMESTAMP AS OF clause found — run plain "
+            "queries through spark.sql"
+        )
+    return spark.sql("".join(out) + sql_text[last:])
 
 
 def _execute_insert(spark: SparkSession, plan) -> dict:

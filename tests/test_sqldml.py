@@ -474,3 +474,63 @@ def test_insert_unknown_column_rejected(spark, twin_tables):
         )
     assert sql_t.latest_version() == 0
     assert "amout" not in [f.name for f in sql_t.schema().fields]
+
+
+def test_sql_time_travel_reads_match_api(spark, twin_tables):
+    """SELECT ... VERSION AS OF n / TIMESTAMP AS OF ts — read-side SQL
+    time travel matches API time travel exactly, across a mutation
+    history (golden: v0 create → v1 merge → v2 delete)."""
+    from nrtwithdeltalake_spark.pipeline.sqldml import execute_query
+
+    sql_t, _ = twin_tables
+    src = _df(spark, [(1, "a2", 11.0, "U", 2), (4, "d", 40.0, "I", 2)])
+    sql_t.merge(src.drop("op", "seq"), ["TransactionId"])          # v1
+    sql_t.delete("TransactionId = 2")                              # v2
+    tgt = f"versioned.`{sql_t.path}`"
+
+    for v in (0, 1, 2):
+        api = {tuple(r) for r in sql_t.read(version=v).collect()}
+        got = {
+            tuple(r)
+            for r in execute_query(
+                spark, f"SELECT * FROM {tgt} VERSION AS OF {v}"
+            ).collect()
+        }
+        assert got == api, f"version {v}"
+
+    # time travel composes with real query shapes (agg over v1)
+    n1 = execute_query(
+        spark,
+        f"SELECT count(*) AS n, sum(amount) AS total "
+        f"FROM {tgt} VERSION AS OF 1",
+    ).collect()[0]
+    assert n1.n == 4 and abs(n1.total - (11.0 + 20.0 + 30.0 + 40.0)) < 1e-9
+
+    # TIMESTAMP AS OF resolves to last-version-at-or-before (Delta rule)
+    ts1 = sql_t.get_commit(1).ts
+    got_ts = {
+        tuple(r)
+        for r in execute_query(
+            spark, f"SELECT * FROM {tgt} TIMESTAMP AS OF {ts1}"
+        ).collect()
+    }
+    assert got_ts == {tuple(r) for r in sql_t.read(version=1).collect()}
+
+    # two time-traveled snapshots of the SAME table join in one statement
+    # (version diff — the CDC-ish shape users actually write)
+    diff = execute_query(
+        spark,
+        f"""
+        SELECT cur.TransactionId
+        FROM {tgt} VERSION AS OF 1 cur
+        LEFT ANTI JOIN {tgt} VERSION AS OF 0 old
+          ON cur.TransactionId = old.TransactionId
+        """,
+    ).collect()
+    assert {r.TransactionId for r in diff} == {4}
+
+    # dispatches through execute_dml too (single SQL entry point)
+    via_dml = execute_dml(
+        spark, f"SELECT TransactionId FROM {tgt} VERSION AS OF 0"
+    )
+    assert {r.TransactionId for r in via_dml.collect()} == {1, 2, 3}
