@@ -99,6 +99,10 @@ PRIOR_SLACK_S = 1.0
 # one full second pass runs and the per-query min stands — two passes
 # ~40s apart shed windows a min-of-3 within one window cannot
 TOTAL_RATIO = float(os.environ.get("SPARK_GRAFT_TOTAL_RATIO", "1.15"))
+# per-query CI gate: a min above this multiple of its all-time era floor
+# (and more than PRIOR_SLACK_S over it) lands in the artifact's
+# machine-readable `regressions` field
+REGRESSION_RATIO = float(os.environ.get("SPARK_GRAFT_REGRESSION_RATIO", "2.0"))
 
 
 def _await_quiet_host(wait_s: int = LOAD_WAIT_S) -> float:
@@ -193,6 +197,24 @@ def main() -> None:
                 if best < timings[name]:
                     timings[name] = round(best, 3)
 
+    # machine-readable per-query regression gate: any min landing above
+    # REGRESSION_RATIO x its all-time era floor (with an absolute slack
+    # so 0.2s queries can't trip on scheduler jitter) is recorded in the
+    # artifact itself — the floor discipline as data, not prose. The
+    # field is ALWAYS emitted (empty when clean) so its absence in an
+    # artifact is itself a signal.
+    regressions = {
+        n: {
+            "min": timings[n],
+            "floor": round(prior[n], 3),
+            "ratio": round(timings[n] / prior[n], 2),
+        }
+        for n in HEADLINE
+        if n in prior
+        and timings[n] > REGRESSION_RATIO * prior[n]
+        and timings[n] - prior[n] > PRIOR_SLACK_S
+    }
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -203,6 +225,7 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         "loadavg_max": round(load_max, 2),
         "load_gate": LOAD_GATE,
+        "regressions": regressions,
     }
     if retried:
         out["contention_reruns"] = retried
