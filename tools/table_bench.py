@@ -134,6 +134,41 @@ def bench_snapshot_read(spark, root: str, n_rows: int) -> dict:
     return out
 
 
+def bench_registration_rebuild(root: str, n_files: int = 10_000) -> dict:
+    """Cost of the rewriting-commit registration rebuild at ``n_files``
+    live files: the exact primitive ``_sync_registration``'s full-rebuild
+    branch runs — one hardlink per live file into a fresh tmp dir, then
+    the atomic dir swap. Measured to decide whether an O(churn)
+    alternative for rewriting commits is worth the complexity (verdict
+    r09 item 7): if this is a small fraction of the ~2 s merge commit
+    latency floor, the answer is no."""
+    import hashlib
+
+    src = os.path.join(root, "regsrc")
+    os.makedirs(src, exist_ok=True)
+    files = []
+    for i in range(n_files):
+        p = os.path.join(src, f"part-{i:05d}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"x")
+        files.append(p)
+    cur = os.path.join(root, "_current_bench")
+    os.makedirs(cur, exist_ok=True)
+
+    t0 = time.perf_counter()
+    tmp = f"{cur}.tmp.bench"
+    os.makedirs(tmp)
+    for p in files:
+        digest = hashlib.sha1(p.encode()).hexdigest()[:12]
+        os.link(p, os.path.join(tmp, f"{digest}_{os.path.basename(p)}"))
+    old = f"{cur}.old.bench"
+    os.rename(cur, old)
+    os.rename(tmp, cur)
+    shutil.rmtree(old, ignore_errors=True)
+    secs = time.perf_counter() - t0
+    return {"n_files": n_files, "secs": round(secs, 4)}
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     root = os.path.join("/tmp", f"table_bench_{os.getpid()}")
@@ -149,6 +184,7 @@ def main() -> None:
         cases["delete_cow"] = bench_delete(spark, root, n_rows, use_dv=False)
         cases["delete_dv"] = bench_delete(spark, root, n_rows, use_dv=True)
         cases.update(bench_snapshot_read(spark, root, n_rows))
+        cases["registration_rebuild_10k"] = bench_registration_rebuild(root)
         print(
             json.dumps(
                 {
