@@ -48,6 +48,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .tables import VersionedTable
 
@@ -414,8 +415,6 @@ def _execute_delete(spark: SparkSession, plan) -> dict:
 
 
 def _execute_update(spark: SparkSession, plan) -> dict:
-    from pyspark.sql import functions as F
-
     _, parts = _relation_parts(plan.table())
     table = resolve_versioned(spark, parts)
     cond = _opt(plan.condition())
@@ -548,9 +547,10 @@ def execute_dml(spark: SparkSession, sql_text: str):
         "DropConstraint",
     ):
         return _execute_alter(spark, plan, kind)
-    if _TIME_TRAVEL_RX.search(sql_text):
-        # read-side time travel: a SELECT whose FROM carries
-        # VERSION AS OF / TIMESTAMP AS OF on a versioned table
+    if _TIME_TRAVEL_RX.search(sql_text) or _TABLE_CHANGES_RX.search(sql_text):
+        # read-side time travel / CDC: a SELECT whose FROM carries
+        # VERSION AS OF / TIMESTAMP AS OF or table_changes(...) on a
+        # versioned table
         return execute_query(spark, sql_text)
     raise UnsupportedSqlError(
         f"statement parses to {kind}, which this dispatcher does not "
@@ -566,12 +566,21 @@ _TIME_TRAVEL_RX = re.compile(
     r"('(?:[^']|'')*'|\d+(?:\.\d+)?)",
     re.IGNORECASE,
 )
+# Delta's read-side CDC table function: table_changes('t', from[, to]),
+# versions INCLUSIVE on both ends (our change_feed API is
+# exclusive-start, so from maps to starting_version=from-1)
+_TABLE_CHANGES_RX = re.compile(
+    r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
 
 
 def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
-    """Read-side SQL time travel: run a query whose FROM clause uses
-    ``VERSION AS OF n`` / ``TIMESTAMP AS OF ts`` on versioned tables —
-    the analog of the reference probing
+    """Read-side SQL time travel + CDC: run a query whose FROM clause
+    uses ``VERSION AS OF n`` / ``TIMESTAMP AS OF ts`` or
+    ``table_changes('t', from[, to])`` (Delta's CDC table function;
+    versions inclusive on both ends) on versioned tables — the analog
+    of the reference probing
     ``CHANGE_TRACKING_CURRENT_VERSION()`` (COPY_MSQL_TO_SILVER.py:
     128-129) and the read-side counterpart of this module's DML surface.
 
@@ -585,9 +594,7 @@ def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
     time travel). TIMESTAMP AS OF resolves to the last version
     committed at or before the timestamp — Delta's rule
     (``tables.version_at``)."""
-    out: list[str] = []
-    last = 0
-    n_found = 0
+    subs: list[tuple[int, int, DataFrame]] = []
     for m in _TIME_TRAVEL_RX.finditer(sql_text):
         rel, kind, val = m.group(1), m.group(2).upper(), m.group(3)
         table = resolve_versioned(spark, _ident_parts(rel))
@@ -604,17 +611,39 @@ def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
                 else float(val)
             )
             df = table.read(timestamp=ts)
-        view = f"__time_travel_{n_found}_{abs(hash((rel, kind, val))) % 10**8}"
-        df.createOrReplaceTempView(view)
-        out.append(sql_text[last : m.start()])
-        out.append(view)
-        last = m.end()
-        n_found += 1
-    if not n_found:
-        raise UnsupportedSqlError(
-            "no VERSION AS OF / TIMESTAMP AS OF clause found — run plain "
-            "queries through spark.sql"
+        subs.append((m.start(), m.end(), df))
+    for m in _TABLE_CHANGES_RX.finditer(sql_text):
+        name, from_v, to_v = m.group(1), int(m.group(2)), m.group(3)
+        parts = [name] if name.startswith("/") else _ident_parts(name)
+        table = (
+            VersionedTable(spark, name)
+            if name.startswith("/")
+            else resolve_versioned(spark, parts)
         )
+        # Delta's table_changes is INCLUSIVE of from_v; the API is
+        # exclusive-start
+        df = table.change_feed(starting_version=from_v - 1)
+        if to_v is not None:
+            df = df.filter(F.col("_commit_version") <= int(to_v))
+        subs.append((m.start(), m.end(), df))
+    if not subs:
+        raise UnsupportedSqlError(
+            "no VERSION AS OF / TIMESTAMP AS OF / table_changes(...) "
+            "clause found — run plain queries through spark.sql"
+        )
+    subs.sort()
+    out: list[str] = []
+    last = 0
+    for n, (start, end, df) in enumerate(subs):
+        if start < last:
+            raise UnsupportedSqlError(
+                "overlapping time-travel/table_changes clauses"
+            )
+        view = f"__versioned_read_{n}_{abs(hash(sql_text)) % 10**8}"
+        df.createOrReplaceTempView(view)
+        out.append(sql_text[last:start])
+        out.append(view)
+        last = end
     return spark.sql("".join(out) + sql_text[last:])
 
 

@@ -534,3 +534,52 @@ def test_sql_time_travel_reads_match_api(spark, twin_tables):
         spark, f"SELECT TransactionId FROM {tgt} VERSION AS OF 0"
     )
     assert {r.TransactionId for r in via_dml.collect()} == {1, 2, 3}
+
+
+def test_sql_table_changes_matches_change_feed_api(spark, twin_tables):
+    """table_changes('t', from[, to]) — Delta's read-side CDC SQL —
+    matches the change_feed API with inclusive version bounds, and
+    composes with ordinary SQL shapes."""
+    from nrtwithdeltalake_spark.pipeline.sqldml import execute_query
+
+    sql_t, _ = twin_tables
+    sql_t.merge(
+        _df(spark, [(1, "a2", 11.0, "U", 2), (4, "d", 40.0, "I", 2)])
+        .drop("op", "seq"),
+        ["TransactionId"],
+    )                                                              # v1
+    sql_t.delete("TransactionId = 2")                              # v2
+
+    def canon(df):
+        return {
+            (r.TransactionId, r._change_type, r._commit_version)
+            for r in df.select(
+                "TransactionId", "_change_type", "_commit_version"
+            ).collect()
+        }
+
+    # path addressing; from=1 inclusive → API starting_version=0
+    got = canon(
+        execute_query(
+            spark, f"SELECT * FROM table_changes('{sql_t.path}', 1)"
+        )
+    )
+    assert got == canon(sql_t.change_feed(starting_version=0))
+    assert {v for (_, _, v) in got} == {1, 2}
+
+    # bounded [1, 1] keeps only v1's changes
+    got_1 = canon(
+        execute_query(
+            spark, f"SELECT * FROM table_changes('{sql_t.path}', 1, 1)"
+        )
+    )
+    assert {v for (_, _, v) in got_1} == {1}
+    assert got_1 < got
+
+    # composes: aggregate the feed in the same statement
+    n_del = execute_query(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes('{sql_t.path}', 1) "
+        "WHERE _change_type = 'delete'",
+    ).collect()[0].n
+    assert n_del == 1
