@@ -448,6 +448,10 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     rf"^\s*DESC(?:RIBE)?\s+HISTORY\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
 )
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+VERSIONED\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?{_IDENT}\s+(?:TO\s+)?"
     r"VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
@@ -506,15 +510,21 @@ def execute_dml(spark: SparkSession, sql_text: str):
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
         return {"version": table.restore(int(m.group(2)))}
+    m = _CONVERT_RE.match(sql_text)
+    if m:
+        # Delta's CONVERT TO DELTA parquet.`/path` — in-place adoption
+        t = VersionedTable.convert(spark, m.group(1))
+        return {"version": 0, "path": t.path}
     if re.match(
-        r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+HISTORY|RESTORE)\b",
+        r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+HISTORY|RESTORE|CONVERT)\b",
         sql_text,
         re.IGNORECASE,
     ):
         raise UnsupportedSqlError(
             "statement shape not recognized — supported forms: "
             "OPTIMIZE t [ZORDER BY (c, ...)], VACUUM t [RETAIN n HOURS], "
-            "DESCRIBE HISTORY t, RESTORE [TABLE] t [TO] VERSION AS OF n"
+            "DESCRIBE HISTORY t, RESTORE [TABLE] t [TO] VERSION AS OF n, "
+            "CONVERT TO VERSIONED parquet.`/path`"
         )
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
     kind = _cls(plan)

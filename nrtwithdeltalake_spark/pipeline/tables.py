@@ -271,6 +271,50 @@ def _attach_ids(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+def _footer_file_stats(files: list[str], schema: T.StructType) -> dict:
+    """Per-file min/max harvested from parquet FOOTERS only (no data
+    scan) — how ``convert`` gets data-skipping stats for free at any
+    scale. Same storage shape as ``_collect_file_stats`` (str()-encoded
+    [lo, hi] per column). A column is recorded for a file only when
+    EVERY row group carries min/max for it — a partial bound would
+    understate the file's range and skip rows that exist; omitted
+    columns just keep the file in the scan list (exact either way)."""
+    import pyarrow.parquet as pq
+
+    leaf_names = {f.name for f in schema.fields}
+    out: dict[str, dict] = {}
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
+        per_col: dict[str, list] = {}
+        complete: dict[str, bool] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in leaf_names:  # nested leaves unsupported
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    complete[name] = False
+                    continue
+                complete.setdefault(name, True)
+                lo, hi = st.min, st.max
+                if name in per_col:
+                    per_col[name][0] = min(per_col[name][0], lo)
+                    per_col[name][1] = max(per_col[name][1], hi)
+                else:
+                    per_col[name] = [lo, hi]
+        stats = {
+            c: [str(v[0]), str(v[1])]
+            for c, v in per_col.items()
+            if complete.get(c)
+        }
+        if stats:
+            out[_strip_scheme(os.path.abspath(fpath))] = stats
+    return out
+
+
 class LocalLinkCommitStore:
     """The default commit primitive: POSIX hardlink put-if-absent.
 
@@ -1047,6 +1091,74 @@ class VersionedTable:
                 time.time(),
                 dict(extra_stats or {}),
             )
+        )
+        return t
+
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source_dir: str | None = None,
+    ) -> "VersionedTable":
+        """Delta's ``CONVERT TO DELTA``: adopt an existing plain-parquet
+        directory into the versioned format **in place** — the v0 commit
+        REFERENCES the directory's files where they lie; nothing is
+        rewritten or copied. Driver work is O(#files) parquet-footer
+        reads, which is the only viable adoption path at 100 TB (a
+        rewriting import would cost a full write of the corpus).
+
+        ``source_dir`` defaults to ``path`` itself (convert-in-place);
+        pass a different directory to adopt files living elsewhere
+        (shallow-clone-style references — the same vacuum caveat as
+        ``clone(shallow=True)`` applies to foreign files).
+
+        Carried into the commit: the parquet schema (id-FREE — the
+        files carry no parquet field ids, so the commit schema must
+        match by name; ``rename_column`` refuses until the table is
+        upgraded by a full rewrite, exactly like a pre-column-mapping
+        Delta table) and per-file min/max data-skipping stats harvested
+        from the footers (no data scan). Like ``clone``, the commit
+        carries no change-data files (``cdf_absent``): CDF consumers
+        bootstrap from a snapshot and watermark from version 0;
+        ``change_feed`` refuses loudly across the convert commit.
+        Hive-partitioned layouts (parquet in subdirectories, values
+        encoded in dir names) are refused loudly — partition columns
+        are not in the files, so adopting them silently would drop
+        those columns."""
+        src = os.path.abspath(source_dir or path)
+        t = cls(spark, path)
+        if cls.exists(path):
+            raise RuntimeError(f"table already exists at {path}")
+        if not os.path.isdir(src):
+            raise FileNotFoundError(f"no directory at {src}")
+        files = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        nested = [
+            e
+            for e in os.listdir(src)
+            if os.path.isdir(os.path.join(src, e)) and not e.startswith(("_", "."))
+        ]
+        if nested:
+            raise ValueError(
+                f"{src} contains subdirectories {nested[:3]} — "
+                "Hive-partitioned layouts are unsupported (partition "
+                "values live in dir names, not the files); read and "
+                "VersionedTable.create() instead"
+            )
+        if not files:
+            raise ValueError(f"no parquet files found in {src}")
+        schema = _strip_ids(spark.read.parquet(*files).schema)
+        stats: dict = {
+            "converted_from": src,
+            "cdf_absent": True,
+            "file_stats": _footer_file_stats(files, schema),
+        }
+        t._write_commit(
+            Commit(0, "convert", files, [], schema.json(), time.time(), stats)
         )
         return t
 
@@ -2830,11 +2942,12 @@ class VersionedTable:
                     f"starting_version={c.version}"
                 )
             if c.stats.get("cdf_absent"):
-                # a clone commit carries no change-data files by design
-                # (insert images of the whole snapshot would defeat
-                # zero-copy): consumers bootstrap from a snapshot read.
+                # clone/convert commits carry no change-data files by
+                # design (insert images of the whole snapshot would
+                # defeat zero-copy adoption): consumers bootstrap from a
+                # snapshot read.
                 raise ValueError(
-                    f"version {c.version} is a clone commit with no "
+                    f"version {c.version} is a {c.op} commit with no "
                     f"change-data files; bootstrap from a snapshot read "
                     f"and watermark from starting_version={c.version}"
                 )
