@@ -452,6 +452,13 @@ _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+VERSIONED\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*$",
     re.IGNORECASE,
 )
+# Delta's CREATE TABLE ... [SHALLOW|DEEP] CLONE src [VERSION AS OF n]
+# (extension grammar Spark's parser lacks — shape-matched like OPTIMIZE)
+_CLONE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+{_IDENT}\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+"
+    rf"{_IDENT}(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?{_IDENT}\s+(?:TO\s+)?"
     r"VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
@@ -514,6 +521,20 @@ def execute_dml(spark: SparkSession, sql_text: str):
     if m:
         # Delta's CONVERT TO DELTA parquet.`/path` — in-place adoption
         t = VersionedTable.convert(spark, m.group(1))
+        return {"version": 0, "path": t.path}
+    m = _CLONE_RE.match(sql_text)
+    if m:
+        dest_parts = _ident_parts(m.group(1))
+        if len(dest_parts) != 2 or dest_parts[0].lower() != "versioned":
+            raise UnsupportedSqlError(
+                "CLONE destination must be `versioned.`/abs/path`` — "
+                "clone to a path, then .register(db, table) for catalog "
+                "addressing"
+            )
+        src = resolve_versioned(spark, _ident_parts(m.group(3)))
+        shallow = (m.group(2) or "SHALLOW").upper() == "SHALLOW"
+        version = int(m.group(4)) if m.group(4) else None
+        t = src.clone(dest_parts[1], shallow=shallow, version=version)
         return {"version": 0, "path": t.path}
     if re.match(
         r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+HISTORY|RESTORE|CONVERT)\b",

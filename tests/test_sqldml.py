@@ -583,3 +583,37 @@ def test_sql_table_changes_matches_change_feed_api(spark, twin_tables):
         "WHERE _change_type = 'delete'",
     ).collect()[0].n
     assert n_del == 1
+
+
+def test_sql_clone_statement(spark, tmp_path, twin_tables):
+    """CREATE TABLE dest [SHALLOW|DEEP] CLONE src [VERSION AS OF n] —
+    Delta's clone SQL, shape-matched onto VersionedTable.clone."""
+    sql_t, _ = twin_tables
+    sql_t.delete("TransactionId = 3")  # v1, so VERSION AS OF matters
+
+    dest = str(tmp_path / "clone_sql")
+    res = execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{dest}` SHALLOW CLONE "
+        f"versioned.`{sql_t.path}` VERSION AS OF 0",
+    )
+    assert res["version"] == 0
+    c = VersionedTable(spark, dest)
+    assert c.read().count() == 3  # pre-delete snapshot
+    # shallow: references the source's files in place
+    assert all(f.startswith(sql_t.path) for f in c.get_commit(0).files)
+
+    dest2 = str(tmp_path / "clone_deep")
+    execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{dest2}` DEEP CLONE versioned.`{sql_t.path}`",
+    )
+    c2 = VersionedTable(spark, dest2)
+    assert c2.read().count() == 2  # latest (post-delete)
+    assert all(f.startswith(dest2) for f in c2.get_commit(0).files)
+
+    with pytest.raises(UnsupportedSqlError, match="destination"):
+        execute_dml(
+            spark,
+            f"CREATE TABLE plain_name CLONE versioned.`{sql_t.path}`",
+        )
