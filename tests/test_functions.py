@@ -116,9 +116,12 @@ def test_quantize_zero_vector_guard(spark, tmp_path):
         "vec_id long, embedding array<float>, label int",
     ).write.parquet(f"{p}/embeddings.parquet")
     rows = {r.vec_id: r for r in q_embed_quantize(spark, p).collect()}
-    assert all(q == 0 for q in rows[0].q8)
+    # q8 is array_join-serialized for the driver's pandas canonicalizer
+    q0 = [int(x) for x in rows[0].q8.split(",")]
+    q1 = [int(x) for x in rows[1].q8.split(",")]
+    assert all(q == 0 for q in q0)
     assert rows[0].scale < 1e-10
-    assert all(q == 127 for q in rows[1].q8)
+    assert all(q == 127 for q in q1)
 
 
 def test_sessionize_boundary_gap_not_a_new_session(spark, tmp_path):

@@ -147,8 +147,11 @@ def test_quantize_roundtrip_error_bounded(spark, sf_dir):
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     }
     for r in got:
-        assert all(-127 <= q <= 127 for q in r.q8)
-        for q, x in zip(r.q8, orig[r.vec_id]):
+        # q8 is array_join-serialized for the driver's pandas canonicalizer
+        q8 = [int(x) for x in r.q8.split(",")]
+        assert len(q8) == len(orig[r.vec_id])
+        assert all(-127 <= q <= 127 for q in q8)
+        for q, x in zip(q8, orig[r.vec_id]):
             assert abs(q * r.scale - x) <= r.scale / 2 + 1e-9
 
 
