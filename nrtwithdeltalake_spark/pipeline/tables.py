@@ -271,19 +271,27 @@ def _attach_ids(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
-def _footer_file_stats(files: list[str], schema: T.StructType) -> dict:
+def _footer_file_stats(
+    files: list[str], schema: T.StructType, max_cols: int = 32
+) -> dict:
     """Per-file min/max harvested from parquet FOOTERS only (no data
-    scan) — how ``convert`` gets data-skipping stats for free at any
-    scale. Same storage shape as ``_collect_file_stats`` (str()-encoded
-    [lo, hi] per column). A column is recorded for a file only when
-    EVERY row group carries min/max for it — a partial bound would
-    understate the file's range and skip rows that exist; omitted
-    columns just keep the file in the scan list (exact either way)."""
+    scan) — how ``convert`` adopts skipping stats for free and how
+    ``create``/``append`` record them at O(churn) per commit. Same
+    storage shape as ``_collect_file_stats`` (str()-encoded [lo, hi]
+    per column). A column is recorded for a file only when EVERY row
+    group carries min/max for it — a partial bound would understate the
+    file's range and skip rows that exist; omitted columns just keep
+    the file in the scan list (exact either way). Parquet's truncated
+    string stats stay VALID bounds (min truncates down, max increments
+    the last byte), so pruning on them can only under-skip, never drop
+    rows. Only the first ``max_cols`` schema fields are recorded —
+    Delta's dataSkippingNumIndexedCols default — bounding commit-record
+    growth on wide tables."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    leaf_names = {f.name for f in schema.fields}
+    leaf_names = {f.name for f in schema.fields[:max_cols]}
 
     def _one(fpath: str) -> tuple[str, dict]:
         md = pq.ParquetFile(fpath).metadata
@@ -296,12 +304,21 @@ def _footer_file_stats(files: list[str], schema: T.StructType) -> dict:
                 name = col.path_in_schema
                 if name not in leaf_names:  # nested leaves unsupported
                     continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
+                try:
+                    st = col.statistics
+                    # min/max access is where pyarrow's lazy statistics
+                    # cast can raise "Cannot extract statistics for
+                    # type" (e.g. some decimal physicals) — probe both
+                    # inside the guard
+                    ok = st is not None and st.has_min_max
+                    if ok:
+                        lo, hi = st.min, st.max
+                except Exception:
+                    ok = False
+                if not ok:
                     complete[name] = False
                     continue
                 complete.setdefault(name, True)
-                lo, hi = st.min, st.max
                 if name in per_col:
                     per_col[name][0] = min(per_col[name][0], lo)
                     per_col[name][1] = max(per_col[name][1], hi)
@@ -1088,16 +1105,12 @@ class VersionedTable:
             t.cdf_dir,
             schema=schema,
         )
+        stats = dict(extra_stats or {})
+        fstats = _footer_file_stats(files, schema)
+        if fstats and "file_stats" not in stats:
+            stats["file_stats"] = fstats  # O(#files) footer harvest
         t._write_commit(
-            Commit(
-                0,
-                "create",
-                files,
-                cdf,
-                schema.json(),
-                time.time(),
-                dict(extra_stats or {}),
-            )
+            Commit(0, "create", files, cdf, schema.json(), time.time(), stats)
         )
         return t
 
@@ -1565,6 +1578,14 @@ class VersionedTable:
         attempt = 0
         while True:
             try:
+                base_stats = self._carry_stats(prev, prev.files)
+                new_fstats = _footer_file_stats(new_files, schema)
+                if new_fstats:
+                    # O(churn) footer harvest: appended files prune via
+                    # read_between immediately, no compaction needed
+                    merged = dict(base_stats.get("file_stats", {}))
+                    merged.update(new_fstats)
+                    base_stats["file_stats"] = merged
                 self._write_commit(
                     Commit(
                         prev.version + 1,
@@ -1573,12 +1594,7 @@ class VersionedTable:
                         cdf,
                         schema.json(),
                         time.time(),
-                        self._txn_record(
-                            self._carry_stats(prev, prev.files),
-                            prev,
-                            txn_app,
-                            txn_version,
-                        ),
+                        self._txn_record(base_stats, prev, txn_app, txn_version),
                         dv_files=list(prev.dv_files),
                     )
                 )

@@ -391,9 +391,55 @@ def test_read_between_skips_files_by_stats(spark, tmp_path):
     assert len(pruned.inputFiles()) < n_files_total
     got = sorted(r.k for r in pruned.collect())
     assert got == list(range(100, 201))
-    # no stats for the pre-compact version -> full list, same rows
+    # v0 (random-partitioned, every file spans the full k range): its
+    # footer-harvested stats prune nothing — full list, same rows
     v0 = t.read_between("k", 100, 200, version=0)
     assert sorted(r.k for r in v0.collect()) == got
+
+
+def test_append_records_footer_stats_prunes_without_compact(spark, tmp_path):
+    """create/append harvest per-file min/max from parquet footers at
+    commit time (O(churn), no data scan), so read_between prunes an NRT
+    append-only table IMMEDIATELY — no compaction required. Footer
+    bounds must also ENCLOSE scan-derived truth (parquet string stats
+    may be truncated to valid-but-wider bounds; numeric must be exact),
+    so pruning can only under-skip, never drop rows."""
+    path = str(tmp_path / "t_append_stats")
+    t = VersionedTable.create(
+        spark,
+        path,
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(4, "k"),
+    )
+    # day-2 NRT appends, each a disjoint key range
+    t.append(
+        spark.range(1000, 2000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    t.append(
+        spark.range(2000, 3000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    c = t.get_commit()
+    assert c.op == "append"
+    # every file of every commit carries k-bounds (create + both appends)
+    assert len(c.stats["file_stats"]) == len(c.files)
+    # narrow probe into the SECOND append's range prunes to ~1 file
+    pruned = t.read_between("k", 1400, 1450)
+    assert len(pruned.inputFiles()) <= 2 < len(c.files)
+    assert sorted(r.k for r in pruned.collect()) == list(range(1400, 1451))
+    # footer bounds enclose scan truth exactly for the numeric column
+    from nrtwithdeltalake_spark.pipeline.tables import _footer_file_stats
+
+    scan = t._collect_file_stats(c.files, c.schema_json, ["k"])
+    foot = _footer_file_stats(c.files, t.schema())
+    for f, s in scan.items():
+        lo, hi = int(s["k"][0]), int(s["k"][1])
+        flo, fhi = int(foot[f]["k"][0]), int(foot[f]["k"][1])
+        assert flo <= lo and fhi >= hi
 
 
 def test_file_stats_survive_merge_on_untouched_files(spark, tmp_path):
