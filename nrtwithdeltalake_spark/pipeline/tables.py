@@ -1060,6 +1060,27 @@ class VersionedTable:
         return T.StructType.fromJson(json.loads(self.get_commit(version).schema_json))
 
     @staticmethod
+    def _with_new_file_stats(stats: dict, new_files: list[str], schema) -> dict:
+        """Footer-harvest min/max for the data files this commit just
+        wrote and merge them into the carried skipping stats — O(churn)
+        per commit (only NEW files are opened, footers only), so every
+        file-writing op keeps ``read_between`` pruning complete without
+        waiting for a clustered compact. ``schema`` is the commit's
+        StructType or its JSON."""
+        if not new_files:
+            return stats
+        if isinstance(schema, str):
+            schema = T.StructType.fromJson(json.loads(schema))
+        fstats = _footer_file_stats(new_files, schema)
+        if not fstats:
+            return stats
+        merged = dict(stats.get("file_stats", {}))
+        merged.update(fstats)
+        out = dict(stats)
+        out["file_stats"] = merged
+        return out
+
+    @staticmethod
     def _carry_stats(prev: Commit, kept_files: list[str], base: dict | None = None) -> dict:
         """Carry per-file min/max stats forward for files that survive a
         commit untouched — data skipping keeps working between compactions
@@ -1241,7 +1262,11 @@ class VersionedTable:
             )
             files = self._write_files(df, self.data_dir, schema=schema)
             old = self._snapshot(prev)  # DV-applied: don't retract twice
-            stats = {**self._carry_stats(prev, []), **(extra_stats or {})}
+            stats = self._with_new_file_stats(
+                {**self._carry_stats(prev, []), **(extra_stats or {})},
+                files,
+                schema,
+            )
             if _cdf_representable(prev_schema, schema):
                 # pre-images are ALIGNED (projected + cast losslessly)
                 # to the NEW commit schema so one commit's CDF files
@@ -1578,14 +1603,9 @@ class VersionedTable:
         attempt = 0
         while True:
             try:
-                base_stats = self._carry_stats(prev, prev.files)
-                new_fstats = _footer_file_stats(new_files, schema)
-                if new_fstats:
-                    # O(churn) footer harvest: appended files prune via
-                    # read_between immediately, no compaction needed
-                    merged = dict(base_stats.get("file_stats", {}))
-                    merged.update(new_fstats)
-                    base_stats["file_stats"] = merged
+                base_stats = self._with_new_file_stats(
+                    self._carry_stats(prev, prev.files), new_files, schema
+                )
                 self._write_commit(
                     Commit(
                         prev.version + 1,
@@ -2044,7 +2064,11 @@ class VersionedTable:
             if base.version != prev.version:
                 extra["rebased_from_version"] = prev.version
             stats = self._txn_record(
-                self._carry_stats(base, carryover, extra),
+                self._with_new_file_stats(
+                    self._carry_stats(base, carryover, extra),
+                    new_files,
+                    schema,
+                ),
                 base,
                 txn_app,
                 txn_version,
@@ -2478,7 +2502,11 @@ class VersionedTable:
                         cdf_files,
                         schema_json or prev.schema_json,
                         time.time(),
-                        self._carry_stats(base, carryover, extra),
+                        self._with_new_file_stats(
+                            self._carry_stats(base, carryover, extra),
+                            new_files,
+                            schema_json or prev.schema_json,
+                        ),
                         dv_files=dv,
                     )
                 )
