@@ -448,6 +448,9 @@ _VACUUM_RE = re.compile(
 _HISTORY_RE = re.compile(
     rf"^\s*DESC(?:RIBE)?\s+HISTORY\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
 )
+_DETAIL_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+DETAIL\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
+)
 _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+VERSIONED\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*$",
     re.IGNORECASE,
@@ -513,6 +516,38 @@ def execute_dml(spark: SparkSession, sql_text: str):
             "version bigint, operation string, timestamp double, "
             "num_files bigint, num_dv_files bigint",
         )
+    m = _DETAIL_RE.match(sql_text)
+    if m:
+        # Delta's DESCRIBE DETAIL: one-row table summary. numFiles /
+        # sizeInBytes come from the latest commit's file list + os.stat
+        # (metadata only, no data scan).
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        c = table.get_commit()
+        size = 0
+        for f in c.files:
+            try:
+                size += os.path.getsize(f)
+            except OSError:
+                pass
+        first = table.get_commit(0)
+        return spark.createDataFrame(
+            [
+                (
+                    "versioned",
+                    table.path,
+                    int(c.version),
+                    float(first.ts),
+                    float(c.ts),
+                    len(c.files),
+                    int(size),
+                    len(c.dv_files),
+                    len(table.schema().fields),
+                )
+            ],
+            "format string, location string, version bigint, "
+            "created_at double, last_modified double, num_files bigint, "
+            "size_in_bytes bigint, num_dv_files bigint, num_columns bigint",
+        )
     m = _RESTORE_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
@@ -537,14 +572,16 @@ def execute_dml(spark: SparkSession, sql_text: str):
         t = src.clone(dest_parts[1], shallow=shallow, version=version)
         return {"version": 0, "path": t.path}
     if re.match(
-        r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+HISTORY|RESTORE|CONVERT)\b",
+        r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+(HISTORY|DETAIL)"
+        r"|RESTORE|CONVERT)\b",
         sql_text,
         re.IGNORECASE,
     ):
         raise UnsupportedSqlError(
             "statement shape not recognized — supported forms: "
             "OPTIMIZE t [ZORDER BY (c, ...)], VACUUM t [RETAIN n HOURS], "
-            "DESCRIBE HISTORY t, RESTORE [TABLE] t [TO] VERSION AS OF n, "
+            "DESCRIBE HISTORY t, DESCRIBE DETAIL t, "
+            "RESTORE [TABLE] t [TO] VERSION AS OF n, "
             "CONVERT TO VERSIONED parquet.`/path`"
         )
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)

@@ -617,3 +617,24 @@ def test_sql_clone_statement(spark, tmp_path, twin_tables):
             spark,
             f"CREATE TABLE plain_name CLONE versioned.`{sql_t.path}`",
         )
+
+
+def test_describe_detail(spark, twin_tables):
+    """DESCRIBE DETAIL t — one-row metadata summary (no data scan):
+    version, file count, byte size, DV count, column count."""
+    sql_t, _ = twin_tables
+    sql_t.append(
+        _df(spark, [(9, "z", 90.0, "I", 1)]).drop("op", "seq")
+    )
+    row = execute_dml(
+        spark, f"DESCRIBE DETAIL versioned.`{sql_t.path}`"
+    ).collect()[0]
+    c = sql_t.get_commit()
+    assert row.format == "versioned"
+    assert row.location == sql_t.path
+    assert row.version == 1 == c.version
+    assert row.num_files == len(c.files)
+    assert row.size_in_bytes > 0
+    assert row.num_dv_files == 0
+    assert row.num_columns == 3
+    assert row.created_at <= row.last_modified
