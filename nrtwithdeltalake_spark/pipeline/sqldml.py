@@ -523,12 +523,17 @@ def execute_dml(spark: SparkSession, sql_text: str):
         # (metadata only, no data scan).
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
         c = table.get_commit()
-        size = 0
-        for f in c.files:
+
+        def _sz(f: str) -> int:
             try:
-                size += os.path.getsize(f)
+                return os.path.getsize(f)
             except OSError:
-                pass
+                return 0
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=32) as ex:  # I/O-bound stats
+            size = sum(ex.map(_sz, c.files))
         first = table.get_commit(0)
         return spark.createDataFrame(
             [
