@@ -377,3 +377,34 @@ def test_convert_sql_statement(spark, tmp_path):
     assert res["version"] == 0
     t = VersionedTable(spark, src)
     assert t.read().count() == 60
+
+
+def test_convert_vacuum_ownership(spark, tmp_path):
+    """Reclamation semantics across both convert modes: in-place
+    adoption makes the directory's files TABLE-OWNED (vacuum reclaims
+    them once their version expires), while adopting a FOREIGN
+    source_dir references files outside the table root — vacuum must
+    never delete those (same guard as shallow clones)."""
+    # in-place: adopted originals are reclaimable history
+    src = _plain_dir(spark, tmp_path / "inplace", n=100)
+    t = VersionedTable.convert(spark, src)
+    adopted = list(t.get_commit(0).files)
+    t.overwrite(
+        spark.createDataFrame([(1, 1.0, "new")], "k bigint, v double, s string")
+    )
+    rep = t.vacuum(retain_last=1)
+    assert rep["deleted_files"] >= len(adopted)
+    assert all(not os.path.exists(f) for f in adopted)
+    assert t.read().count() == 1
+
+    # foreign source_dir: originals survive the same vacuum
+    foreign = _plain_dir(spark, tmp_path / "foreign", n=100)
+    t2 = VersionedTable.convert(spark, str(tmp_path / "tbl2"), source_dir=foreign)
+    adopted2 = list(t2.get_commit(0).files)
+    t2.overwrite(
+        spark.createDataFrame([(1, 1.0, "new")], "k bigint, v double, s string")
+    )
+    t2.vacuum(retain_last=1)
+    assert all(os.path.exists(f) for f in adopted2)
+    # and the foreign dir is still a readable plain-parquet dataset
+    assert spark.read.parquet(foreign).count() == 100
