@@ -667,8 +667,19 @@ def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
     time travel). TIMESTAMP AS OF resolves to the last version
     committed at or before the timestamp — Delta's rule
     (``tables.version_at``)."""
+    # spans of single-quoted literals: clause matches inside them are
+    # string CONTENT, not syntax — never rewrite those
+    literal_spans = [
+        m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql_text)
+    ]
+
+    def _in_literal(pos: int) -> bool:
+        return any(a < pos < b for a, b in literal_spans)
+
     subs: list[tuple[int, int, DataFrame]] = []
     for m in _TIME_TRAVEL_RX.finditer(sql_text):
+        if _in_literal(m.start()):
+            continue
         rel, kind, val = m.group(1), m.group(2).upper(), m.group(3)
         table = resolve_versioned(spark, _ident_parts(rel))
         if kind == "VERSION":
@@ -686,6 +697,8 @@ def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
             df = table.read(timestamp=ts)
         subs.append((m.start(), m.end(), df))
     for m in _TABLE_CHANGES_RX.finditer(sql_text):
+        if _in_literal(m.start()):
+            continue
         name, from_v, to_v = m.group(1), int(m.group(2)), m.group(3)
         parts = [name] if name.startswith("/") else _ident_parts(name)
         table = (

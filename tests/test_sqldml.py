@@ -638,3 +638,19 @@ def test_describe_detail(spark, twin_tables):
     assert row.num_dv_files == 0
     assert row.num_columns == 3
     assert row.created_at <= row.last_modified
+
+
+def test_time_travel_clause_inside_string_literal_not_rewritten(spark, twin_tables):
+    """A VERSION AS OF / table_changes shape occurring INSIDE a string
+    literal is content, not syntax — the rewriter must leave it alone."""
+    from nrtwithdeltalake_spark.pipeline.sqldml import execute_query
+
+    sql_t, _ = twin_tables
+    tgt = f"versioned.`{sql_t.path}`"
+    rows = execute_query(
+        spark,
+        f"SELECT 'x VERSION AS OF 99' AS lit, TransactionId "
+        f"FROM {tgt} VERSION AS OF 0",
+    ).collect()
+    assert {r.TransactionId for r in rows} == {1, 2, 3}
+    assert all(r.lit == "x VERSION AS OF 99" for r in rows)
