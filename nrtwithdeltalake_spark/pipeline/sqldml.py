@@ -620,6 +620,33 @@ def execute_dml(spark: SparkSession, sql_text: str):
         "DropConstraint",
     ):
         return _execute_alter(spark, plan, kind)
+    if kind == "SetTableProperties":
+        _, parts = _relation_parts_table(plan.table())
+        table = resolve_versioned(spark, parts)
+        props = {}
+        it = plan.properties().iterator()
+        while it.hasNext():
+            t = it.next()
+            props[t._1()] = t._2()
+        table.set_properties(props)
+        return {"properties": table.properties()}
+    if kind == "UnsetTableProperties":
+        _, parts = _relation_parts_table(plan.table())
+        table = resolve_versioned(spark, parts)
+        keys = [k for k in _seq(plan.propertyKeys())]
+        if plan.ifExists():
+            keys = [k for k in keys if k in table.properties()]
+        if keys:
+            table.unset_properties(keys)
+        return {"properties": table.properties()}
+    if kind == "ShowTableProperties":
+        node = plan.table() if hasattr(plan, "table") else plan.child()
+        _, parts = _relation_parts_table(node)
+        table = resolve_versioned(spark, parts)
+        return spark.createDataFrame(
+            sorted(table.properties().items()) or [],
+            "key string, value string",
+        )
     if _TIME_TRAVEL_RX.search(sql_text) or _TABLE_CHANGES_RX.search(sql_text):
         # read-side time travel / CDC: a SELECT whose FROM carries
         # VERSION AS OF / TIMESTAMP AS OF or table_changes(...) on a
@@ -881,7 +908,8 @@ def _execute_alter(spark: SparkSession, plan, kind: str) -> dict:
 
 
 def _relation_parts_table(node) -> tuple[str | None, list[str]]:
-    """Like _relation_parts but for UnresolvedTable (ALTER TARGET) nodes."""
-    if _cls(node) == "UnresolvedTable":
+    """Like _relation_parts but for UnresolvedTable / UnresolvedTableOrView
+    (ALTER / SHOW TBLPROPERTIES target) nodes."""
+    if _cls(node) in ("UnresolvedTable", "UnresolvedTableOrView"):
         return None, _seq(node.multipartIdentifier())
     return _relation_parts(node)

@@ -828,6 +828,50 @@ class VersionedTable:
             json.dump(cons, f)
         os.rename(tmp, self._constraints_path())
 
+    # -- table properties (Delta TBLPROPERTIES analog) ---------------------
+
+    def _properties_path(self) -> str:
+        return os.path.join(self.path, "_properties.json")
+
+    def properties(self) -> dict[str, str]:
+        """Free-form table properties (Delta TBLPROPERTIES analog).
+        Load-bearing key: ``versioned.deletedFileRetentionHours`` — a
+        float-string used as ``vacuum``'s default ``retain_hours`` when
+        the caller passes none (Delta's
+        ``delta.deletedFileRetentionDuration`` shape)."""
+        try:
+            with open(self._properties_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """Upsert properties. Values are stored as strings (Delta does
+        the same); known load-bearing keys are validated eagerly so a
+        typo fails at SET time, not at the eventual vacuum."""
+        cur = self.properties()
+        for k, v in props.items():
+            if k == "versioned.deletedFileRetentionHours":
+                if float(v) < 0:
+                    raise ValueError(f"{k} must be >= 0, got {v!r}")
+            cur[str(k)] = str(v)
+        self._write_properties(cur)
+
+    def unset_properties(self, keys: list[str]) -> None:
+        cur = self.properties()
+        missing = [k for k in keys if k not in cur]
+        if missing:
+            raise ValueError(f"no such propert{'y' if len(missing)==1 else 'ies'}: {missing}")
+        for k in keys:
+            del cur[k]
+        self._write_properties(cur)
+
+    def _write_properties(self, props: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(props, f)
+        os.rename(tmp, self._properties_path())
+
     # -- generated columns (Delta GENERATED ALWAYS AS analog) -------------
 
     def _generated_path(self) -> str:
@@ -1557,6 +1601,7 @@ class VersionedTable:
             for src_side, dst_side in (
                 (self._constraints_path(), dest._constraints_path()),
                 (self._generated_path(), dest._generated_path()),
+                (self._properties_path(), dest._properties_path()),
             ):
                 if os.path.exists(src_side):
                     os.makedirs(os.path.dirname(dst_side), exist_ok=True)
@@ -2878,6 +2923,13 @@ class VersionedTable:
         algebra, same guards — deleting nothing."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
+        if retain_hours is None:
+            # table-level retention policy (TBLPROPERTIES), the analog
+            # of Delta's delta.deletedFileRetentionDuration: an explicit
+            # argument always wins over the property
+            prop = self.properties().get("versioned.deletedFileRetentionHours")
+            if prop is not None:
+                retain_hours = float(prop)
         commits = self.history()
         cutoff = commits[-1].version - retain_last + 1
         if retain_hours is not None:

@@ -654,3 +654,63 @@ def test_time_travel_clause_inside_string_literal_not_rewritten(spark, twin_tabl
     ).collect()
     assert {r.TransactionId for r in rows} == {1, 2, 3}
     assert all(r.lit == "x VERSION AS OF 99" for r in rows)
+
+
+def test_tblproperties_lifecycle_and_vacuum_policy(spark, tmp_path, twin_tables):
+    """SET/UNSET/SHOW TBLPROPERTIES, plus the load-bearing key:
+    versioned.deletedFileRetentionHours becomes vacuum's default
+    retain_hours (explicit argument still wins) — Delta's
+    deletedFileRetentionDuration shape."""
+    sql_t, _ = twin_tables
+    tgt = f"versioned.`{sql_t.path}`"
+
+    execute_dml(
+        spark,
+        f"ALTER TABLE {tgt} SET TBLPROPERTIES "
+        "('pipeline.team'='ingest', 'versioned.deletedFileRetentionHours'='48')",
+    )
+    props = {
+        r.key: r.value
+        for r in execute_dml(spark, f"SHOW TBLPROPERTIES {tgt}").collect()
+    }
+    assert props == {
+        "pipeline.team": "ingest",
+        "versioned.deletedFileRetentionHours": "48",
+    }
+
+    import os
+
+    # retention property is load-bearing: overwrite makes v0 reclaimable
+    # by count, but the 48h table policy keeps its (recent) files alive
+    v0_files = list(sql_t.get_commit(0).files)
+    sql_t.overwrite(
+        spark.createDataFrame([(1, "x", 1.0)],
+                              "TransactionId bigint, name string, amount double")
+    )
+    rep = sql_t.vacuum(retain_last=1, dry_run=True)
+    assert rep["deleted_files"] == 0
+    assert all(os.path.exists(f) for f in v0_files)
+    # explicit retain_hours beats the property
+    rep2 = sql_t.vacuum(retain_last=1, retain_hours=0, dry_run=True)
+    assert rep2["deleted_files"] > 0
+
+    # UNSET restores count-based reclamation
+    execute_dml(
+        spark,
+        f"ALTER TABLE {tgt} UNSET TBLPROPERTIES "
+        "('versioned.deletedFileRetentionHours')",
+    )
+    rep3 = sql_t.vacuum(retain_last=1, dry_run=True)
+    assert rep3["deleted_files"] > 0
+
+    # IF EXISTS tolerates a missing key; plain UNSET refuses
+    execute_dml(spark, f"ALTER TABLE {tgt} UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    with pytest.raises(ValueError):
+        execute_dml(spark, f"ALTER TABLE {tgt} UNSET TBLPROPERTIES ('nope')")
+    # bad value for a validated key refuses at SET time
+    with pytest.raises(ValueError):
+        execute_dml(
+            spark,
+            f"ALTER TABLE {tgt} SET TBLPROPERTIES "
+            "('versioned.deletedFileRetentionHours'='not-a-number')",
+        )
