@@ -198,7 +198,12 @@ def _check_aliases(cond_sql: str, allowed: set[str], where: str) -> None:
 
 _SQL_BARE_KEYWORDS = frozenset(
     """and or not in is null true false like escape between case when then
-    else end cast as distinct interval exists rlike div""".split()
+    else end cast as distinct interval exists rlike div
+    bigint int integer smallint tinyint long short byte double float real
+    decimal numeric string varchar char boolean date timestamp timestamp_ntz
+    binary
+    year years month months week weeks day days hour hours minute minutes
+    second seconds""".split()
 )
 
 

@@ -714,3 +714,24 @@ def test_tblproperties_lifecycle_and_vacuum_policy(spark, tmp_path, twin_tables)
             f"ALTER TABLE {tgt} SET TBLPROPERTIES "
             "('versioned.deletedFileRetentionHours'='not-a-number')",
         )
+
+
+def test_merge_matched_delete_qualified_with_cast_and_interval(spark, twin_tables):
+    """Type names and interval units inside a fully-qualified matched-
+    DELETE condition must not be mistaken for bare columns."""
+    sql_t, _ = twin_tables
+    spark.createDataFrame(
+        [(3, "c", 30.0, "2", 1)],
+        "TransactionId bigint, name string, amount double, op string, seq bigint",
+    ).createOrReplaceTempView("dml_src_cast")
+    execute_dml(
+        spark,
+        f"""
+        MERGE INTO versioned.`{sql_t.path}` t USING dml_src_cast s
+        ON t.TransactionId = s.TransactionId
+        WHEN MATCHED AND cast(s.op AS BIGINT) = 2 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    assert {r.TransactionId for r in sql_t.read().collect()} == {1, 2}
