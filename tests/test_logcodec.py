@@ -473,3 +473,21 @@ def test_versioned_table_commits_through_object_store(spark, tmp_path, monkeypat
 
     with _pytest.raises(tb.CommitConflictError):
         tb.publish_commit_file(t.log_dir, t.latest_version(), "{}")
+
+
+def test_conditional_put_storm_under_ambiguity_injection(tmp_path):
+    """Atomicity must survive retry chaos: with the first N puts
+    APPLYING but reporting ambiguous failure (lost responses), racing
+    writers retry into 412s and resolve ownership by read-back — the
+    storm's exactly-one-winner invariant must still hold."""
+    from nrtwithdeltalake_spark.pipeline import tables as tb
+    from nrtwithdeltalake_spark.pipeline.objectstore import (
+        ConditionalPutCommitStore,
+        InMemoryObjectStore,
+    )
+
+    for i in range(3):
+        store = ConditionalPutCommitStore(
+            InMemoryObjectStore(ambiguous_failures=3, write_through=True)
+        )
+        tb.storm_commit_store(store, str(tmp_path / f"amb{i}"))
