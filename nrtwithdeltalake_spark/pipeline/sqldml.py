@@ -503,7 +503,19 @@ def execute_dml(spark: SparkSession, sql_text: str):
             if m.group(2)
             else None
         )
-        return {"version": table.compact(zorder_by=zorder)}
+        # versioned.optimize.smallFileBytes (Delta optimize.minFileSize
+        # analog): plain OPTIMIZE re-packs only small/DV-carrying files
+        # — O(debt), not O(table). ZORDER is a layout change and stays
+        # a full rewrite.
+        small = table.properties().get("versioned.optimize.smallFileBytes")
+        return {
+            "version": table.compact(
+                zorder_by=zorder,
+                small_file_bytes=int(small)
+                if small is not None and not zorder
+                else None,
+            )
+        }
     m = _VACUUM_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
@@ -540,6 +552,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
         with ThreadPoolExecutor(max_workers=32) as ex:  # I/O-bound stats
             size = sum(ex.map(_sz, c.files))
         first = table.get_commit(0)
+        proto = c.protocol or {}
         return spark.createDataFrame(
             [
                 (
@@ -552,11 +565,17 @@ def execute_dml(spark: SparkSession, sql_text: str):
                     int(size),
                     len(c.dv_files),
                     len(table.schema().fields),
+                    int(proto.get("min_reader", 1)),
+                    int(proto.get("min_writer", 1)),
+                    list(proto.get("reader_features") or []),
+                    list(proto.get("writer_features") or []),
                 )
             ],
             "format string, location string, version bigint, "
             "created_at double, last_modified double, num_files bigint, "
-            "size_in_bytes bigint, num_dv_files bigint, num_columns bigint",
+            "size_in_bytes bigint, num_dv_files bigint, num_columns bigint, "
+            "min_reader_version bigint, min_writer_version bigint, "
+            "reader_features array<string>, writer_features array<string>",
         )
     m = _RESTORE_RE.match(sql_text)
     if m:

@@ -113,9 +113,19 @@ class Commit:
     # (merge-on-read). Reads anti-join them out; rewriting ops
     # materialize them. Absent in pre-DV commits (default []).
     dv_files: list[str] = dataclasses.field(default_factory=list)
+    # reader/writer protocol (Delta PROTOCOL-action semantics): once a
+    # commit depends on a feature a plain-parquet-list reader would
+    # silently misinterpret (deletion vectors, field-id column
+    # mapping), every subsequent commit names it here, and engines
+    # that don't support it must FAIL the read/write instead of
+    # returning wrong rows. None (absent in the JSON) = base protocol.
+    protocol: dict | None = None
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__)
+        d = dict(self.__dict__)
+        if d.get("protocol") is None:
+            d.pop("protocol", None)
+        return json.dumps(d)
 
 
 def _as_epoch(timestamp) -> float:
@@ -149,6 +159,88 @@ class CommitConflictError(RuntimeError):
     conflicting writes surface — their read was stale, the caller must
     re-run. ``overwrite`` always surfaces (a full replace has no
     meaningful rebase)."""
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The table's protocol names a reader/writer feature this engine
+    doesn't implement. Reading anyway would return WRONG rows (e.g. a
+    deletion-vector-unaware reader resurrects deleted rows; a
+    name-matching reader misreads a field-id-renamed table); writing
+    anyway could corrupt invariants a newer writer maintains. Failing
+    loudly is the contract — Delta's protocol-action semantics
+    (VLDB'20 §3.1's metaData/protocol actions)."""
+
+
+# This engine's protocol support. Version 1 = plain cumulative file
+# lists; version 2 = feature-gated (the sets below). A commit whose
+# protocol demands more than these raises UnsupportedTableFeatureError
+# instead of guessing.
+READER_VERSION = 2
+WRITER_VERSION = 2
+SUPPORTED_READER_FEATURES = frozenset({"deletion_vectors", "column_mapping"})
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
+    {"check_constraints", "generated_columns"}
+)
+
+
+def check_read_protocol(record: dict, where: str = "") -> None:
+    """Raise unless this engine can CORRECTLY interpret the snapshot the
+    (raw or materialized) commit ``record`` describes. Protocol fields
+    are never delta-encoded, so raw records are fine."""
+    p = record.get("protocol") or {}
+    if not p:
+        return
+    need = int(p.get("min_reader", 1))
+    if need > READER_VERSION:
+        raise UnsupportedTableFeatureError(
+            f"{where}version {record.get('version')} requires reader "
+            f"protocol {need}; this engine supports {READER_VERSION}"
+        )
+    unknown = set(p.get("reader_features") or []) - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"{where}version {record.get('version')} requires reader "
+            f"feature(s) {sorted(unknown)} this engine does not "
+            "implement — reading anyway would return wrong rows"
+        )
+
+
+def check_write_protocol(record: dict, where: str = "") -> None:
+    """Raise unless this engine may COMMIT on top of ``record``. A
+    writer must understand every reader feature too (it republishes the
+    snapshot) plus the write-side invariants (constraints, generated
+    columns) a concurrent newer writer relies on."""
+    check_read_protocol(record, where)
+    p = record.get("protocol") or {}
+    if not p:
+        return
+    need = int(p.get("min_writer", 1))
+    if need > WRITER_VERSION:
+        raise UnsupportedTableFeatureError(
+            f"{where}version {record.get('version')} requires writer "
+            f"protocol {need}; this engine supports {WRITER_VERSION}"
+        )
+    unknown = set(p.get("writer_features") or []) - SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"{where}version {record.get('version')} requires writer "
+            f"feature(s) {sorted(unknown)} this engine does not "
+            "implement — committing anyway could violate invariants "
+            "newer writers maintain"
+        )
+
+
+_COMMIT_FIELDS = frozenset(f.name for f in dataclasses.fields(Commit))
+
+
+def commit_from_record(record: dict, where: str = "") -> Commit:
+    """Materialized record → Commit, with the reader gate applied and
+    UNKNOWN top-level keys tolerated (additive metadata from a newer
+    writer is fine BY CONTRACT — anything semantics-changing must bump
+    the protocol, which gates above; that split is what lets old
+    readers keep working across format growth)."""
+    check_read_protocol(record, where)
+    return Commit(**{k: v for k, v in record.items() if k in _COMMIT_FIELDS})
 
 
 _FIELD_ID = "parquet.field.id"  # Spark's parquet field-id metadata key
@@ -508,6 +600,7 @@ class VersionedTable:
         self.data_dir = os.path.join(self.path, "_data")
         self.cdf_dir = os.path.join(self.path, "_cdf")
         self.dv_dir = os.path.join(self.path, "_dv")
+        self.bloom_dir = os.path.join(self.path, "_bloom")
 
     # -- log ---------------------------------------------------------------
 
@@ -550,7 +643,9 @@ class VersionedTable:
 
     def get_commit(self, version: int | None = None) -> Commit:
         v = self.latest_version() if version is None else version
-        return Commit(**self._materialized_record(v))
+        return commit_from_record(
+            self._materialized_record(v), where=f"{self.path}: "
+        )
 
     def history(self) -> list[Commit]:
         # sequential forward materialization: each record decodes
@@ -569,7 +664,7 @@ class VersionedTable:
                 if prev is not None and prev["version"] == v
                 else self._materialized_record(v),
             )
-            out.append(Commit(**rec))
+            out.append(commit_from_record(rec, where=f"{self.path}: "))
             prev = rec
         return out
 
@@ -593,6 +688,89 @@ class VersionedTable:
             )
         return best
 
+    def _next_protocol(
+        self, commit: Commit, prev_protocol: dict | None
+    ) -> dict | None:
+        """The protocol this commit must carry: predecessor's features
+        (monotone — a feature once required never un-requires; restore
+        and rebase keep it) ∪ a preset on the commit itself (clone
+        carries the source's) ∪ what the commit's CONTENT demands:
+        deletion vectors present → a DV-unaware reader would resurrect
+        deleted rows; a rename/drop commit → files must be read by
+        parquet field id, not name; live CHECK constraints / generated
+        columns → an unaware writer would commit violating/NULL rows.
+        Returns None (no protocol stamped) while nothing beyond plain
+        cumulative file lists is in play."""
+        rf: set[str] = set()
+        wf: set[str] = set()
+        for p in (prev_protocol, commit.protocol):
+            if p:
+                rf |= set(p.get("reader_features") or [])
+                wf |= set(p.get("writer_features") or [])
+        if commit.dv_files:
+            rf.add("deletion_vectors")
+        if commit.op in ("rename_column", "drop_column"):
+            rf.add("column_mapping")
+        if self.constraints():
+            wf.add("check_constraints")
+        if self.generated_columns():
+            wf.add("generated_columns")
+        # every reader feature is implicitly a writer feature: a writer
+        # republishes the snapshot, so it must understand them all
+        wf |= rf
+        if not rf and not wf:
+            return None
+        return {
+            "min_reader": 2 if rf else 1,
+            "min_writer": 2,
+            "reader_features": sorted(rf),
+            "writer_features": sorted(wf),
+        }
+
+    def upgrade_protocol(
+        self,
+        reader_features: list[str] | tuple = (),
+        writer_features: list[str] | tuple = (),
+    ) -> int:
+        """Explicit, commit-atomic protocol upgrade — a metadata-only
+        commit (op ``set_protocol``, same snapshot, no CDF) that adds
+        the named features NOW rather than with the next data commit.
+        The use case is closing the sidecar-stamp lag: ``add_constraint``
+        / ``add_generated_column`` write their sidecar immediately but
+        the writer-feature advertisement otherwise lands only with the
+        next commit — ``add_constraint(...); upgrade_protocol(
+        writer_features=["check_constraints"])`` closes that window for
+        fleets with mixed engine versions. Features must be ones THIS
+        engine implements: advertising an unimplemented feature would
+        brick the table for its own writer (the crafted-log tests do
+        exactly that on purpose, via raw commits)."""
+        bad = (set(reader_features) - SUPPORTED_READER_FEATURES) | (
+            set(writer_features) - SUPPORTED_WRITER_FEATURES
+        )
+        if bad:
+            raise ValueError(
+                f"cannot advertise feature(s) {sorted(bad)} this engine "
+                "does not implement"
+            )
+        prev = self.get_commit()
+        self._write_commit(
+            Commit(
+                prev.version + 1,
+                "set_protocol",
+                prev.files,
+                [],
+                prev.schema_json,
+                time.time(),
+                self._carry_stats(prev, prev.files),
+                dv_files=list(prev.dv_files),
+                protocol={
+                    "reader_features": sorted(reader_features),
+                    "writer_features": sorted(writer_features),
+                },
+            )
+        )
+        return prev.version + 1
+
     def _write_commit(self, commit: Commit) -> None:
         """Atomic put-if-absent publish (see ``publish_commit_file``).
         Every commit re-stamps the field-id high-water mark from its own
@@ -604,6 +782,20 @@ class VersionedTable:
         )
         if m:
             commit.stats["max_field_id"] = m
+        # protocol: gate on the PREDECESSOR (may we build on it at
+        # all?), then stamp this commit with its features ∪ whatever
+        # this commit newly requires — upgrades are monotone, never
+        # dropped, so a version-v reader gate covers v's whole history.
+        prev_protocol: dict | None = None
+        if commit.version > 0:
+            try:
+                with open(self._commit_path(commit.version - 1)) as f:
+                    prev_raw = json.loads(f.read())
+            except FileNotFoundError:
+                prev_raw = {}
+            check_write_protocol(prev_raw, where=f"{self.path}: ")
+            prev_protocol = prev_raw.get("protocol")
+        commit.protocol = self._next_protocol(commit, prev_protocol)
         parent: dict | None = None
         if commit.version > 0 and commit.version % logcodec.CHECKPOINT_EVERY:
             # checkpoint versions store full lists — don't pay the
@@ -612,7 +804,12 @@ class VersionedTable:
                 parent = self._materialized_record(commit.version - 1)
             except FileNotFoundError:
                 parent = None
-        payload = logcodec.encode(dict(commit.__dict__), parent)
+        record = dict(commit.__dict__)
+        if record.get("protocol") is None:
+            # base-protocol tables keep the pre-gate JSON shape — old
+            # logs and new plain tables are byte-compatible
+            record.pop("protocol", None)
+        payload = logcodec.encode(record, parent)
         publish_commit_file(self.log_dir, commit.version, json.dumps(payload))
         reg = self._read_registration()
         if reg is not None:
@@ -835,10 +1032,14 @@ class VersionedTable:
 
     def properties(self) -> dict[str, str]:
         """Free-form table properties (Delta TBLPROPERTIES analog).
-        Load-bearing key: ``versioned.deletedFileRetentionHours`` — a
+        Load-bearing keys: ``versioned.deletedFileRetentionHours`` — a
         float-string used as ``vacuum``'s default ``retain_hours`` when
         the caller passes none (Delta's
-        ``delta.deletedFileRetentionDuration`` shape)."""
+        ``delta.deletedFileRetentionDuration`` shape);
+        ``versioned.bloomFilterColumns`` (comma-separated) +
+        ``versioned.bloomFilterFpp`` — per-file bloom sidecars for
+        equality skipping on unclustered columns (see
+        ``pipeline/bloom.py``; Databricks' bloom index analog)."""
         try:
             with open(self._properties_path()) as f:
                 return json.load(f)
@@ -854,6 +1055,21 @@ class VersionedTable:
             if k == "versioned.deletedFileRetentionHours":
                 if float(v) < 0:
                     raise ValueError(f"{k} must be >= 0, got {v!r}")
+            if k == "versioned.optimize.smallFileBytes":
+                if int(v) <= 0:
+                    raise ValueError(f"{k} must be a positive int, got {v!r}")
+            if k == "versioned.bloomFilterFpp":
+                if not 0.0 < float(v) < 1.0:
+                    raise ValueError(f"{k} must be in (0, 1), got {v!r}")
+            if k == "versioned.bloomFilterColumns":
+                cols = [c.strip() for c in str(v).split(",") if c.strip()]
+                if not cols:
+                    raise ValueError(f"{k} must name at least one column")
+                if "__bloom__" in cols:
+                    raise ValueError(
+                        "'__bloom__' is the reserved sidecar-pointer key "
+                        "and cannot be a bloom-indexed column"
+                    )
             cur[str(k)] = str(v)
         self._write_properties(cur)
 
@@ -1103,26 +1319,66 @@ class VersionedTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.get_commit(version).schema_json))
 
-    @staticmethod
-    def _with_new_file_stats(stats: dict, new_files: list[str], schema) -> dict:
+    def _with_new_file_stats(self, stats: dict, new_files: list[str], schema) -> dict:
         """Footer-harvest min/max for the data files this commit just
         wrote and merge them into the carried skipping stats — O(churn)
         per commit (only NEW files are opened, footers only), so every
         file-writing op keeps ``read_between`` pruning complete without
         waiting for a clustered compact. ``schema`` is the commit's
-        StructType or its JSON."""
+        StructType or its JSON.
+
+        When ``versioned.bloomFilterColumns`` is set, the same O(churn)
+        pass digests those columns of each new file into a bloom
+        sidecar (``pipeline/bloom.py``) and records its path under the
+        reserved ``__bloom__`` key of the file's stats entry — riding
+        the existing carry/delta-encode machinery, so equality skipping
+        on unclustered columns stays complete across commits just like
+        min/max. Enabling the property on an existing table indexes
+        files as they are rewritten (run ``compact()`` to index history
+        — the same contract as Delta's bloom index)."""
         if not new_files:
             return stats
         if isinstance(schema, str):
             schema = T.StructType.fromJson(json.loads(schema))
-        fstats = _footer_file_stats(new_files, schema)
-        if not fstats:
-            return stats
         merged = dict(stats.get("file_stats", {}))
-        merged.update(fstats)
+        fstats = _footer_file_stats(new_files, schema)
+        for f, s in fstats.items():
+            merged[f] = {**merged.get(f, {}), **s}
+        bloom_cols = self._bloom_columns(schema)
+        if bloom_cols:
+            from . import bloom as _bloom
+
+            fpp = float(
+                self.properties().get(
+                    "versioned.bloomFilterFpp", _bloom.DEFAULT_FPP
+                )
+            )
+            sidecars = _bloom.build_sidecars(
+                new_files, bloom_cols, self.bloom_dir, fpp
+            )
+            for f, side in sidecars.items():
+                key = _strip_scheme(os.path.abspath(f))
+                merged[key] = {**merged.get(key, {}), "__bloom__": side}
+        if not merged:
+            return stats
         out = dict(stats)
         out["file_stats"] = merged
         return out
+
+    def _bloom_columns(self, schema: T.StructType) -> list[str]:
+        """Configured bloom columns present in this commit's schema.
+        The reserved ``__bloom__`` stats key means a column literally
+        named that can't be indexed (it would alias the sidecar
+        pointer) — refused at SET time, belt-and-braces here."""
+        raw = self.properties().get("versioned.bloomFilterColumns")
+        if not raw:
+            return []
+        names = {f.name for f in schema.fields}
+        return [
+            c.strip()
+            for c in raw.split(",")
+            if c.strip() and c.strip() in names and c.strip() != "__bloom__"
+        ]
 
     @staticmethod
     def _carry_stats(prev: Commit, kept_files: list[str], base: dict | None = None) -> dict:
@@ -1575,6 +1831,28 @@ class VersionedTable:
             for f in file_map
             if f in src_file_stats
         }
+        if not shallow:
+            # deep clones are self-contained: bloom sidecars are
+            # byte-copied too (their digests describe the copied bytes
+            # verbatim) and the stats pointers remapped — a shallow
+            # clone references the source's sidecars exactly like its
+            # data files, same vacuum caveat
+            remapped_stats = {}
+            for f, entry in kept_stats.items():
+                if isinstance(entry, dict) and "__bloom__" in entry:
+                    os.makedirs(dest.bloom_dir, exist_ok=True)
+                    out = os.path.join(
+                        dest.bloom_dir, os.path.basename(entry["__bloom__"])
+                    )
+                    try:
+                        shutil.copy2(entry["__bloom__"], out)
+                        entry = {**entry, "__bloom__": out}
+                    except OSError:
+                        entry = {
+                            k: v for k, v in entry.items() if k != "__bloom__"
+                        }
+                remapped_stats[f] = entry
+            kept_stats = remapped_stats
         if kept_stats:
             stats["file_stats"] = kept_stats
         if src.stats.get("max_field_id"):
@@ -1591,6 +1869,10 @@ class VersionedTable:
                 time.time(),
                 stats,
                 dv_files=dv_files,
+                # the source's protocol carries verbatim: its data files
+                # were written under those features (field-id renames,
+                # DV sidecars), so the clone's readers need them all
+                protocol=src.protocol,
             )
         )
         # constraint/generation sidecars describe the CURRENT schema —
@@ -2669,11 +2951,29 @@ class VersionedTable:
             prev, touched, new_files, cdf_files, "update", condition
         )
 
+    def _dv_referenced_files(self, c: Commit) -> set[str]:
+        """Scheme-normalized data-file paths the commit's deletion
+        vectors reference — driver-side pyarrow reads of the sidecars
+        (bounded by DV size, which is bytes per deleted row)."""
+        if not c.dv_files:
+            return set()
+        import pyarrow.parquet as pq
+
+        out: set[str] = set()
+        for f in c.dv_files:
+            try:
+                col = pq.read_table(f, columns=["file"]).column("file")
+            except OSError:
+                continue
+            out.update(_strip_scheme(u) for u in col.to_pylist())
+        return out
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        small_file_bytes: int | None = None,
     ) -> int:
         """Bin-pack small files into ~``target_file_bytes`` files — the
         engine's OPTIMIZE (the reference's Delta tables rely on
@@ -2697,15 +2997,47 @@ class VersionedTable:
         OSS restatement of Databricks OPTIMIZE ZORDER (Delta VLDB'20
         §4.2). Data content is unchanged either way: no CDF rows are
         emitted, and prior versions remain readable (time travel keeps
-        the old file set alive)."""
+        the old file set alive).
+
+        ``small_file_bytes`` selects INCREMENTAL compaction (Delta
+        OPTIMIZE's default posture via ``optimize.minFileSize``): only
+        files smaller than the threshold — plus every file a deletion
+        vector references, so the commit still clears all vectors — are
+        read and re-packed; right-sized files carry through UNTOUCHED,
+        keeping their committed stats. At 100 TB this is the only
+        viable maintenance loop: cost is O(small-file debt + DV debt),
+        not O(table), so it can run continuously behind the ingest
+        stream. Mutually exclusive with clustering (a partial rewrite
+        would silently degrade the clustering claim — run a full
+        clustered compact for layout changes)."""
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if small_file_bytes is not None and (cluster_by or zorder_by):
+            raise ValueError(
+                "incremental (small_file_bytes) compaction doesn't "
+                "cluster — run a full clustered compact instead"
+            )
         prev = self.get_commit()
         # DV-applied: compaction MATERIALIZES deletion vectors (rows are
         # physically gone from the packed files) and the new commit
         # clears them — the merge-on-read debt is settled here
-        df = self._snapshot(prev)
-        total = sum(os.path.getsize(f) for f in prev.files)
+        rewrite_set: set[str] | None = None
+        if small_file_bytes is not None:
+            dv_ref = self._dv_referenced_files(prev)
+            rewrite = [
+                f
+                for f in prev.files
+                if _strip_scheme(f) in dv_ref
+                or os.path.getsize(f) < small_file_bytes
+            ]
+            if not rewrite:
+                return prev.version  # nothing owed: no empty commit
+            rewrite_set = set(rewrite)
+            df = self._snapshot(prev, files=rewrite)
+            total = sum(os.path.getsize(f) for f in rewrite)
+        else:
+            df = self._snapshot(prev)
+            total = sum(os.path.getsize(f) for f in prev.files)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         if cluster_by:
             df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
@@ -2720,7 +3052,8 @@ class VersionedTable:
                 .drop("__z")
             )
         else:
-            df = df.coalesce(n_out) if n_out < len(prev.files) else df
+            n_in = len(rewrite_set) if rewrite_set is not None else len(prev.files)
+            df = df.coalesce(n_out) if n_out < n_in else df
         new_files = self._write_files(df, self.data_dir, enforce=False)
         stat_cols = cluster_by or zorder_by
         packed_stats = (
@@ -2739,16 +3072,32 @@ class VersionedTable:
         # silently resurrecting rewritten rows. At 100 TB this matters:
         # compaction runs long and WILL collide with the ingest stream.
         prev_files_set = set(prev.files)
+        # full compaction replaces every prev file; incremental dooms
+        # only the rewritten subset — right-sized files carry through
+        doomed = rewrite_set if rewrite_set is not None else prev_files_set
         base = prev
         attempt = 0
         while True:
-            files = new_files + [f for f in base.files if f not in prev_files_set]
+            files = new_files + [f for f in base.files if f not in doomed]
             stats: dict = {
                 "files_before": len(prev.files),
                 "files_after": len(new_files),
                 "bytes": total,
             }
-            fstats = dict(packed_stats)
+            if rewrite_set is not None:
+                stats["files_rewritten"] = len(rewrite_set)
+                stats["files_kept"] = len(files) - len(new_files)
+            # footer-harvest min/max (+ bloom sidecars when configured —
+            # this is how "enable the property, then OPTIMIZE" indexes
+            # existing data) for every packed file; the exact
+            # scan-collected cluster stats overlay per column
+            fstats = dict(
+                self._with_new_file_stats(
+                    {}, new_files, base.schema_json
+                ).get("file_stats", {})
+            )
+            for f, s in packed_stats.items():
+                fstats[f] = {**fstats.get(f, {}), **s}
             base_fstats = base.stats.get("file_stats", {})
             for f in files:
                 if f not in fstats and f in base_fstats:
@@ -2780,7 +3129,7 @@ class VersionedTable:
                 if attempt > 5:
                     raise
                 fresh = self.get_commit()
-                removed = prev_files_set - set(fresh.files)
+                removed = doomed - set(fresh.files)
                 if removed:
                     raise CommitConflictError(
                         "concurrent writer rewrote/removed file(s) this "
@@ -2948,6 +3297,13 @@ class VersionedTable:
             target.update(c.files)
             target.update(c.cdf_files)
             target.update(c.dv_files)
+            # bloom sidecars are referenced from file stats, not the
+            # file lists — reclaim them with the versions that cite them
+            target.update(
+                e["__bloom__"]
+                for e in (c.stats.get("file_stats") or {}).values()
+                if isinstance(e, dict) and "__bloom__" in e
+            )
         doomed = drop - keep
         freed = 0
         n_deleted = 0
@@ -2977,7 +3333,7 @@ class VersionedTable:
             # (exact-string matching here would delete the whole table
             # once aged)
             referenced = {os.path.realpath(f) for f in keep | drop}
-            for base in (self.data_dir, self.cdf_dir, self.dv_dir):
+            for base in (self.data_dir, self.cdf_dir, self.dv_dir, self.bloom_dir):
                 if not os.path.isdir(base):
                     continue
                 for dirpath, _dirs, fnames in os.walk(base):

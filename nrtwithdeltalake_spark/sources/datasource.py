@@ -52,6 +52,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from ..pipeline import bloom as _bloom
+
 CHANGE_TYPE_COL = "_change_type"
 VERSION_COL = "_commit_version"
 FIELD_ID_KEY = "parquet.field.id"  # column-mapping id in schema metadata
@@ -118,12 +120,17 @@ def _raw_commit(path: str, version: int) -> dict:
 def _commit(path: str, version: int) -> dict:
     """Commit record with full file lists — delta-encoded records (see
     ``pipeline.logcodec``) resolve through the parent chain, pure local
-    JSON, still SparkSession-free."""
+    JSON, still SparkSession-free. Applies the reader protocol gate:
+    a record demanding features this engine lacks raises
+    ``UnsupportedTableFeatureError`` instead of planning a wrong scan
+    (parent-chain records need no separate gate — protocol upgrades are
+    monotone, so the target version's gate covers its ancestry)."""
     from ..pipeline import logcodec
+    from ..pipeline.tables import check_read_protocol
 
-    return logcodec.materialize(
-        _raw_commit(path, version), lambda v: _commit(path, v)
-    )
+    raw = _raw_commit(path, version)
+    check_read_protocol(raw, where=f"{path}: ")
+    return logcodec.materialize(raw, lambda v: _commit(path, v))
 
 
 @dataclass
@@ -139,6 +146,11 @@ class _FilePartition(InputPartition):
     # THIS file whose position appears there are logically deleted and
     # masked out executor-side (merge-on-read)
     dv_files: tuple = ()
+    # bloom sidecar path for THIS file (committed under the stats
+    # __bloom__ key): the executor probes it against the pushed
+    # equality literals BEFORE opening the data file — a KB read that
+    # can prove the multi-MB decode pointless (see pipeline/bloom.py)
+    bloom_sidecar: str = ""
 
 
 def _arrow_batches(part: _FilePartition):
@@ -157,6 +169,12 @@ def _arrow_batches(part: _FilePartition):
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
 
+    if part.bloom_sidecar:
+        eq = [
+            (col, op, v) for (col, op, v) in part.filters if op in ("=", "in")
+        ]
+        if eq and not _bloom.file_may_match_bloom(part.bloom_sidecar, eq):
+            return  # provably no matching row: skip the data read entirely
     want = T.StructType.fromJson(json.loads(part.schema_json))
     pf = pq.ParquetFile(part.file)
     file_cols = set(pf.schema_arrow.names)
@@ -301,7 +319,10 @@ def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
     [min, max] PROVES no row can satisfy the pushed conjunction."""
     for col, op, value in pushed:
         s = (stats or {}).get(col)
-        if not s:
+        if not s or not isinstance(s, (list, tuple)):
+            # absent, or not a [lo, hi] pair (the reserved __bloom__
+            # sidecar pointer lives beside column stats): can't prove
+            # anything here — keep the file
             continue
         probe = value[0] if op == "in" else value
         lo = _parse_stat(probe, s[0])
@@ -336,10 +357,20 @@ class _BatchReader(DataSourceReader):
     enables the flag). Column pruning via ``option("columns")`` works
     on both."""
 
-    def __init__(self, path: str, version: int | None, columns: list[str] | None):
+    def __init__(
+        self,
+        path: str,
+        version: int | None,
+        columns: list[str] | None,
+        bloom_driver_max: int | None = None,
+    ):
         self.path = path
         self.version = version
         self.columns = columns  # pruned via option('columns'), or None
+        # planning-side bloom-probe budget (option bloomDriverPruneMax);
+        # None = pipeline.bloom.DRIVER_PRUNE_MAX. 0 forces the
+        # executor-side probe path (and is the how-to for testing it)
+        self.bloom_driver_max = bloom_driver_max
         self.pushed: list[tuple] = []
 
     def partitions(self):
@@ -364,12 +395,38 @@ class _BatchReader(DataSourceReader):
             for f in c["files"]
             if not self.pushed or _file_may_match(fstats.get(f), self.pushed)
         ]
+        # bloom equality skipping (pipeline/bloom.py): committed sidecar
+        # pointers ride each file's stats entry. Planning-side pruning
+        # only when the min/max-surviving candidate set is small (the
+        # point-lookup case — saves task scheduling, driver IO bounded
+        # by construction); otherwise the probe ships with the
+        # partition and runs executor-side before the data file opens.
+        eq = tuple(
+            (col, op, v) for (col, op, v) in self.pushed if op in ("=", "in")
+        )
+        sidecars = {
+            f: (fstats.get(f) or {}).get("__bloom__", "") for f in files
+        } if eq else {}
+        budget = (
+            self.bloom_driver_max
+            if self.bloom_driver_max is not None
+            else _bloom.DRIVER_PRUNE_MAX
+        )
+        if eq and len(files) <= budget:
+            files = [
+                f
+                for f in files
+                if not sidecars[f]
+                or _bloom.file_may_match_bloom(sidecars[f], eq)
+            ]
+            sidecars = {}  # already proven on the driver — don't re-probe
         return [
             _FilePartition(
                 file=f,
                 schema_json=schema_json,
                 filters=tuple(self.pushed),
                 dv_files=dv,
+                bloom_sidecar=sidecars.get(f, ""),
             )
             for f in files
         ] or [
@@ -714,8 +771,31 @@ def _publish_record(path: str, record: dict) -> None:
     commit: exactly one wins the link, the loser gets
     ``CommitConflictError``. (A bare exists-check + rename — the old
     code here — loses a commit on POSIX, where rename overwrites.)"""
-    from ..pipeline.tables import publish_commit_file
+    from ..pipeline.tables import check_write_protocol, publish_commit_file
 
+    if record["version"] > 0:
+        # writer protocol gate + monotone feature carry, mirroring the
+        # native _write_commit: refuse to build on a snapshot whose
+        # features we can't maintain; re-advertise them all (plus
+        # deletion vectors if this commit still carries sidecars —
+        # overwrite spends them but the upgrade is permanent, so carry
+        # keeps the stamp). Constraints/generated columns never reach
+        # here — both DataSource writers refuse those tables up front.
+        prev_raw = _raw_commit(path, record["version"] - 1)
+        check_write_protocol(prev_raw, where=f"{path}: ")
+        p = prev_raw.get("protocol") or {}
+        rf = set(p.get("reader_features") or [])
+        wf = set(p.get("writer_features") or [])
+        if record.get("dv_files"):
+            rf.add("deletion_vectors")
+        wf |= rf
+        if rf or wf:
+            record["protocol"] = {
+                "min_reader": 2 if rf else 1,
+                "min_writer": 2,
+                "reader_features": sorted(rf),
+                "writer_features": sorted(wf),
+            }
     # re-stamp the field-id high-water mark (schema ids ∨ carried value),
     # same as the native _write_commit — keeps dropped ids retired
     ids = [
@@ -1331,10 +1411,12 @@ class VersionedTableDataSource(DataSource):
         # the plain reader for flag-off sessions
         want_pushdown = str(self.options.get("pushdown", "true")).lower() != "false"
         cls = _PushdownBatchReader if want_pushdown else _BatchReader
+        bdm = self.options.get("bloomDriverPruneMax")
         return cls(
             self._path(),
             self._version_option(self._path()),
             self._columns(),
+            bloom_driver_max=int(bdm) if bdm is not None else None,
         )
 
     def writer(self, schema, overwrite: bool):

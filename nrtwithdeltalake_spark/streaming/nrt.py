@@ -266,6 +266,8 @@ def run_stream_to_table(
     checkpoint_dir: str,
     output_mode: str = "update",
     txn_app: str | None = None,
+    auto_optimize_small_bytes: int | None = None,
+    auto_optimize_every: int = 10,
 ) -> None:
     """The NRT sink: every micro-batch MERGEs into a versioned table —
     the reference's loadToSilverZone as a ``foreachBatch`` function.
@@ -273,7 +275,16 @@ def run_stream_to_table(
     idempotency; pass ``txn_app`` to additionally stamp Delta-style
     ``(txn_app, epoch_id)`` transaction tokens so a replayed epoch is
     SKIPPED outright (exactly-once even for payloads whose merge would
-    not be naturally idempotent, e.g. additive assignments)."""
+    not be naturally idempotent, e.g. additive assignments).
+
+    ``auto_optimize_small_bytes``: Databricks auto-compaction analog —
+    every ``auto_optimize_every`` epochs the sink runs an INCREMENTAL
+    compact (``small_file_bytes`` semantics: only sub-threshold and
+    DV-referenced files re-pack, O(debt) not O(table)), so a
+    continuously-merging stream amortizes its own small-file debt
+    instead of depending on an external maintenance job. Best-effort:
+    a conflicting concurrent writer just defers the debt to the next
+    cadence."""
     spark = stream_df.sparkSession
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -288,6 +299,18 @@ def run_stream_to_table(
             )
         else:
             VersionedTable.create(spark, target_path, batch_df)
+        if (
+            auto_optimize_small_bytes
+            and epoch_id % max(1, auto_optimize_every) == 0
+        ):
+            from ..pipeline.tables import CommitConflictError
+
+            try:
+                VersionedTable(spark, target_path).compact(
+                    small_file_bytes=auto_optimize_small_bytes
+                )
+            except CommitConflictError:
+                pass  # concurrent writer won — debt waits for next cadence
 
     q = (
         stream_df.writeStream.outputMode(output_mode)

@@ -1,0 +1,105 @@
+"""Incremental OPTIMIZE (`compact(small_file_bytes=...)`) — Delta
+OPTIMIZE's actual posture (`optimize.minFileSize`): re-pack ONLY files
+below the threshold plus every DV-referenced file (so the commit still
+clears all vectors); right-sized files carry through untouched with
+their committed stats. At 100 TB a full-rewrite OPTIMIZE is a
+non-starter — maintenance must cost O(small-file debt + DV debt), not
+O(table)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nrtwithdeltalake_spark.pipeline.sqldml import execute_dml
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+
+def _mk(spark, tmp_path, name="t"):
+    """One big file (v0 create, 4000 rows) + three small append files
+    (20 rows each)."""
+    p = str(tmp_path / name)
+    big = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(4000)], "id bigint, s string"
+    ).coalesce(1)
+    t = VersionedTable.create(spark, p, big)
+    for b in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(10_000 + b * 100 + i, "x") for i in range(20)],
+                "id bigint, s string",
+            ).coalesce(1)
+        )
+    return t
+
+
+def _big_file(t):
+    return max(t.get_commit().files, key=os.path.getsize)
+
+
+def test_small_files_packed_big_file_untouched(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = t.get_commit()
+    big = _big_file(t)
+    thresh = os.path.getsize(big)  # strictly-below keeps the big file
+    v = t.compact(small_file_bytes=thresh)
+    c = t.get_commit(v)
+    assert big in c.files  # untouched: same path carries
+    assert len(c.files) == 2  # big + one packed file
+    assert c.stats["files_rewritten"] == 3 and c.stats["files_kept"] == 1
+    # the big file's committed stats entry carried verbatim
+    assert c.stats["file_stats"][big] == before.stats["file_stats"][big]
+    # packed file got fresh footer stats
+    packed = next(f for f in c.files if f != big)
+    assert packed in c.stats["file_stats"]
+    assert t.read().count() == 4000 + 60
+    # old versions still read (time travel keeps the small files alive)
+    assert t.read(version=before.version).count() == 4000 + 60
+
+
+def test_dv_referenced_big_file_is_rewritten_and_vectors_clear(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    big = _big_file(t)
+    t.delete("id = 7", use_dv=True)  # row lives in the big file
+    assert t.get_commit().dv_files
+    v = t.compact(small_file_bytes=1024)  # below every small file…
+    c = t.get_commit(v)
+    # …but the DV-referenced big file must still be rewritten, or the
+    # cleared vector would resurrect row 7
+    assert big not in c.files
+    assert c.dv_files == []
+    assert t.read().count() == 4000 + 60 - 1
+    assert t.read().filter("id = 7").count() == 0
+
+
+def test_noop_when_no_debt(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.compact()  # full pack first
+    v = t.compact(small_file_bytes=1)  # nothing under 1 byte, no DVs
+    assert v == v0 == t.latest_version()  # no empty commit published
+
+
+def test_incremental_refuses_clustering(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="cluster"):
+        t.compact(small_file_bytes=1 << 20, cluster_by=["id"])
+    with pytest.raises(ValueError, match="cluster"):
+        t.compact(small_file_bytes=1 << 20, zorder_by=["id", "s"])
+
+
+def test_sql_optimize_uses_small_file_property(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlt")
+    big = _big_file(t)
+    t.set_properties(
+        {"versioned.optimize.smallFileBytes": str(os.path.getsize(big))}
+    )
+    execute_dml(spark, f"OPTIMIZE versioned.`{t.path}`")
+    c = t.get_commit()
+    assert big in c.files and len(c.files) == 2  # incremental path ran
+    # ZORDER ignores the property: full clustered rewrite
+    execute_dml(spark, f"OPTIMIZE versioned.`{t.path}` ZORDER BY (id)")
+    assert big not in t.get_commit().files
+    assert t.read().count() == 4000 + 60
+    with pytest.raises(ValueError):
+        t.set_properties({"versioned.optimize.smallFileBytes": "0"})

@@ -1099,3 +1099,38 @@ def test_tws_profiles_merge_into_versioned_table(spark, tmp_path):
     assert t.read().count() == 2  # one profile row per user, no dups
     # the txn ledger recorded the sink's epochs (exactly-once guard)
     assert t.txn_version("tws_profiles_cap") is not None
+
+
+def test_auto_optimize_amortizes_small_file_debt(spark, tmp_path):
+    """Databricks auto-compaction analog: a continuously-merging stream
+    with auto_optimize runs an INCREMENTAL compact on cadence, so the
+    table's live file count stays bounded instead of growing one file
+    per micro-batch — and the data stays exactly the merge result."""
+    sdir = str(tmp_path / "src")
+    os.makedirs(sdir)
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, f"v{b}") for i in range(5)], "k bigint, s string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b{b}.parquet")
+    tgt = str(tmp_path / "tgt")
+    stream = (
+        spark.readStream.schema("k bigint, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sdir}/*.parquet")
+    )
+    nrt.run_stream_to_table(
+        stream,
+        tgt,
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+        auto_optimize_small_bytes=1 << 20,
+        auto_optimize_every=2,
+    )
+    t = VersionedTable(spark, tgt)
+    ops = [c.op for c in t.history()]
+    assert "compact" in ops  # the cadence fired inside the sink
+    # every small file re-packed at the last cadence bounds live files
+    assert len(t.get_commit().files) <= 3 < 4
+    assert t.read().count() == 20
+    assert t.read().filter("s = 'v3'").count() == 5

@@ -169,6 +169,60 @@ def bench_registration_rebuild(root: str, n_files: int = 10_000) -> dict:
     return {"n_files": n_files, "secs": round(secs, 4)}
 
 
+def bench_bloom_lookup(spark, root: str, n_rows: int) -> dict:
+    """Point lookup on an UNCLUSTERED high-cardinality column — the
+    bloom sidecar's design case. The table is range-partitioned by `k`
+    but probed on `u` (a multiplicative hash of `k`), so every file's
+    [u_min, u_max] spans the domain and min/max prunes nothing: the
+    stats-only twin scans all files, the bloom-indexed table opens ~1.
+    Records the indexing overhead (append wall time vs the twin) and
+    the files-planned counts behind the claim."""
+    from nrtwithdeltalake_spark.sources import datasource as ds
+
+    ds.register(spark)
+    data = _base_df(spark, n_rows).withColumn(
+        "u", (F.col("k") * F.lit(2654435761)) % F.lit(1 << 31)
+    )
+    seed = data.limit(0)
+    out: dict = {}
+    paths = {}
+    for name, indexed in (("bloom", True), ("stats_only", False)):
+        p = os.path.join(root, f"lookup_{name}")
+        shutil.rmtree(p, ignore_errors=True)
+        t = VersionedTable.create(spark, p, seed)
+        if indexed:
+            t.set_properties({"versioned.bloomFilterColumns": "u"})
+        t0 = time.monotonic()
+        t.append(data.repartitionByRange(N_FILES, "k"))
+        out[f"append_{name}_secs"] = round(time.monotonic() - t0, 3)
+        paths[name] = p
+    probe = 123_457 * 2654435761 % (1 << 31)  # an existing u value
+    for name, p in paths.items():
+        r = ds._PushdownBatchReader(p, None, None)
+        r.pushed = [("u", "=", int(probe))]
+        out[f"files_planned_{name}"] = len(
+            [x for x in r.partitions() if x.file]
+        )
+        t0 = time.monotonic()
+        n = (
+            spark.read.format("versioned")
+            .load(p)
+            .filter(f"u = {probe}")
+            .count()
+        )
+        out[f"lookup_{name}_secs"] = round(time.monotonic() - t0, 3)
+        assert n >= 1, (name, probe)
+    side_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _d, fs in os.walk(
+            os.path.join(paths["bloom"], "_bloom")
+        )
+        for f in fs
+    )
+    out["sidecar_bytes_total"] = side_bytes
+    return out
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     root = os.path.join("/tmp", f"table_bench_{os.getpid()}")
@@ -185,6 +239,7 @@ def main() -> None:
         cases["delete_dv"] = bench_delete(spark, root, n_rows, use_dv=True)
         cases.update(bench_snapshot_read(spark, root, n_rows))
         cases["registration_rebuild_10k"] = bench_registration_rebuild(root)
+        cases["bloom_point_lookup"] = bench_bloom_lookup(spark, root, n_rows)
         print(
             json.dumps(
                 {
