@@ -795,6 +795,13 @@ class VersionedTable:
                 prev_raw = {}
             check_write_protocol(prev_raw, where=f"{self.path}: ")
             prev_protocol = prev_raw.get("protocol")
+            # monotone in-commit timestamps (Delta inCommitTimestamps):
+            # commits stamp max(now, prev_ts + 1ms), so TIMESTAMP AS OF
+            # resolution (version_at's last-at-or-before rule) stays
+            # well-defined even when a fleet's writer clocks skew — a
+            # backdated wall clock can otherwise make version n+1
+            # "older" than n and timestamp travel non-deterministic
+            commit.ts = max(commit.ts, float(prev_raw.get("ts", 0.0)) + 1e-3)
         commit.protocol = self._next_protocol(commit, prev_protocol)
         parent: dict | None = None
         if commit.version > 0 and commit.version % logcodec.CHECKPOINT_EVERY:

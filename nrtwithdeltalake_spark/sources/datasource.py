@@ -783,6 +783,10 @@ def _publish_record(path: str, record: dict) -> None:
         # here — both DataSource writers refuse those tables up front.
         prev_raw = _raw_commit(path, record["version"] - 1)
         check_write_protocol(prev_raw, where=f"{path}: ")
+        # monotone in-commit timestamps, same clamp as the native layer
+        record["ts"] = max(
+            float(record.get("ts", 0.0)), float(prev_raw.get("ts", 0.0)) + 1e-3
+        )
         p = prev_raw.get("protocol") or {}
         rf = set(p.get("reader_features") or [])
         wf = set(p.get("writer_features") or [])

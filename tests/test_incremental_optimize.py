@@ -103,3 +103,70 @@ def test_sql_optimize_uses_small_file_property(spark, tmp_path):
     assert t.read().count() == 4000 + 60
     with pytest.raises(ValueError):
         t.set_properties({"versioned.optimize.smallFileBytes": "0"})
+
+
+def test_incremental_compactor_in_mixed_writer_storm(spark, tmp_path):
+    """The incremental compactor joins the mixed-writer storm: blind
+    appenders and a DV deleter race it on one table. Its OCC guards are
+    scoped to the REWRITTEN subset (kept files ride `base.files`), so
+    concurrent appends commute while a racing DV commit surfaces and
+    retries. Invariant: serial-equivalent final state, deleted rows
+    never resurrect, dense version chain."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "storm")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(i, "base") for i in range(40)], "id long, v string"
+        ).repartition(4),
+    )
+
+    def retry(fn):
+        for _ in range(12):
+            try:
+                return fn()
+            except CommitConflictError:
+                _time.sleep(0.25)
+        raise AssertionError("writer starved")
+
+    def appender(w: int):
+        VersionedTable(spark, p).append(
+            spark.createDataFrame(
+                [(1000 + w * 10 + i, f"a{w}") for i in range(4)],
+                "id long, v string",
+            )
+        )
+
+    def dv_deleter():
+        retry(
+            lambda: VersionedTable(spark, p).delete(
+                "id >= 30 and id < 35", use_dv=True
+            )
+        )
+
+    def inc_compactor():
+        retry(
+            lambda: VersionedTable(spark, p).compact(
+                target_file_bytes=1 << 20, small_file_bytes=1 << 20
+            )
+        )
+
+    jobs = [lambda w=w: appender(w) for w in range(2)] + [
+        dv_deleter,
+        inc_compactor,
+    ]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda f: f(), jobs))
+
+    rows = {r.id: r.v for r in VersionedTable(spark, p).read().collect()}
+    want = {i: "base" for i in range(40) if not 30 <= i < 35}
+    for w in range(2):
+        want.update({1000 + w * 10 + i: f"a{w}" for i in range(4)})
+    assert rows == want
+    versions = [c.version for c in VersionedTable(spark, p).history()]
+    assert versions == list(range(len(versions)))

@@ -318,3 +318,28 @@ def test_explicit_upgrade_protocol(spark, tmp_path):
     assert "check_constraints" in t.get_commit().protocol["writer_features"]
     with pytest.raises(ValueError, match="does not implement"):
         t.upgrade_protocol(reader_features=["row_lineage_v9"])
+
+
+def test_monotone_in_commit_timestamps(spark, tmp_path, monkeypatch):
+    """Delta inCommitTimestamps analog: a writer whose wall clock jumped
+    BACKWARD still commits a timestamp strictly above its predecessor
+    (max(now, prev+1ms)), so TIMESTAMP AS OF resolution stays
+    well-defined across a clock-skewed fleet."""
+    import time as _time
+
+    from nrtwithdeltalake_spark.pipeline import tables as tb
+
+    t = _mk(spark, tmp_path)
+    t0 = t.get_commit(0).ts
+    real = _time.time
+    monkeypatch.setattr(tb.time, "time", lambda: real() - 3600.0)
+    try:
+        t.append(_df(spark, [(4, "c", 40.0)]))
+    finally:
+        monkeypatch.undo()
+    t1 = t.get_commit(1).ts
+    assert t1 > t0  # clamped, despite the hour-backdated clock
+    assert t1 == pytest.approx(t0 + 1e-3)
+    # timestamp travel resolves deterministically on the clamped stamps
+    assert t.version_at(t0) == 0
+    assert t.version_at(t1) == 1
