@@ -492,10 +492,17 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         row_schema: T.StructType,
         max_files_per_trigger: int | None = None,
         initial_snapshot: bool = False,
+        max_bytes_per_trigger: int | None = None,
     ):
         self.path = path
         self.start_version = start_version
         self.max_files = max_files_per_trigger
+        # Delta's maxBytesPerTrigger twin: a soft byte cap per
+        # micro-batch (≥1 commit / ≥1 snapshot file always flows, so an
+        # over-budget commit can't wedge the stream). Files bound task
+        # COUNT; bytes bound what executors actually hold — the knob
+        # that matters when backlog file sizes vary 100× at scale.
+        self.max_bytes = max_bytes_per_trigger
         # Delta's default readStream semantics (initialSnapshot=true):
         # first micro-batch = the CURRENT snapshot as insert images (one
         # partition per data file, DV-masked executor-side), then the
@@ -534,15 +541,32 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             if self._snap_n is None:
                 self._snap_n = len(_commit(self.path, base).get("files", []))
             n = self._snap_n
-            if self.max_files is not None and p + self.max_files < n:
+            take = n - p
+            if self.max_files is not None:
+                take = min(take, self.max_files)
+            if self.max_bytes is not None and take > 0:
+                # shrink the slice to the byte budget (≥1 file)
+                files = _commit(self.path, base).get("files", [])[p : p + take]
+                acc = 0
+                cnt = 0
+                for f in files:
+                    try:
+                        acc += os.path.getsize(f)
+                    except OSError:
+                        pass
+                    cnt += 1
+                    if acc >= self.max_bytes:
+                        break
+                take = max(1, cnt)
+            if p + take < n:
                 return {
                     "version": base,
                     "snapshot": "pending",
-                    "pos": p + self.max_files,
+                    "pos": p + take,
                 }
             return {"version": base, "snapshot": "done"}
         latest = _versions(self.path)[-1]
-        if self.max_files is None or self._pos is None:
+        if (self.max_files is None and self.max_bytes is None) or self._pos is None:
             # _pos None = a checkpointed restart whose resume point this
             # reader has not observed yet (Spark hands the checkpoint to
             # partitions()/commit(), never to latestOffset) — including
@@ -552,17 +576,27 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             # preserved by the mixed-pair handling in partitions(), and
             # rate limiting resumes from the next trigger on.
             return {"version": latest}
-        budget = self.max_files
+        fbudget = self.max_files if self.max_files is not None else float("inf")
+        bbudget = self.max_bytes if self.max_bytes is not None else float("inf")
         end = self._pos
         for v in _versions(self.path):
             if v <= self._pos or v > latest:
                 continue
             # cdf_files is never delta-encoded: the raw record counts
             # the backlog without materializing parent chains per trigger
-            n = len(_raw_commit(self.path, v).get("cdf_files", []))
-            if n > budget and end > self._pos:
+            cdf = _raw_commit(self.path, v).get("cdf_files", [])
+            n = len(cdf)
+            b = 0
+            if self.max_bytes is not None:
+                for f in cdf:
+                    try:
+                        b += os.path.getsize(f)
+                    except OSError:
+                        pass
+            if (n > fbudget or b > bbudget) and end > self._pos:
                 break  # budget spent (but always admit ≥ 1 commit)
-            budget -= n
+            fbudget -= n
+            bbudget -= b
             end = v
         return {"version": end}
 
@@ -1333,7 +1367,8 @@ class VersionedTableDataSource(DataSource):
     + ``startingVersion`` / ``startingTimestamp`` / ``initialSnapshot``
     (current snapshot as insert images first, then the tail — the
     bootstrap for clones and vacuumed histories) +
-    ``maxFilesPerTrigger`` (streaming CDF tail); writable via
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (streaming CDF
+    tail); writable via
     ``df.write.format("versioned").mode("append"|"overwrite")``."""
 
     @classmethod
@@ -1444,12 +1479,14 @@ class VersionedTableDataSource(DataSource):
                     "current snapshot, then tails changes from it"
                 )
             mft = self.options.get("maxFilesPerTrigger")
+            mbt = self.options.get("maxBytesPerTrigger")
             return _ChangeFeedStreamReader(
                 self._path(),
                 -1,
                 schema,
                 max_files_per_trigger=int(mft) if mft is not None else None,
                 initial_snapshot=True,
+                max_bytes_per_trigger=int(mbt) if mbt is not None else None,
             )
         if sts is not None:
             if self.options.get("startingVersion") is not None:
@@ -1471,11 +1508,13 @@ class VersionedTableDataSource(DataSource):
         else:
             start = int(self.options.get("startingVersion", -1))
         mft = self.options.get("maxFilesPerTrigger")
+        mbt = self.options.get("maxBytesPerTrigger")
         return _ChangeFeedStreamReader(
             self._path(),
             start,
             schema,
             max_files_per_trigger=int(mft) if mft is not None else None,
+            max_bytes_per_trigger=int(mbt) if mbt is not None else None,
         )
 
 

@@ -1093,3 +1093,85 @@ def test_format_write_allowed_after_unbinding_sidecars(spark, tmp_path):
         "versioned"
     ).mode("append").save(p)
     assert VersionedTable(spark, p).read().count() == 2
+
+
+def test_stream_max_bytes_per_trigger_bounds_catchup(spark, tmp_path):
+    """maxBytesPerTrigger (Delta's byte-budget twin of
+    maxFilesPerTrigger): backlog catch-up admits commits only up to the
+    byte budget per micro-batch (≥1 commit always flows, so one
+    over-budget commit can't wedge the stream), and availableNow still
+    drains everything exactly once."""
+    p, t = _mk(spark, tmp_path)  # v0 (2 rows), v1 (1 row)
+    for i in range(10, 14):
+        t.append(spark.createDataFrame([(i, "x")], "id long, v string"))
+    latest = t.latest_version()
+
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType(
+        list(spark.read.format("versioned").option("path", p).load().schema.fields)
+        + [
+            T.StructField(ds.CHANGE_TYPE_COL, T.StringType()),
+            T.StructField(ds.VERSION_COL, T.LongType()),
+        ]
+    )
+    # budget of 1 byte < any CDF file ⇒ exactly one commit per trigger
+    r = ds._ChangeFeedStreamReader(
+        p, -1, row_schema, max_bytes_per_trigger=1
+    )
+    assert r.initialOffset() == {"version": -1}
+    seen = []
+    while True:
+        start_v = seen[-1] if seen else -1
+        end = r.latestOffset()
+        if end["version"] == start_v:
+            break
+        assert end["version"] == start_v + 1
+        seen.append(end["version"])
+        r.commit(end)
+    assert seen[-1] == latest and len(seen) == latest + 1
+
+    # a budget covering everything drains in one trigger
+    r2 = ds._ChangeFeedStreamReader(
+        p, -1, row_schema, max_bytes_per_trigger=1 << 30
+    )
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": latest}
+
+    # the initial-snapshot bootstrap honors the byte budget too: a
+    # 1-byte budget slices the snapshot one file per trigger
+    rs = ds._ChangeFeedStreamReader(
+        p, -1, row_schema, initial_snapshot=True, max_bytes_per_trigger=1
+    )
+    off = rs.initialOffset()
+    n_files = len(t.get_commit().files)
+    slices = 0
+    while off.get("snapshot") == "pending":
+        nxt = rs.latestOffset()
+        if nxt.get("snapshot") == "pending":
+            assert nxt["pos"] == off.get("pos", 0) + 1
+        rs.commit(nxt)
+        off = nxt
+        slices += 1
+        assert slices <= n_files + 1
+    assert slices == n_files
+
+    # end-to-end under the option, including the initial-snapshot
+    # bootstrap (snapshot slices honor the byte budget too)
+    rows = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", p)
+        .option("feed", "changes")
+        .option("startingVersion", -1)
+        .option("maxBytesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: rows.extend((r.id, r._commit_version) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(i for i, _ in rows) == [1, 2, 3, 10, 11, 12, 13]
