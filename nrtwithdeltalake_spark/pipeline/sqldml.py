@@ -691,19 +691,50 @@ _TIME_TRAVEL_RX = re.compile(
     re.IGNORECASE,
 )
 # Delta's read-side CDC table function: table_changes('t', from[, to]),
-# versions INCLUSIVE on both ends (our change_feed API is
-# exclusive-start, so from maps to starting_version=from-1)
+# bounds INCLUSIVE on both ends; each bound is a version int or a
+# quoted timestamp (our change_feed API is exclusive-start, so from
+# maps to starting_version=from-1). Timestamp bounds are well-defined
+# because commits stamp monotone in-commit timestamps.
 _TABLE_CHANGES_RX = re.compile(
-    r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    r"table_changes\s*\(\s*'([^']+)'\s*,\s*"
+    r"(\d+|'(?:[^']|'')*')\s*(?:,\s*(\d+|'(?:[^']|'')*')\s*)?\)",
     re.IGNORECASE,
 )
+
+
+def _tc_bound(table, raw: str | None, end: bool) -> int | None:
+    """A table_changes bound → inclusive commit version. Ints are
+    versions; quoted values are timestamps (ISO-8601 or epoch
+    seconds): the START bound resolves to the FIRST commit at-or-after
+    (Delta's startingTimestamp rule — raises if that's past the latest
+    commit), the END bound to the LAST commit at-or-before
+    (``version_at``, Delta's endingTimestamp rule)."""
+    if raw is None:
+        return None
+    if raw.isdigit():
+        return int(raw)
+    s = raw[1:-1].replace("''", "'")
+    ts = float(s) if re.fullmatch(r"\d+(\.\d+)?", s) else s
+    if end:
+        return table.version_at(ts)
+    from .tables import _as_epoch
+
+    t = _as_epoch(ts)
+    for c in table.history():
+        if float(c.ts) >= t:
+            return c.version
+    raise ValueError(
+        f"table_changes starting timestamp {s!r} is after the latest "
+        "commit — no changes exist there yet"
+    )
 
 
 def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
     """Read-side SQL time travel + CDC: run a query whose FROM clause
     uses ``VERSION AS OF n`` / ``TIMESTAMP AS OF ts`` or
     ``table_changes('t', from[, to])`` (Delta's CDC table function;
-    versions inclusive on both ends) on versioned tables — the analog
+    bounds inclusive on both ends, each a version int or a quoted
+    timestamp) on versioned tables — the analog
     of the reference probing
     ``CHANGE_TRACKING_CURRENT_VERSION()`` (COPY_MSQL_TO_SILVER.py:
     128-129) and the read-side counterpart of this module's DML surface.
@@ -750,13 +781,15 @@ def execute_query(spark: SparkSession, sql_text: str) -> DataFrame:
     for m in _TABLE_CHANGES_RX.finditer(sql_text):
         if _in_literal(m.start()):
             continue
-        name, from_v, to_v = m.group(1), int(m.group(2)), m.group(3)
+        name = m.group(1)
         parts = [name] if name.startswith("/") else _ident_parts(name)
         table = (
             VersionedTable(spark, name)
             if name.startswith("/")
             else resolve_versioned(spark, parts)
         )
+        from_v = _tc_bound(table, m.group(2), end=False)
+        to_v = _tc_bound(table, m.group(3), end=True)
         # Delta's table_changes is INCLUSIVE of from_v; the API is
         # exclusive-start
         df = table.change_feed(starting_version=from_v - 1)

@@ -3318,17 +3318,38 @@ class VersionedTable:
         # opened through a symlinked/alternate path spelling must still
         # recognize (and reclaim) its own files
         root = os.path.realpath(self.path) + os.sep
-        for f in sorted(doomed):
+
+        def _reclaim(f: str) -> int:
+            """Bytes reclaimed, or -1 for skipped/missing. Thread-safe:
+            pure per-file stat+unlink, idempotent under concurrent
+            vacuums (FileNotFoundError = the other vacuum won)."""
             if not os.path.realpath(f).startswith(root):
                 # a shallow clone's early commits reference files inside
                 # the SOURCE table's tree — reclaiming our own history
                 # must never delete another table's live data
-                continue
-            if os.path.exists(f):
-                freed += os.path.getsize(f)
-                if not dry_run:
+                return -1
+            try:
+                sz = os.path.getsize(f)
+            except OSError:
+                return -1
+            if not dry_run:
+                try:
                     os.remove(f)
-                n_deleted += 1
+                except FileNotFoundError:
+                    return -1
+            return sz
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # unlinks are independent I/O ops — thread-pooled so reclaiming
+        # 10^5 expired files (or issuing 10^5 object-store DELETEs)
+        # takes seconds, not minutes; deletion stays idempotent, a crash
+        # mid-pool just leaves garbage for the next vacuum
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            for sz in ex.map(_reclaim, sorted(doomed)):
+                if sz >= 0:
+                    freed += sz
+                    n_deleted += 1
         n_orphans = 0
         if clean_orphans_hours is not None:
             if clean_orphans_hours < 0:

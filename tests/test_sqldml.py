@@ -735,3 +735,58 @@ def test_merge_matched_delete_qualified_with_cast_and_interval(spark, twin_table
         """,
     )
     assert {r.TransactionId for r in sql_t.read().collect()} == {1, 2}
+
+
+def test_sql_table_changes_timestamp_bounds(spark, tmp_path):
+    """table_changes with QUOTED TIMESTAMP bounds (Delta's
+    starting/endingTimestamp rules): start = first commit at-or-after,
+    end = last commit at-or-before — well-defined because commits stamp
+    monotone in-commit timestamps. Mixing a timestamp start with a
+    version end works; a start past the latest commit raises."""
+    import pytest as _pytest
+
+    from nrtwithdeltalake_spark.pipeline.sqldml import execute_query
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+    p = str(tmp_path / "tc")
+    t = VersionedTable.create(
+        spark, p, spark.createDataFrame([(1, "a")], "id bigint, v string")
+    )
+    t.append(spark.createDataFrame([(2, "b")], "id bigint, v string"))  # v1
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, v string"))  # v2
+    ts1 = t.get_commit(1).ts
+
+    got = {
+        (r.id, r._commit_version)
+        for r in execute_query(
+            spark,
+            f"SELECT id, _commit_version FROM table_changes('{p}', '{ts1}')",
+        ).collect()
+    }
+    assert got == {(2, 1), (3, 2)}  # from v1 (first at-or-after ts1)
+
+    got = {
+        (r.id, r._commit_version)
+        for r in execute_query(
+            spark,
+            "SELECT id, _commit_version FROM "
+            f"table_changes('{p}', '{ts1}', '{ts1}')",
+        ).collect()
+    }
+    assert got == {(2, 1)}  # end bound: last at-or-before ts1 = v1
+
+    got = {
+        (r.id, r._commit_version)
+        for r in execute_query(
+            spark,
+            "SELECT id, _commit_version FROM "
+            f"table_changes('{p}', 1, '{ts1}')",
+        ).collect()
+    }
+    assert got == {(2, 1)}  # mixed version start + timestamp end
+
+    with _pytest.raises(ValueError, match="after the latest"):
+        execute_query(
+            spark,
+            f"SELECT * FROM table_changes('{p}', '{t.get_commit(2).ts + 9999}')",
+        )
