@@ -442,9 +442,39 @@ def _execute_update(spark: SparkSession, plan) -> dict:
 _IDENT = r"((?:`[^`]+`|[\w]+)(?:\s*\.\s*(?:`[^`]+`|[\w]+))*)"
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+{_IDENT}\s*"
+    r"(?:WHERE\s+(.+?)\s*)?"
     r"(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# one conjunct of an OPTIMIZE WHERE: col <op> literal (int/float/str)
+_OPT_WHERE_TERM_RX = re.compile(
+    r"^\s*`?(\w+)`?\s*(>=|<=|=|<|>)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _parse_optimize_where(cond: str) -> list[tuple]:
+    """``OPTIMIZE ... WHERE`` accepts a conjunction of simple
+    range/equality terms on stat-tracked columns — the shapes the
+    [min, max] file pruner can act on. Anything else raises rather
+    than silently compacting the whole table."""
+    out = []
+    for term in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+        m = _OPT_WHERE_TERM_RX.match(term)
+        if not m:
+            raise UnsupportedSqlError(
+                f"OPTIMIZE WHERE supports conjunctions of "
+                f"`col <op> literal` (op in >=, <=, =, <, >); got "
+                f"{term.strip()!r}"
+            )
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if lit.startswith("'"):
+            val: object = lit[1:-1].replace("''", "'")
+        elif re.fullmatch(r"-?\d+", lit):
+            val = int(lit)
+        else:
+            val = float(lit)
+        out.append((col, op, val))
+    return out
 _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+{_IDENT}\s*"
     r"(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*$",
@@ -498,15 +528,16 @@ def execute_dml(spark: SparkSession, sql_text: str):
     m = _OPTIMIZE_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        where = _parse_optimize_where(m.group(2)) if m.group(2) else None
         zorder = (
-            [c.strip().strip("`") for c in m.group(2).split(",")]
-            if m.group(2)
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
             else None
         )
         # versioned.optimize.smallFileBytes (Delta optimize.minFileSize
         # analog): plain OPTIMIZE re-packs only small/DV-carrying files
         # — O(debt), not O(table). ZORDER is a layout change and stays
-        # a full rewrite.
+        # a full rewrite (of the WHERE-selected range, when scoped).
         small = table.properties().get("versioned.optimize.smallFileBytes")
         return {
             "version": table.compact(
@@ -514,6 +545,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
                 small_file_bytes=int(small)
                 if small is not None and not zorder
                 else None,
+                where=where,
             )
         }
     m = _VACUUM_RE.match(sql_text)

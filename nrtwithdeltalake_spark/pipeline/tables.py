@@ -243,6 +243,59 @@ def commit_from_record(record: dict, where: str = "") -> Commit:
     return Commit(**{k: v for k, v in record.items() if k in _COMMIT_FIELDS})
 
 
+def parse_stat(probe, s: str):
+    """Committed stats are ``str()``-serialized — parse back as the
+    probe value's type; None (keep the file) when unparseable."""
+    import datetime
+
+    try:
+        if isinstance(probe, bool):
+            return s == "True"
+        if isinstance(probe, datetime.datetime):
+            return datetime.datetime.fromisoformat(s)
+        if isinstance(probe, datetime.date):
+            return datetime.date.fromisoformat(s)
+        return type(probe)(s)
+    except (TypeError, ValueError):
+        return None
+
+
+def file_stats_may_match(stats: dict | None, pushed) -> bool:
+    """Stats-based data skipping, shared by the DataSource planner and
+    predicate-scoped compaction: False only when a file's committed
+    [min, max] PROVES no row can satisfy the ``(col, op, value)``
+    conjunction. Absent/unparseable stats keep the file — pruning is
+    an IO reducer, never a correctness input."""
+    for col, op, value in pushed:
+        s = (stats or {}).get(col)
+        if not s or not isinstance(s, (list, tuple)):
+            # absent, or not a [lo, hi] pair (the reserved __bloom__
+            # sidecar pointer lives beside column stats): can't prove
+            # anything here — keep the file
+            continue
+        probe = value[0] if op == "in" else value
+        lo = parse_stat(probe, s[0])
+        hi = parse_stat(probe, s[1])
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and not (lo <= value <= hi):
+                return False
+            if op == ">" and not hi > value:
+                return False
+            if op == ">=" and not hi >= value:
+                return False
+            if op == "<" and not lo < value:
+                return False
+            if op == "<=" and not lo <= value:
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in value):
+                return False
+        except TypeError:
+            continue  # incomparable types: keep the file
+    return True
+
+
 _FIELD_ID = "parquet.field.id"  # Spark's parquet field-id metadata key
 
 
@@ -752,24 +805,32 @@ class VersionedTable:
                 f"cannot advertise feature(s) {sorted(bad)} this engine "
                 "does not implement"
             )
-        prev = self.get_commit()
-        self._write_commit(
-            Commit(
-                prev.version + 1,
-                "set_protocol",
-                prev.files,
-                [],
-                prev.schema_json,
-                time.time(),
-                self._carry_stats(prev, prev.files),
-                dv_files=list(prev.dv_files),
-                protocol={
-                    "reader_features": sorted(reader_features),
-                    "writer_features": sorted(writer_features),
-                },
-            )
-        )
-        return prev.version + 1
+        # metadata-only: a version collision just means re-reading the
+        # fresh snapshot and re-publishing — trivially commutative
+        for attempt in range(6):
+            prev = self.get_commit()
+            try:
+                self._write_commit(
+                    Commit(
+                        prev.version + 1,
+                        "set_protocol",
+                        prev.files,
+                        [],
+                        prev.schema_json,
+                        time.time(),
+                        self._carry_stats(prev, prev.files),
+                        dv_files=list(prev.dv_files),
+                        protocol={
+                            "reader_features": sorted(reader_features),
+                            "writer_features": sorted(writer_features),
+                        },
+                    )
+                )
+                return prev.version + 1
+            except CommitConflictError:
+                if attempt == 5:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
 
     def _write_commit(self, commit: Commit) -> None:
         """Atomic put-if-absent publish (see ``publish_commit_file``).
@@ -2981,6 +3042,7 @@ class VersionedTable:
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         small_file_bytes: int | None = None,
+        where: list[tuple] | None = None,
     ) -> int:
         """Bin-pack small files into ~``target_file_bytes`` files — the
         engine's OPTIMIZE (the reference's Delta tables rely on
@@ -3016,7 +3078,21 @@ class VersionedTable:
         not O(table), so it can run continuously behind the ingest
         stream. Mutually exclusive with clustering (a partial rewrite
         would silently degrade the clustering claim — run a full
-        clustered compact for layout changes)."""
+        clustered compact for layout changes).
+
+        ``where`` scopes the rewrite to a key range (Delta's
+        ``OPTIMIZE ... WHERE``, which at 100 TB is how OPTIMIZE is
+        actually run — one day's ingest range, not the table): a list
+        of conjunctive ``(col, op, value)`` terms selects exactly the
+        files whose committed [min, max] stats MAY hold matching rows
+        (``file_stats_may_match`` — the same pruner scans use);
+        clustering applies WITHIN the selection. Unlike the other
+        modes, a scoped compact carries the deletion vectors forward
+        unchanged: vectors for unselected files must keep masking, and
+        entries referencing the files it rewrote (their deletions are
+        materialized in the replacements) go stale harmlessly — the
+        read path ignores entries whose file is gone. Composes with
+        ``small_file_bytes`` (both filters apply)."""
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
         if small_file_bytes is not None and (cluster_by or zorder_by):
@@ -3025,23 +3101,33 @@ class VersionedTable:
                 "cluster — run a full clustered compact instead"
             )
         prev = self.get_commit()
-        # DV-applied: compaction MATERIALIZES deletion vectors (rows are
-        # physically gone from the packed files) and the new commit
-        # clears them — the merge-on-read debt is settled here
+        # DV-applied: compaction MATERIALIZES deletion vectors for the
+        # files it rewrites (rows are physically gone from the packed
+        # files); unscoped modes rewrite every DV-referenced file and
+        # clear the vectors — the merge-on-read debt is settled
         rewrite_set: set[str] | None = None
+        candidates = list(prev.files)
+        if where:
+            fstats = prev.stats.get("file_stats", {})
+            candidates = [
+                f
+                for f in candidates
+                if file_stats_may_match(fstats.get(f), where)
+            ]
         if small_file_bytes is not None:
             dv_ref = self._dv_referenced_files(prev)
-            rewrite = [
+            candidates = [
                 f
-                for f in prev.files
+                for f in candidates
                 if _strip_scheme(f) in dv_ref
                 or os.path.getsize(f) < small_file_bytes
             ]
-            if not rewrite:
+        if where or small_file_bytes is not None:
+            if not candidates:
                 return prev.version  # nothing owed: no empty commit
-            rewrite_set = set(rewrite)
-            df = self._snapshot(prev, files=rewrite)
-            total = sum(os.path.getsize(f) for f in rewrite)
+            rewrite_set = set(candidates)
+            df = self._snapshot(prev, files=candidates)
+            total = sum(os.path.getsize(f) for f in candidates)
         else:
             df = self._snapshot(prev)
             total = sum(os.path.getsize(f) for f in prev.files)
@@ -3125,9 +3211,12 @@ class VersionedTable:
                         base.schema_json,
                         time.time(),
                         stats,
-                        # vectors were materialized into the packed files;
-                        # concurrently-added files never had any
-                        dv_files=[],
+                        # unscoped/incremental modes rewrite every
+                        # DV-referenced file, so the vectors are spent;
+                        # a WHERE-scoped compact may keep DV'd files
+                        # outside its range — vectors carry (entries
+                        # for rewritten files go stale harmlessly)
+                        dv_files=list(base.dv_files) if where else [],
                     )
                 )
                 return base.version + 1

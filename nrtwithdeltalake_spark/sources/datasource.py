@@ -297,54 +297,15 @@ def _simple_filter(f) -> tuple | None:
     return (attr[0], op, value)
 
 
-def _parse_stat(probe, s: str):
-    """Committed stats are ``str()``-serialized — parse back as the
-    filter value's type; None (keep the file) when unparseable."""
-    import datetime
-
-    try:
-        if isinstance(probe, bool):
-            return s == "True"
-        if isinstance(probe, datetime.datetime):
-            return datetime.datetime.fromisoformat(s)
-        if isinstance(probe, datetime.date):
-            return datetime.date.fromisoformat(s)
-        return type(probe)(s)
-    except (TypeError, ValueError):
-        return None
-
-
 def _file_may_match(stats: dict | None, pushed: list[tuple]) -> bool:
     """Driver-side data skipping: False only when a file's committed
-    [min, max] PROVES no row can satisfy the pushed conjunction."""
-    for col, op, value in pushed:
-        s = (stats or {}).get(col)
-        if not s or not isinstance(s, (list, tuple)):
-            # absent, or not a [lo, hi] pair (the reserved __bloom__
-            # sidecar pointer lives beside column stats): can't prove
-            # anything here — keep the file
-            continue
-        probe = value[0] if op == "in" else value
-        lo = _parse_stat(probe, s[0])
-        hi = _parse_stat(probe, s[1])
-        if lo is None or hi is None:
-            continue
-        try:
-            if op == "=" and not (lo <= value <= hi):
-                return False
-            if op == ">" and not hi > value:
-                return False
-            if op == ">=" and not hi >= value:
-                return False
-            if op == "<" and not lo < value:
-                return False
-            if op == "<=" and not lo <= value:
-                return False
-            if op == "in" and not any(lo <= v <= hi for v in value):
-                return False
-        except TypeError:
-            continue  # incomparable types: keep the file
-    return True
+    [min, max] PROVES no row can satisfy the pushed conjunction.
+    Canonical implementation lives in ``pipeline.tables`` (shared with
+    predicate-scoped compaction); lazy import keeps worker-side module
+    load light."""
+    from ..pipeline.tables import file_stats_may_match
+
+    return file_stats_may_match(stats, pushed)
 
 
 class _BatchReader(DataSourceReader):

@@ -170,3 +170,70 @@ def test_incremental_compactor_in_mixed_writer_storm(spark, tmp_path):
     assert rows == want
     versions = [c.version for c in VersionedTable(spark, p).history()]
     assert versions == list(range(len(versions)))
+
+
+def _mk_ranged(spark, tmp_path, name="rt", n=4000, files=4):
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(n)], "id bigint, s string"
+    ).repartitionByRange(files, "id")
+    return VersionedTable.create(spark, str(tmp_path / name), df)
+
+
+def test_where_scoped_compact_rewrites_only_matching_files(spark, tmp_path):
+    """OPTIMIZE ... WHERE (Delta's scoped OPTIMIZE — how it's actually
+    run at scale): only files whose committed [min, max] may hold
+    matching rows are rewritten; out-of-range files carry untouched."""
+    t = _mk_ranged(spark, tmp_path)
+    before = set(t.get_commit().files)
+    assert len(before) == 4
+    v = t.compact(where=[("id", "<", 1000)])
+    c = t.get_commit(v)
+    kept = before & set(c.files)
+    assert 2 <= len(kept) <= 3  # range boundaries may straddle one file
+    assert c.stats["files_rewritten"] == 4 - len(kept)
+    assert t.read().count() == 4000
+    assert {r.id for r in t.read().filter("id < 10").collect()} == set(range(10))
+    # a disjoint range is a no-op (selection empty, no commit)
+    assert t.compact(where=[("id", ">=", 99999)]) == v
+
+
+def test_where_scoped_compact_carries_vectors_for_outside_files(spark, tmp_path):
+    """A scoped compact must NOT clear deletion vectors: a vector
+    masking a row in an UNSELECTED file keeps masking it, and a vector
+    over a SELECTED file is materialized into the replacement with the
+    stale entry ignored — no resurrection, no double-delete."""
+    t = _mk_ranged(spark, tmp_path)
+    t.delete("id = 3500", use_dv=True)  # masked row OUTSIDE the range
+    t.delete("id = 5", use_dv=True)  # masked row INSIDE the range
+    assert t.get_commit().dv_files
+    v = t.compact(where=[("id", "<", 1000)])
+    c = t.get_commit(v)
+    assert c.dv_files  # carried, not cleared
+    assert t.read().count() == 4000 - 2
+    assert t.read().filter("id in (5, 3500)").count() == 0
+    # unscoped compact afterwards settles the whole DV debt
+    t.compact()
+    assert not t.get_commit().dv_files
+    assert t.read().count() == 4000 - 2
+
+
+def test_sql_optimize_where(spark, tmp_path):
+    t = _mk_ranged(spark, tmp_path, "sqlw")
+    before = set(t.get_commit().files)
+    execute_dml(spark, f"OPTIMIZE versioned.`{t.path}` WHERE id < 1000")
+    kept = before & set(t.get_commit().files)
+    assert 0 < len(kept) < 4
+    assert t.read().count() == 4000
+    # WHERE composes with ZORDER (clustered rewrite of the range)
+    execute_dml(
+        spark,
+        f"OPTIMIZE versioned.`{t.path}` WHERE id >= 2000 AND id < 3000 "
+        "ZORDER BY (id)",
+    )
+    assert t.read().count() == 4000
+    from nrtwithdeltalake_spark.pipeline.sqldml import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError, match="OPTIMIZE WHERE"):
+        execute_dml(
+            spark, f"OPTIMIZE versioned.`{t.path}` WHERE id < 10 OR id > 20"
+        )
