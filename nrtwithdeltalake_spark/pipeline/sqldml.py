@@ -539,15 +539,19 @@ def execute_dml(spark: SparkSession, sql_text: str):
         # — O(debt), not O(table). ZORDER is a layout change and stays
         # a full rewrite (of the WHERE-selected range, when scoped).
         small = table.properties().get("versioned.optimize.smallFileBytes")
-        return {
-            "version": table.compact(
+        try:
+            version = table.compact(
                 zorder_by=zorder,
                 small_file_bytes=int(small)
                 if small is not None and not zorder
                 else None,
                 where=where,
             )
-        }
+        except ValueError as e:
+            # unknown/stat-less WHERE column etc. — SQL callers get the
+            # module's loud-failure type
+            raise UnsupportedSqlError(str(e)) from None
+        return {"version": version}
     m = _VACUUM_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))

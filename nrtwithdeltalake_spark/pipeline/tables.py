@@ -3109,6 +3109,29 @@ class VersionedTable:
         candidates = list(prev.files)
         if where:
             fstats = prev.stats.get("file_stats", {})
+            names = {
+                f.name
+                for f in T.StructType.fromJson(
+                    json.loads(prev.schema_json)
+                ).fields
+            }
+            for col, _op, _val in where:
+                # a typo'd or stat-less column can exclude nothing — the
+                # "scoped" compact would silently rewrite the whole
+                # table, exactly the approximation this API refuses
+                if col not in names:
+                    raise ValueError(
+                        f"compact where= references unknown column {col!r}"
+                    )
+                if not any(
+                    isinstance((fstats.get(f) or {}).get(col), (list, tuple))
+                    for f in prev.files
+                ):
+                    raise ValueError(
+                        f"no committed file stats for column {col!r} — a "
+                        "scoped compact could not exclude any file; run "
+                        "unscoped compaction instead"
+                    )
             candidates = [
                 f
                 for f in candidates
