@@ -2210,13 +2210,46 @@ class VersionedTable:
         # 1. touched files: semi-join target rows against source keys on
         #    the file-path metadata column — shuffles only keys + paths.
         tgt_all = self._snapshot(prev)  # DV-applied: deleted rows are gone
+        probe_files = list(prev.files)
         if prev.files:
+            # range-prune the PROBE's scan set: one 1-row aggregate on
+            # the (cached) source gives per-key [min, max] + null
+            # counts; files whose committed stats can't overlap the
+            # batch's key range provably contain no match and skip the
+            # probe scan entirely. The NRT design case: a CT batch's
+            # keys cluster in recent ranges, so a continuous merge
+            # probes the recent files, not 100 TB of history. Strictly
+            # conservative — missing/unparseable stats keep the file,
+            # and ANY null source key disables pruning (footer min/max
+            # ignore nulls, but eqNullSafe matches them).
+            aggs = []
+            for k in keys:
+                aggs += [
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                    (F.count(F.lit(1)) - F.count(k)).alias(f"__nulls_{k}"),
+                ]
+            b = src.agg(*aggs).collect()[0]
+            if all(b[f"__nulls_{k}"] == 0 for k in keys):
+                terms = []
+                for k in keys:
+                    lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+                    if lo is not None and hi is not None:
+                        terms += [(k, ">=", lo), (k, "<=", hi)]
+                if terms:
+                    fstats = prev.stats.get("file_stats", {})
+                    probe_files = [
+                        f
+                        for f in probe_files
+                        if file_stats_may_match(fstats.get(f), terms)
+                    ]
+        if probe_files:
             # null-safe semi-join: the rewrite join below matches NULL keys
             # via eqNullSafe, so touched-file detection must too — otherwise
             # a NULL-keyed target row's file is carried over unrewritten and
             # the merged row duplicates it.
             src_keys = src.select(*keys).dropDuplicates(keys).alias("s")
-            probe = tgt_all.withColumn(
+            probe = self._snapshot(prev, files=probe_files).withColumn(
                 "__file", F.col("_metadata.file_path")
             ).alias("t")
             touched = sorted(
@@ -2407,7 +2440,11 @@ class VersionedTable:
             nmbs_active=nmbs_active,
         )
         src.unpersist()
-        return {"version": v, **stats}
+        return {
+            "version": v,
+            "probe_candidate_files": len(probe_files),
+            **stats,
+        }
 
     def _commit_merge_with_rebase(
         self,

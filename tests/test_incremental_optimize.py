@@ -237,3 +237,48 @@ def test_sql_optimize_where(spark, tmp_path):
         execute_dml(
             spark, f"OPTIMIZE versioned.`{t.path}` WHERE id < 10 OR id > 20"
         )
+
+
+def test_merge_probe_range_prunes_candidate_files(spark, tmp_path):
+    """The merge touched-file probe pre-prunes its scan set by the
+    source batch's key [min, max] against committed file stats — the
+    NRT design case where a CT batch's keys cluster in recent ranges,
+    so a continuous merge probes the overlap, not the whole table.
+    Strictly conservative: results are identical to the unpruned
+    probe, and ANY null source key disables pruning (footer min/max
+    ignore nulls but merge matches them null-safely)."""
+    t = _mk_ranged(spark, tmp_path, "mp")  # 4 ranged files over id 0..3999
+    src = spark.createDataFrame(
+        [(10, "u10"), (20, "u20")], "id bigint, s string"
+    )
+    res = t.merge(src, ["id"])
+    assert res["probe_candidate_files"] == 1  # only the 0..~1000 file
+    rows = {r.id: r.s for r in t.read().filter("id in (10, 20, 3000)").collect()}
+    assert rows == {10: "u10", 20: "u20", 3000: "p3000"}
+
+    # out-of-range keys: probe set empty, pure insert, nothing rewritten
+    before = set(t.get_commit().files)
+    res = t.merge(
+        spark.createDataFrame([(99999, "new")], "id bigint, s string"),
+        ["id"],
+    )
+    assert res["probe_candidate_files"] == 0
+    assert before <= set(t.get_commit().files)
+    assert t.read().filter("id = 99999").count() == 1
+
+    # a NULL source key disables pruning — and the null-keyed target
+    # row (living in a file far from the batch's numeric range) still
+    # matches exactly once, no duplicate
+    t.append(
+        spark.createDataFrame([(None, "null-row")], "id bigint, s string")
+    )
+    res = t.merge(
+        spark.createDataFrame(
+            [(None, "null-upd"), (15, "u15")], "id bigint, s string"
+        ),
+        ["id"],
+    )
+    assert res["probe_candidate_files"] == len(t.get_commit(res["version"] - 1).files)
+    nulls = t.read().filter("id is null").collect()
+    assert [r.s for r in nulls] == ["null-upd"]
+    assert t.read().filter("id = 15").collect()[0].s == "u15"
