@@ -221,11 +221,28 @@ def load_sidecar(path: str) -> dict | None:
     try:
         with open(path) as f:
             raw = json.load(f)
-        return {
+        cols = {
             c: {"m": e["m"], "k": e["k"], "_bits": base64.b64decode(e["b64"])}
             for c, e in raw.get("cols", {}).items()
         }
-    except (OSError, ValueError, KeyError):
+        # Trust-but-verify the declared geometry: a corrupt/hand-edited
+        # sidecar whose m disagrees with the decoded bit length (or isn't
+        # a power of two, breaking the &-mask indexing) would raise
+        # IndexError mid-scan or — worse — skip files that DO contain the
+        # value. Malformed ⇒ None ⇒ the file stays in the scan.
+        for e in cols.values():
+            m, k = e["m"], e["k"]
+            if (
+                not isinstance(m, int)
+                or m <= 0
+                or m & (m - 1)
+                or not isinstance(k, int)
+                or k <= 0
+                or len(e["_bits"]) * 8 != m
+            ):
+                return None
+        return cols
+    except (OSError, ValueError, KeyError, TypeError):
         return None
 
 

@@ -2234,6 +2234,13 @@ class VersionedTable:
                 terms = []
                 for k in keys:
                     lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+                    # NaN bounds (float/double keys: F.max treats NaN as
+                    # largest) compare False against every file stat, so
+                    # pruning would drop ALL candidate files and the
+                    # merge would duplicate matched rows — skip this
+                    # key's terms instead (conservative: no pruning).
+                    if lo != lo or hi != hi:
+                        continue
                     if lo is not None and hi is not None:
                         terms += [(k, ">=", lo), (k, "<=", hi)]
                 if terms:
@@ -3068,8 +3075,17 @@ class VersionedTable:
         for f in c.dv_files:
             try:
                 col = pq.read_table(f, columns=["file"]).column("file")
-            except OSError:
-                continue
+            except OSError as e:
+                # An unreadable DV sidecar means we CANNOT know which
+                # data files carry logical deletes; continuing would let
+                # incremental compact commit dv_files=[] without
+                # rewriting that sidecar's files — silently resurrecting
+                # deleted rows. A loud failure is strictly better than
+                # wrong data; re-run once the sidecar is readable.
+                raise RuntimeError(
+                    f"deletion-vector sidecar unreadable: {f}; aborting "
+                    "rather than risk resurrecting deleted rows"
+                ) from e
             out.update(_strip_scheme(u) for u in col.to_pylist())
         return out
 
@@ -3230,6 +3246,12 @@ class VersionedTable:
         doomed = rewrite_set if rewrite_set is not None else prev_files_set
         base = prev
         attempt = 0
+        # new_files never changes across OCC retries, so harvest their
+        # footers/bloom sidecars ONCE per schema (a rebase onto a
+        # concurrent metadata commit can change schema_json, which the
+        # harvest keys stat extraction on — recompute only then).
+        harvested: dict = {}
+        harvest_schema: str | None = None
         while True:
             files = new_files + [f for f in base.files if f not in doomed]
             stats: dict = {
@@ -3244,11 +3266,14 @@ class VersionedTable:
             # this is how "enable the property, then OPTIMIZE" indexes
             # existing data) for every packed file; the exact
             # scan-collected cluster stats overlay per column
-            fstats = dict(
-                self._with_new_file_stats(
-                    {}, new_files, base.schema_json
-                ).get("file_stats", {})
-            )
+            if harvest_schema != base.schema_json:
+                harvested = dict(
+                    self._with_new_file_stats(
+                        {}, new_files, base.schema_json
+                    ).get("file_stats", {})
+                )
+                harvest_schema = base.schema_json
+            fstats = dict(harvested)
             for f, s in packed_stats.items():
                 fstats[f] = {**fstats.get(f, {}), **s}
             base_fstats = base.stats.get("file_stats", {})

@@ -476,6 +476,7 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
         self._snap_state: str | None = None
         self._snap_base: int | None = None
         self._snap_n: int | None = None  # file count of the base commit
+        self._snap_files: list[str] = []  # cached alongside _snap_n
         self._pos: int | None = None  # last end version this reader saw
         # declared output schema minus the appended version column: every
         # commit's CDF aligns to THIS (older files null-fill newer columns)
@@ -500,14 +501,18 @@ class _ChangeFeedStreamReader(DataSourceStreamReader):
             base = self._snap_base
             p = self._snap_pos or 0
             if self._snap_n is None:
-                self._snap_n = len(_commit(self.path, base).get("files", []))
+                # cache the (possibly delta-encoded) commit's file list
+                # so the byte-budget path below doesn't re-materialize
+                # the parent chain a second time per trigger
+                self._snap_files = _commit(self.path, base).get("files", [])
+                self._snap_n = len(self._snap_files)
             n = self._snap_n
             take = n - p
             if self.max_files is not None:
                 take = min(take, self.max_files)
             if self.max_bytes is not None and take > 0:
                 # shrink the slice to the byte budget (≥1 file)
-                files = _commit(self.path, base).get("files", [])[p : p + take]
+                files = self._snap_files[p : p + take]
                 acc = 0
                 cnt = 0
                 for f in files:

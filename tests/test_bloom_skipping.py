@@ -246,3 +246,39 @@ def test_float_columns_silently_not_indexed(spark, tmp_path):
         spark.read.format("versioned").load(p).filter("x = 2.5").collect()
     )
     assert len(got) == 1 and got[0].id == 2
+
+
+def test_malformed_sidecar_geometry_keeps_file(tmp_path):
+    """A sidecar whose declared m disagrees with the decoded bit length
+    (or isn't a power of two) must load as None — i.e. the file STAYS
+    in the scan — rather than raising IndexError mid-probe or, worse,
+    yielding a false negative that wrongly skips a file."""
+    d = str(tmp_path)
+    bits = bloom.build_bits([1, 2, 3], 1024, 5)
+    path = bloom.write_sidecar(d, "data-1.parquet", {"id": {"m": 1024, "k": 5, "_bits": bits}}, 3)
+    assert bloom.load_sidecar(path) is not None
+
+    raw = json.load(open(path))
+
+    def rewrite(mutate):
+        doc = json.loads(json.dumps(raw))
+        mutate(doc["cols"]["id"])
+        with open(path, "w") as f:
+            json.dump(doc, f)
+
+    # m disagrees with the decoded bit-array length
+    rewrite(lambda e: e.update(m=2048))
+    assert bloom.load_sidecar(path) is None
+    assert bloom.file_may_match_bloom(path, (("id", "=", 999),)) is True
+    # m not a power of two (breaks the &-mask indexing)
+    rewrite(lambda e: e.update(m=1000))
+    assert bloom.load_sidecar(path) is None
+    # non-positive / non-int k
+    rewrite(lambda e: e.update(k=0))
+    assert bloom.load_sidecar(path) is None
+    rewrite(lambda e: e.update(k="5"))
+    assert bloom.load_sidecar(path) is None
+    # intact sidecar still loads
+    with open(path, "w") as f:
+        json.dump(raw, f)
+    assert bloom.load_sidecar(path) is not None

@@ -1175,3 +1175,47 @@ def test_stream_max_bytes_per_trigger_bounds_catchup(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(i for i, _ in rows) == [1, 2, 3, 10, 11, 12, 13]
+
+
+def test_snapshot_byte_budget_resolves_commit_once_per_trigger(
+    spark, tmp_path, monkeypatch
+):
+    """The initial-snapshot byte-budget path must resolve the base
+    commit's file list ONCE and cache it — the base commit can be
+    delta-encoded, so a second _commit() per latestOffset would
+    re-materialize the parent chain every trigger of a long snapshot."""
+    p, t = _mk(spark, tmp_path)
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType(
+        list(spark.read.format("versioned").option("path", p).load().schema.fields)
+        + [
+            T.StructField(ds.CHANGE_TYPE_COL, T.StringType()),
+            T.StructField(ds.VERSION_COL, T.LongType()),
+        ]
+    )
+    calls = {"n": 0}
+    orig = ds._commit
+
+    def counting(path, v, *a, **kw):
+        calls["n"] += 1
+        return orig(path, v, *a, **kw)
+
+    monkeypatch.setattr(ds, "_commit", counting)
+    r = ds._ChangeFeedStreamReader(
+        p, -1, row_schema, initial_snapshot=True, max_bytes_per_trigger=1
+    )
+    off = r.initialOffset()
+    triggers = 0
+    while off.get("snapshot") == "pending":
+        before = calls["n"]
+        off = r.latestOffset()
+        # the first trigger resolves + caches the file list (one
+        # resolution, which may recurse through delta-encoded
+        # parents); every later trigger reuses the cache: 0 calls
+        if triggers > 0:
+            assert calls["n"] == before
+        r.commit(off)
+        triggers += 1
+        assert triggers < 100
+    assert triggers >= 2  # budget actually sliced the snapshot

@@ -282,3 +282,100 @@ def test_merge_probe_range_prunes_candidate_files(spark, tmp_path):
     nulls = t.read().filter("id is null").collect()
     assert [r.s for r in nulls] == ["null-upd"]
     assert t.read().filter("id = 15").collect()[0].s == "u15"
+
+
+def test_merge_probe_nan_key_disables_pruning(spark, tmp_path):
+    """A NaN merge key poisons the source [min, max] bounds (F.max
+    returns NaN when any value is NaN, and NaN compares False against
+    every file stat) — pruning on that key must be SKIPPED, not
+    applied, or every candidate file is wrongly dropped and the merge
+    duplicates matched rows instead of updating them."""
+    df = spark.createDataFrame(
+        [(float(i), f"p{i}") for i in range(4000)], "k double, s string"
+    ).repartitionByRange(4, "k")
+    t = VersionedTable.create(spark, str(tmp_path / "nan"), df)
+    src = spark.createDataFrame(
+        [(float("nan"), "nan-row"), (10.0, "u10")], "k double, s string"
+    )
+    res = t.merge(src, ["k"])
+    # NaN bound ⇒ no pruning: every file stays a probe candidate
+    assert res["probe_candidate_files"] == len(
+        t.get_commit(res["version"] - 1).files
+    )
+    # the finite key UPDATED (not duplicated) — the r10 defect would
+    # have pruned all files and inserted a second k=10.0 row
+    k10 = t.read().filter("k = 10.0").collect()
+    assert len(k10) == 1 and k10[0].s == "u10"
+    assert t.read().filter("isnan(k)").count() == 1
+    assert t.read().count() == 4001
+
+    # second NaN batch: Spark joins treat NaN = NaN, so the NaN row
+    # must UPDATE in place, which requires its file to survive pruning
+    res = t.merge(
+        spark.createDataFrame([(float("nan"), "nan-upd")], "k double, s string"),
+        ["k"],
+    )
+    nan_rows = t.read().filter("isnan(k)").collect()
+    assert [r.s for r in nan_rows] == ["nan-upd"]
+    assert t.read().count() == 4001
+
+
+def test_unreadable_dv_sidecar_aborts_compact(spark, tmp_path):
+    """An unreadable deletion-vector sidecar must abort maintenance
+    loudly: continuing would commit dv_files=[] without rewriting that
+    sidecar's referenced files, silently resurrecting deleted rows."""
+    t = _mk_ranged(spark, tmp_path, "dvabort")
+    t.delete("id = 5", use_dv=True)
+    c = t.get_commit()
+    assert c.dv_files
+    os.rename(c.dv_files[0], c.dv_files[0] + ".gone")
+    with pytest.raises(RuntimeError, match="deletion-vector sidecar"):
+        t.compact(small_file_bytes=1 << 30)
+    # restore ⇒ maintenance proceeds and settles the DV debt
+    os.rename(c.dv_files[0] + ".gone", c.dv_files[0])
+    t.compact(small_file_bytes=1 << 30)
+    assert not t.get_commit().dv_files
+    assert t.read().filter("id = 5").count() == 0
+    assert t.read().count() == 4000 - 1
+
+
+def test_compact_occ_retry_reuses_footer_harvest(spark, tmp_path, monkeypatch):
+    """OCC retries re-attempt only the commit write; the footer/bloom
+    harvest of the (unchanged) packed files must run once, not once
+    per attempt — at 10⁵ files re-reading every packed footer per
+    rebase turns a cheap retry into a second compaction."""
+    t = _mk(spark, tmp_path, "hoist")
+    calls = {"n": 0}
+    orig = VersionedTable._with_new_file_stats
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_with_new_file_stats", counting)
+    orig_write = VersionedTable._write_commit
+    state = {"raced": False}
+
+    def racing_write(self, commit, *a, **kw):
+        # inject ONE concurrent append between harvest and publish —
+        # first attempt loses the version slot and must rebase
+        if commit.op == "compact" and not state["raced"]:
+            state["raced"] = True
+            t2 = VersionedTable(self.spark, self.path)
+            t2.append(
+                self.spark.createDataFrame(
+                    [(77777, "race")], "id bigint, s string"
+                ).coalesce(1)
+            )
+        return orig_write(self, commit, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_write_commit", racing_write)
+    calls["n"] = 0
+    t.compact(small_file_bytes=1 << 30)
+    assert state["raced"]  # the retry path actually exercised
+    # one harvest of the packed files + whatever the racing append did
+    # (append harvests its own new file once) — compact itself must
+    # not re-harvest on the retry
+    assert calls["n"] <= 2
+    assert t.read().filter("id = 77777").count() == 1
+    assert t.read().count() == 4000 + 60 + 1
