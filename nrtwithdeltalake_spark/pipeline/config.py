@@ -66,17 +66,32 @@ class ConfigStore:
         self._ledger_lock = threading.Lock()
 
     def init(self) -> None:
+        """Both control tables are born with their surrogate key as a
+        GENERATED ALWAYS AS IDENTITY column — the reference's
+        ``IDENTITY(1,1)`` (``dbrconfig.sql:21,34``) whose atomicity the
+        database provides via ``SCOPE_IDENTITY()``. Here the atomicity
+        comes from commit arbitration inside ``VersionedTable``: the
+        put-if-absent commit publish means exactly one concurrent
+        writer wins each version slot, so two lockless PROCESSES
+        appending ledger rows mint disjoint ids (a read-max+1 scheme
+        under an in-process lock cannot promise that)."""
         if not VersionedTable.exists(self.entities_path):
             VersionedTable.create(
                 self.spark,
                 self.entities_path,
-                self.spark.createDataFrame([], ENTITIES_SCHEMA),
+                self.spark.createDataFrame(
+                    [], T.StructType(ENTITIES_SCHEMA.fields[1:])
+                ),
+                identity={"EntityId": (1, 1)},
             )
         if not VersionedTable.exists(self.watermarks_path):
             VersionedTable.create(
                 self.spark,
                 self.watermarks_path,
-                self.spark.createDataFrame([], WATERMARKS_SCHEMA),
+                self.spark.createDataFrame(
+                    [], T.StructType(WATERMARKS_SCHEMA.fields[1:])
+                ),
+                identity={"WatermarkId": (1, 1)},
             )
 
     @property
@@ -101,12 +116,9 @@ class ConfigStore:
     ) -> int:
         assert watermark_type in ("CT", "TMSTP")
         ents = self.entities
-        cur = ents.read()
-        next_id = (cur.agg(F.coalesce(F.max("EntityId"), F.lit(0))).first()[0] or 0) + 1
         row = self.spark.createDataFrame(
             [
                 (
-                    next_id,
                     from_name,
                     to_name,
                     from_zone,
@@ -116,10 +128,25 @@ class ConfigStore:
                     primary_keys,
                 )
             ],
-            ENTITIES_SCHEMA,
+            T.StructType(ENTITIES_SCHEMA.fields[1:]),
         )
-        ents.append(row)
-        return next_id
+        if "EntityId" not in ents.identity_columns():
+            # legacy store created before identity columns: preserve the
+            # old (single-process) allocation so existing stores keep
+            # working; new stores never take this path
+            cur = ents.read()
+            next_id = (
+                cur.agg(F.coalesce(F.max("EntityId"), F.lit(0))).first()[0]
+                or 0
+            ) + 1
+            ents.append(row.withColumn("EntityId", F.lit(next_id)).select(
+                *[f.name for f in ENTITIES_SCHEMA.fields]
+            ))
+            return next_id
+        v = ents.append(row)
+        # the id THIS append assigned = the commit's own high-water
+        # (commit records are immutable, so this read is race-free)
+        return ents.identity_high_water("EntityId", version=v)
 
     # -- ledger (O27-O28) --------------------------------------------------
 
@@ -127,18 +154,36 @@ class ConfigStore:
         self, entity_id: int, date_wm: str | None, ct_wm: int | None
     ) -> int:
         """OpenWatermark proc (dbrconfig.sql:45-83): append an open ledger
-        row; returns the new WatermarkId (≡ SCOPE_IDENTITY())."""
+        row; returns the new WatermarkId (≡ SCOPE_IDENTITY()).
+
+        The id comes from the ledger table's own IDENTITY column, so
+        allocation is arbitrated by the COMMIT (put-if-absent), not by
+        the in-process lock — two separate driver processes running
+        pipelines against the same config store mint disjoint ids. The
+        thread lock is kept only to cut same-process OCC retry churn."""
+        wt = self.watermarks
+        body = T.StructType(WATERMARKS_SCHEMA.fields[1:])
+        row = self.spark.createDataFrame(
+            [(entity_id, date_wm, ct_wm, None, None)], body
+        ).withColumn("LoadStartDatetime", F.current_timestamp())
         with self._ledger_lock:
-            wt = self.watermarks
-            cur = wt.read()
-            next_id = (
-                cur.agg(F.coalesce(F.max("WatermarkId"), F.lit(0))).first()[0] or 0
-            ) + 1
-            row = self.spark.createDataFrame(
-                [(next_id, entity_id, date_wm, ct_wm, None, None)], WATERMARKS_SCHEMA
-            ).withColumn("LoadStartDatetime", F.current_timestamp())
-            wt.append(row)
-            return next_id
+            if "WatermarkId" not in wt.identity_columns():
+                # legacy store predating identity columns
+                cur = wt.read()
+                next_id = (
+                    cur.agg(
+                        F.coalesce(F.max("WatermarkId"), F.lit(0))
+                    ).first()[0]
+                    or 0
+                ) + 1
+                wt.append(
+                    row.withColumn("WatermarkId", F.lit(next_id)).select(
+                        *[f.name for f in WATERMARKS_SCHEMA.fields]
+                    )
+                )
+                return next_id
+            v = wt.append(row)
+            return wt.identity_high_water("WatermarkId", version=v)
 
     def close_watermark(self, watermark_id: int) -> None:
         """CloseWatermark proc (dbrconfig.sql:85-91): stamp LoadEndDatetime

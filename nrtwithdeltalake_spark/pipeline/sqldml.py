@@ -49,6 +49,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .tables import VersionedTable
 
@@ -672,12 +673,15 @@ def execute_dml(spark: SparkSession, sql_text: str):
         return _execute_insert(spark, plan)
     if kind == "CreateTableAsSelect":
         return _execute_ctas(spark, plan)
+    if kind == "CreateTable":
+        return _execute_create_table(spark, plan)
     if kind in (
         "AddColumns",
         "RenameColumn",
         "DropColumns",
         "AddCheckConstraint",
         "DropConstraint",
+        "AlterColumns",
     ):
         return _execute_alter(spark, plan, kind)
     if kind == "SetTableProperties":
@@ -892,6 +896,77 @@ def _execute_insert(spark: SparkSession, plan) -> dict:
     return {"version": table.append(df)}
 
 
+def _execute_create_table(spark: SparkSession, plan) -> dict:
+    """Column-defined CREATE TABLE — including the reference's
+    ``Id BIGINT GENERATED ALWAYS AS IDENTITY`` shape
+    (``/root/reference/dbrdemo.sql:20``, ``dbrconfig.sql:21,34``).
+    Builds an EMPTY versioned table at the path with the declared
+    schema; identity specs map to commit-arbitrated identity columns
+    (ALWAYS semantics only — BY DEFAULT is refused loudly because the
+    engine never accepts explicit identity values), and ``GENERATED
+    ALWAYS AS (expr)`` columns map to the generated-column registry."""
+    name_parts = _seq(plan.name().nameParts())
+    if len(name_parts) != 2 or name_parts[0].lower() != "versioned":
+        raise UnsupportedSqlError(
+            "CREATE TABLE supports only `CREATE TABLE "
+            "versioned.`/abs/path`` (col type ..., ...)` — create at a "
+            "path, then .register(db, table) for catalog addressing"
+        )
+    provider = None
+    try:
+        provider = _opt(plan.tableSpec().provider())
+    except Exception:
+        pass
+    if provider is not None and provider.lower() != "versioned":
+        raise UnsupportedSqlError(
+            f"USING {provider} conflicts with the versioned.`path` target"
+        )
+    root = name_parts[1]
+    if VersionedTable.exists(root):
+        if plan.ignoreIfExists():
+            return {"version": VersionedTable(spark, root).latest_version()}
+        raise ValueError(f"versioned table already exists at {root!r}")
+    cols = plan.columns()
+    fields: list = []
+    identity: dict = {}
+    generated: dict = {}
+    not_null: list = []
+    for i in range(cols.size()):
+        c = cols.apply(i)
+        dt = T._parse_datatype_json_string(c.dataType().json())
+        spec = c.identityColumnSpec()
+        if spec.isDefined():
+            s = spec.get()
+            if s.isAllowExplicitInsert():
+                raise UnsupportedSqlError(
+                    "GENERATED BY DEFAULT AS IDENTITY is unsupported — "
+                    "the engine implements ALWAYS semantics only "
+                    "(explicit identity values are never accepted)"
+                )
+            if not isinstance(dt, T.LongType):
+                raise UnsupportedSqlError(
+                    f"identity column {c.name()!r} must be BIGINT, "
+                    f"is {dt.simpleString()}"
+                )
+            identity[c.name()] = (int(s.getStart()), int(s.getStep()))
+            continue  # prepended by create(); never part of the body df
+        fields.append(T.StructField(c.name(), dt, True))
+        if not c.nullable():
+            not_null.append(c.name())
+        ge = c.generationExpression()
+        if ge.isDefined():
+            generated[c.name()] = str(ge.get())
+    df = spark.createDataFrame([], T.StructType(fields))
+    t = VersionedTable.create(spark, root, df, identity=identity or None)
+    for n, e in generated.items():
+        t.add_generated_column(n, e)
+    for n in not_null:
+        # declared NOT NULL → the write-gated column constraint (flips
+        # the committed schema and registers the IS NULL probe)
+        t.set_not_null(n)
+    return {"version": t.latest_version()}
+
+
 def _execute_ctas(spark: SparkSession, plan) -> dict:
     """CREATE TABLE versioned.`/path` AS SELECT → VersionedTable.create
     (IF NOT EXISTS honored). Only path addressing: a CTAS into the
@@ -988,6 +1063,38 @@ def _execute_alter(spark: SparkSession, plan, kind: str) -> dict:
             except (KeyError, ValueError):
                 if not plan.ifExists():
                     raise
+        return {"version": version}
+    if kind == "AlterColumns":
+        # only the SET/DROP NOT NULL shape maps onto the engine (type
+        # changes would rewrite files; comments/positions are cosmetic
+        # catalog state the versioned format doesn't carry)
+        version = None
+        for s in _seq(plan.specs()):
+            col_parts = _seq(s.column().name())
+            if len(col_parts) != 1:
+                raise UnsupportedSqlError(
+                    f"nested column {'.'.join(col_parts)!r} unsupported"
+                )
+            nn = _opt(s.newNullability())
+            others = []
+            for attr in ("newDataType", "newComment", "newPosition"):
+                try:
+                    if _opt(getattr(s, attr)()) is not None:
+                        others.append(attr)
+                except AttributeError:
+                    pass
+            if nn is None or others:
+                raise UnsupportedSqlError(
+                    "ALTER COLUMN supports only SET NOT NULL / DROP NOT "
+                    f"NULL (got {others or 'no nullability change'})"
+                )
+            version = (
+                table.set_not_null(col_parts[0])
+                if not nn
+                else table.drop_not_null(col_parts[0])
+            )
+        if version is None:
+            raise UnsupportedSqlError("ALTER COLUMN lists no columns")
         return {"version": version}
     if kind == "DropConstraint":
         name = plan.name()

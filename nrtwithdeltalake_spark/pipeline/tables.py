@@ -179,7 +179,12 @@ READER_VERSION = 2
 WRITER_VERSION = 2
 SUPPORTED_READER_FEATURES = frozenset({"deletion_vectors", "column_mapping"})
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
-    {"check_constraints", "generated_columns"}
+    {
+        "check_constraints",
+        "generated_columns",
+        "identity_columns",
+        "not_null_constraints",
+    }
 )
 
 
@@ -768,6 +773,13 @@ class VersionedTable:
             wf.add("check_constraints")
         if self.generated_columns():
             wf.add("generated_columns")
+        # an unaware writer would append without assigning ids /
+        # advancing the high-water (identity), or commit NULL rows a
+        # declared NOT NULL column forbids — both must refuse loudly
+        if self.identity_columns():
+            wf.add("identity_columns")
+        if self.not_null_columns():
+            wf.add("not_null_constraints")
         # every reader feature is implicitly a writer feature: a writer
         # republishes the snapshot, so it must understand them all
         wf |= rf
@@ -863,6 +875,26 @@ class VersionedTable:
             # backdated wall clock can otherwise make version n+1
             # "older" than n and timestamp travel non-deterministic
             commit.ts = max(commit.ts, float(prev_raw.get("ts", 0.0)) + 1e-3)
+            # the identity high-water survives EVERY commit kind and
+            # never regresses (a RESTORE to an older version must not
+            # reissue ids of restored-away rows) — merge per column,
+            # farther-along-the-step-direction wins. Scalar stats keys
+            # are never delta-encoded, so prev_raw carries them whole.
+            prev_ident = (prev_raw.get("stats") or {}).get("identity") or {}
+            if prev_ident:
+                cur = dict(commit.stats.get("identity") or {})
+                defs = self.identity_columns()
+                for c, v in prev_ident.items():
+                    if c in cur:
+                        step = defs.get(c, (1, 1))[1]
+                        cur[c] = (
+                            max(int(cur[c]), int(v))
+                            if step >= 0
+                            else min(int(cur[c]), int(v))
+                        )
+                    else:
+                        cur[c] = int(v)
+                commit.stats["identity"] = cur
         commit.protocol = self._next_protocol(commit, prev_protocol)
         parent: dict | None = None
         if commit.version > 0 and commit.version % logcodec.CHECKPOINT_EVERY:
@@ -1071,6 +1103,12 @@ class VersionedTable:
         write of data files is gated on it. SQL CHECK semantics: a row
         violates only when the predicate evaluates FALSE — NULL/unknown
         passes."""
+        if name.startswith("notnull:"):
+            raise ValueError(
+                "the 'notnull:' constraint-name prefix is reserved for "
+                "NOT NULL columns — use set_not_null(col) / ALTER TABLE "
+                "... ALTER COLUMN c SET NOT NULL"
+            )
         cons = self.constraints()
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists")
@@ -1079,6 +1117,12 @@ class VersionedTable:
         self._write_constraints(cons)
 
     def drop_constraint(self, name: str) -> None:
+        if name.startswith("notnull:"):
+            raise ValueError(
+                f"{name!r} is a NOT NULL column constraint — use "
+                "drop_not_null(col) / ALTER TABLE ... ALTER COLUMN c "
+                "DROP NOT NULL"
+            )
         cons = self.constraints()
         if name not in cons:
             raise ValueError(
@@ -1092,6 +1136,106 @@ class VersionedTable:
         with os.fdopen(fd, "w") as f:
             json.dump(cons, f)
         os.rename(tmp, self._constraints_path())
+
+    # -- NOT NULL column constraints (Delta's SET/DROP NOT NULL) ----------
+
+    def not_null_columns(self) -> list[str]:
+        return sorted(
+            k.split(":", 1)[1]
+            for k in self.constraints()
+            if k.startswith("notnull:")
+        )
+
+    def set_not_null(self, col: str) -> int:
+        """``ALTER TABLE ... ALTER COLUMN col SET NOT NULL`` (Delta's
+        NOT NULL column constraint — the declared form of
+        ``CHECK (col IS NOT NULL)``, which SQL null-passes semantics
+        make behaviorally identical). The CURRENT snapshot is validated
+        first (one distributed IS NULL probe — declaring NOT NULL on a
+        column that already holds nulls is refused, like Delta); every
+        future data-file write is then gated through the same
+        single-ORed constraint probe, so a NULL row fails LOUDLY before
+        any file lands; and the committed schema flips the field to
+        non-nullable so readers see the invariant. Clone carries it
+        (the constraints sidecar travels); the protocol gate declares
+        ``not_null_constraints`` so an unaware writer refuses rather
+        than committing NULL rows."""
+        prev = self.get_commit()
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(f"column {col!r} does not exist")
+        name = f"notnull:{col}"
+        cons = self.constraints()
+        already = name in cons
+        if already and not schema[col].nullable:
+            raise ValueError(f"column {col!r} is already NOT NULL")
+        if not already:
+            self._probe_violations({name: f"{col} IS NOT NULL"}, self.read())
+            cons[name] = f"{col} IS NOT NULL"
+            self._write_constraints(cons)
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    False if f.name == col else f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "set_not_null",
+                prev.files,
+                [],
+                new_schema.json(),
+                time.time(),
+                self._carry_stats(prev, prev.files, {"not_null": col}),
+                dv_files=list(prev.dv_files),
+            )
+        )
+        return v
+
+    def drop_not_null(self, col: str) -> int:
+        name = f"notnull:{col}"
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(
+                f"column {col!r} has no NOT NULL constraint "
+                f"(have {self.not_null_columns()})"
+            )
+        cons.pop(name)
+        self._write_constraints(cons)
+        prev = self.get_commit()
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    True if f.name == col else f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "drop_not_null",
+                prev.files,
+                [],
+                new_schema.json(),
+                time.time(),
+                self._carry_stats(prev, prev.files, {"dropped_not_null": col}),
+                dv_files=list(prev.dv_files),
+            )
+        )
+        return v
 
     # -- table properties (Delta TBLPROPERTIES analog) ---------------------
 
@@ -1129,6 +1273,21 @@ class VersionedTable:
             if k == "versioned.bloomFilterFpp":
                 if not 0.0 < float(v) < 1.0:
                     raise ValueError(f"{k} must be in (0, 1), got {v!r}")
+            if k == self._IDENTITY_PROP:
+                defs = json.loads(v)
+                if not isinstance(defs, dict) or not defs:
+                    raise ValueError(f"{k} must be a non-empty JSON object")
+                for c, d in defs.items():
+                    if (
+                        not isinstance(d, dict)
+                        or not isinstance(d.get("start"), int)
+                        or not isinstance(d.get("step"), int)
+                        or d["step"] == 0
+                    ):
+                        raise ValueError(
+                            f"{k}[{c!r}] must be "
+                            '{"start": int, "step": nonzero int}'
+                        )
             if k == "versioned.bloomFilterColumns":
                 cols = [c.strip() for c in str(v).split(",") if c.strip()]
                 if not cols:
@@ -1242,6 +1401,219 @@ class VersionedTable:
             raise ConstraintViolationError(
                 f"CHECK constraint violated (one of {sorted(cons)}) "
                 f"by row {hit[0].asDict()}"
+            )
+
+    # -- identity columns (Delta GENERATED ALWAYS AS IDENTITY) ------------
+    #
+    # The reference's surrogate keys are IDENTITY columns
+    # (/root/reference/dbrdemo.sql:20, dbrconfig.sql:21,34) whose
+    # atomicity comes from the database (SCOPE_IDENTITY()). The engine's
+    # analog arbitrates allocation through the COMMIT: each commit that
+    # assigns ids records the last value used in its stats
+    # (``stats["identity"]``, carried monotonically by ``_write_commit``
+    # exactly like ``max_field_id``), and the put-if-absent commit
+    # publish makes exactly one concurrent writer win each version slot
+    # — the loser re-reads the fresh high-water and shifts its ids
+    # before retrying. Two driver PROCESSES (no shared lock) therefore
+    # mint disjoint ids, which a read-max+1-under-a-thread-lock scheme
+    # cannot guarantee.
+    #
+    # ALWAYS semantics (Delta's GENERATED ALWAYS): explicit writes to an
+    # identity column are refused everywhere — append/merge/overwrite
+    # batches must not carry the column, UPDATE must not assign it.
+    # Values are contiguous WITHIN a commit; concurrent writers keep them
+    # disjoint (never reissued), and RESTORE keeps the high-water mark so
+    # ids of restored-away rows are never reused (Delta's rule).
+
+    _IDENTITY_PROP = "versioned.identityColumns"
+
+    def identity_columns(self) -> dict[str, tuple[int, int]]:
+        """{column: (start, step)} for declared identity columns."""
+        raw = self.properties().get(self._IDENTITY_PROP)
+        if not raw:
+            return {}
+        return {
+            c: (int(d["start"]), int(d["step"]))
+            for c, d in json.loads(raw).items()
+        }
+
+    def identity_high_water(self, col: str, version: int | None = None) -> int | None:
+        """Last identity value assigned as of ``version`` (None = none
+        assigned yet). For a 1-row append this IS the id that append
+        assigned — the ledger's SCOPE_IDENTITY() read."""
+        v = (self.get_commit(version).stats.get("identity") or {}).get(col)
+        return None if v is None else int(v)
+
+    def _identity_plan(self, commit: Commit) -> dict[str, tuple[int, int]]:
+        """{col: (next value to assign, step)} given a base commit."""
+        out = {}
+        for c, (start, step) in self.identity_columns().items():
+            last = (commit.stats.get("identity") or {}).get(c)
+            out[c] = (start if last is None else int(last) + step, step)
+        return out
+
+    def _refuse_explicit_identity(self, cols, op: str) -> None:
+        ident = self.identity_columns()
+        bad = sorted(c for c in ident if c in set(cols))
+        if bad:
+            raise ValueError(
+                f"cannot {op} GENERATED ALWAYS AS IDENTITY column(s) "
+                f"{bad} — the engine assigns them; drop them from the "
+                "batch/assignments"
+            )
+
+    def _assign_identity(
+        self, df: DataFrame, plan: dict[str, tuple[int, int]]
+    ) -> tuple[DataFrame, dict[str, int], DataFrame | None]:
+        """Assign contiguous identity values to every row of ``df``.
+
+        Two passes over the (persisted) batch, all JVM-side and
+        shuffle-free: ``monotonically_increasing_id`` already encodes
+        (partition id << 33 | row-in-partition), so per-partition row
+        indexes come for free; one bounded aggregate (≤ #partitions
+        rows) collects partition sizes, and a literal offset map turns
+        the local index into a global contiguous one. The persist also
+        pins ONE materialization, so the data-file and CDF-file writes
+        see identical ids. Cost at 100 TB: O(batch) — the batch is the
+        churn, never the table. Returns (assigned frame, {col: last
+        value assigned} for the commit stats — {} when the batch is
+        empty, persisted handle for the caller to unpersist after
+        writing)."""
+        if not plan:
+            return df, {}, None
+        mid = "__identity_mid"
+        cached = df.withColumn(mid, F.monotonically_increasing_id()).persist()
+        df = cached
+        parts = df.groupBy(
+            F.shiftrightunsigned(F.col(mid), 33).alias("__pid")
+        ).count().collect()  # bounded: one row per input partition
+        if not parts:
+            for c in plan:
+                df = df.withColumn(c, F.lit(None).cast("long"))
+            return df.drop(mid), {}, cached
+        parts.sort(key=lambda r: r["__pid"])
+        total, acc, offsets = sum(r["count"] for r in parts), 0, {}
+        for r in parts:
+            offsets[r["__pid"]] = acc
+            acc += r["count"]
+        for c, (nxt, step) in plan.items():
+            last = nxt + step * (total - 1)
+            if not (-(1 << 63) <= last < (1 << 63)) or not (
+                -(1 << 63) <= nxt < (1 << 63)
+            ):
+                raise ValueError(
+                    f"identity column {c!r} would overflow BIGINT "
+                    f"(next={nxt}, rows={total}, step={step})"
+                )
+        pairs: list = []
+        for pid, off in offsets.items():
+            pairs += [F.lit(int(pid)), F.lit(int(off))]
+        off_expr = F.element_at(
+            F.create_map(*pairs), F.shiftrightunsigned(F.col(mid), 33)
+        )
+        local = F.col(mid).bitwiseAND(F.lit((1 << 33) - 1))
+        for c, (nxt, step) in plan.items():
+            df = df.withColumn(
+                c,
+                (F.lit(int(nxt)) + F.lit(int(step)) * (off_expr + local)).cast(
+                    "long"
+                ),
+            )
+        return (
+            df.drop(mid),
+            {c: nxt + step * (total - 1) for c, (nxt, step) in plan.items()},
+            cached,
+        )
+
+    def _shift_identity_files(
+        self, files: list[str], out_dir: str, shifts: dict[str, int]
+    ) -> list[str]:
+        """Rewrite already-written batch files with identity values
+        shifted by ``shifts`` — the append OCC loser's rebase when a
+        concurrent commit consumed the id range it assumed. Reads back
+        the files themselves (deterministic, unlike the source frame);
+        the orphaned originals are unreferenced and vacuumable."""
+        if not files or not shifts:
+            return files
+        df = self.spark.read.parquet(*files)
+        for c, d in shifts.items():
+            df = df.withColumn(c, (F.col(c) + F.lit(int(d))).cast("long"))
+        return self._write_files(df, out_dir, enforce=False)
+
+    def add_identity_column(self, name: str, start: int = 1, step: int = 1) -> None:
+        """Declare ``name`` as GENERATED ALWAYS AS IDENTITY.
+
+        Two shapes, mirroring what Delta can express: (a) a NEW LongType
+        column on an EMPTY table (the CREATE TABLE ... IDENTITY shape —
+        adding an identity column to existing rows would be a full
+        backfill rewrite, which Delta also refuses); (b) ADOPTING an
+        existing BIGINT column whose values are already unique and
+        non-null — the high-water mark starts past the extreme existing
+        value so new ids never collide (the CONVERT-adoption path).
+
+        Not safe to run concurrently with active writers (standard DDL
+        discipline — same as add/drop/rename column)."""
+        if step == 0:
+            raise ValueError("identity step must be nonzero")
+        if name in self.identity_columns():
+            raise ValueError(f"column {name!r} is already an identity column")
+        prev = self.get_commit()
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        names = {f.name for f in schema.fields}
+        hw: int | None = None
+        if name in names:
+            if not isinstance(schema[name].dataType, T.LongType):
+                raise ValueError(
+                    f"identity column {name!r} must be BIGINT, is "
+                    f"{schema[name].dataType.simpleString()}"
+                )
+            agg = self.read().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(name).alias("nn"),
+                F.count_distinct(F.col(name)).alias("nd"),
+                F.max(name).alias("mx"),
+                F.min(name).alias("mn"),
+            ).first()
+            if agg["n"]:
+                if agg["nn"] != agg["n"] or agg["nd"] != agg["n"]:
+                    raise ValueError(
+                        f"cannot adopt {name!r} as identity: existing "
+                        "values must be non-null and unique "
+                        f"({agg['n']} rows, {agg['nn']} non-null, "
+                        f"{agg['nd']} distinct)"
+                    )
+                hw = int(agg["mx"] if step > 0 else agg["mn"])
+        else:
+            if self.read().take(1):
+                raise ValueError(
+                    f"cannot add identity column {name!r} to a non-empty "
+                    "table — a backfill would rewrite every file; adopt "
+                    "an existing unique BIGINT column instead"
+                )
+            self.add_column(name, T.LongType())
+            prev = self.get_commit()
+        defs = {
+            c: {"start": s, "step": k}
+            for c, (s, k) in self.identity_columns().items()
+        }
+        defs[name] = {"start": int(start), "step": int(step)}
+        self.set_properties({self._IDENTITY_PROP: json.dumps(defs)})
+        if hw is not None:
+            # record the adopted high-water in a metadata-only commit so
+            # the next writer's plan starts past existing values
+            self._write_commit(
+                Commit(
+                    prev.version + 1,
+                    "set_identity",
+                    prev.files,
+                    [],
+                    prev.schema_json,
+                    time.time(),
+                    self._carry_stats(
+                        prev, prev.files, {"identity": {name: hw}}
+                    ),
+                    dv_files=list(prev.dv_files),
+                )
             )
 
     # -- writer transactions (Delta txnAppId/txnVersion parity) ----------
@@ -1478,15 +1850,44 @@ class VersionedTable:
         path: str,
         df: DataFrame,
         extra_stats: dict | None = None,
+        identity: dict | None = None,
     ) -> "VersionedTable":
         """Initial full load — the reference's overwrite branch (O4,
         ``COPY_MSQL_TO_SILVER.py:193``). ``extra_stats`` rides the
         commit record itself (atomic with the data), for callers that
         stamp provenance — e.g. IncrementalChecksum's base_version —
-        without mutating a published commit afterwards."""
+        without mutating a published commit afterwards.
+
+        ``identity``: ``{col: (start, step)}`` declares GENERATED
+        ALWAYS AS IDENTITY column(s) at birth — the reference's
+        ``Id BIGINT GENERATED ALWAYS AS IDENTITY``
+        (``dbrdemo.sql:20``, ``dbrconfig.sql:21,34``). The column must
+        NOT be in ``df`` (ALWAYS semantics); it is prepended to the
+        schema and any initial rows get ids from ``start``."""
         t = cls(spark, path)
         if cls.exists(path):
             raise RuntimeError(f"table already exists at {path}")
+        ident_last: dict[str, int] = {}
+        if identity:
+            os.makedirs(path, exist_ok=True)
+            defs = {}
+            plan = {}
+            for col, sk in identity.items():
+                start, step = (sk, 1) if isinstance(sk, int) else tuple(sk)
+                if step == 0:
+                    raise ValueError("identity step must be nonzero")
+                if col in df.columns:
+                    raise ValueError(
+                        f"cannot supply values for GENERATED ALWAYS AS "
+                        f"IDENTITY column {col!r} at create — drop it "
+                        "from the dataframe"
+                    )
+                defs[col] = {"start": int(start), "step": int(step)}
+                plan[col] = (int(start), int(step))
+            t.set_properties({cls._IDENTITY_PROP: json.dumps(defs)})
+            df, ident_last, ident_cache = t._assign_identity(df, plan)
+            df = df.select(*identity.keys(), *(c for c in df.columns
+                                               if c not in identity))
         schema = _with_field_ids(_strip_ids(df.schema))  # mapping from birth
         files = t._write_files(df, t.data_dir, schema=schema)
         cdf = t._write_files(
@@ -1495,12 +1896,16 @@ class VersionedTable:
             schema=schema,
         )
         stats = dict(extra_stats or {})
+        if ident_last:
+            stats["identity"] = ident_last
         fstats = _footer_file_stats(files, schema)
         if fstats and "file_stats" not in stats:
             stats["file_stats"] = fstats  # O(#files) footer harvest
         t._write_commit(
             Commit(0, "create", files, cdf, schema.json(), time.time(), stats)
         )
+        if identity and ident_cache is not None:
+            ident_cache.unpersist()
         return t
 
     @classmethod
@@ -1599,6 +2004,21 @@ class VersionedTable:
         prev = self.get_commit()
         df = self._fill_generated(df)
         prev_schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        ident_last: dict = {}
+        ident_cache = None
+        if self.identity_columns():
+            self._refuse_explicit_identity(df.columns, "overwrite")
+            # numbering CONTINUES past the previous high-water — an
+            # overwrite never reuses ids of replaced rows (Delta's rule)
+            df, ident_last, ident_cache = self._assign_identity(
+                df, self._identity_plan(prev)
+            )
+            order = [
+                f.name for f in prev_schema.fields if f.name in set(df.columns)
+            ]
+            df = df.select(
+                *order, *(c for c in df.columns if c not in set(order))
+            )
         v = prev.version + 1
         if replace_where is None:
             # full replace commits the NEW dataframe's schema; same-named
@@ -1664,6 +2084,8 @@ class VersionedTable:
                 # from a snapshot.
                 cdf = []
                 stats["cdf_schema_break"] = True
+            if ident_last:
+                stats["identity"] = dict(ident_last)
             self._write_commit(
                 Commit(
                     v,
@@ -1675,6 +2097,8 @@ class VersionedTable:
                     stats,
                 )
             )
+            if ident_cache is not None:
+                ident_cache.unpersist()
             return v
 
         pred = F.coalesce(F.expr(replace_where), F.lit(False))
@@ -1717,7 +2141,7 @@ class VersionedTable:
             self.cdf_dir,
             schema=schema,
         )
-        return self._commit_cow_with_rebase(
+        ver = self._commit_cow_with_rebase(
             prev,
             touched,
             [f for f in files if f not in set(carryover)],
@@ -1726,7 +2150,11 @@ class VersionedTable:
             replace_where,
             schema_json=schema.json(),
             extra_stats={"replace_where": replace_where, **(extra_stats or {})},
+            identity_stats=ident_last or None,
         )
+        if ident_cache is not None:
+            ident_cache.unpersist()
+        return ver
 
     def restore(self, version: int) -> int:
         """RESTORE a previous snapshot as the new latest version (the
@@ -1927,6 +2355,12 @@ class VersionedTable:
             stats["max_field_id"] = src.stats["max_field_id"]
         if src.stats.get("txn"):
             stats["txn"] = dict(src.stats["txn"])
+        # identity high-water carries VERBATIM (Delta clones do the
+        # same): the clone's next append continues past the source's
+        # last-assigned id instead of restarting at `start` and
+        # duplicating surrogate keys
+        if src.stats.get("identity"):
+            stats["identity"] = dict(src.stats["identity"])
         dest._write_commit(
             Commit(
                 0,
@@ -1987,6 +2421,13 @@ class VersionedTable:
         if self._txn_skip(prev, txn_app, txn_version):
             return prev.version
         df = self._fill_generated(df)
+        ident_plan: dict = {}
+        ident_last: dict = {}
+        ident_cache = None
+        if self.identity_columns():
+            self._refuse_explicit_identity(df.columns, "append to")
+            ident_plan = self._identity_plan(prev)
+            df, ident_last, ident_cache = self._assign_identity(df, ident_plan)
         schema = self._merged_schema(prev, df)
         df = _align_to(df, schema)
         new_files = self._write_files(df, self.data_dir, schema=schema)
@@ -1995,12 +2436,16 @@ class VersionedTable:
             self.cdf_dir,
             schema=schema,
         )
+        if ident_cache is not None:
+            ident_cache.unpersist()
         attempt = 0
         while True:
             try:
                 base_stats = self._with_new_file_stats(
                     self._carry_stats(prev, prev.files), new_files, schema
                 )
+                if ident_last:
+                    base_stats["identity"] = dict(ident_last)
                 self._write_commit(
                     Commit(
                         prev.version + 1,
@@ -2023,6 +2468,30 @@ class VersionedTable:
                     return fresh.version  # our own replay won the race
                 if fresh.schema_json != prev.schema_json:
                     raise  # concurrent schema change: a real conflict
+                if ident_last:
+                    # commit arbitration for identity: the concurrent
+                    # winner may have consumed the id range this append
+                    # assumed — shift our already-written ids past the
+                    # FRESH high-water and re-publish. This is what
+                    # makes two lockless processes mint disjoint ids.
+                    fresh_plan = self._identity_plan(fresh)
+                    shifts = {
+                        c: fresh_plan[c][0] - ident_plan[c][0]
+                        for c in ident_plan
+                        if fresh_plan[c][0] != ident_plan[c][0]
+                    }
+                    if shifts:
+                        new_files = self._shift_identity_files(
+                            new_files, self.data_dir, shifts
+                        )
+                        cdf = self._shift_identity_files(
+                            cdf, self.cdf_dir, shifts
+                        )
+                        ident_last = {
+                            c: ident_last[c] + shifts.get(c, 0)
+                            for c in ident_last
+                        }
+                        ident_plan = fresh_plan
                 prev = fresh
 
     def _merged_schema(self, prev: Commit, df: DataFrame) -> T.StructType:
@@ -2164,6 +2633,15 @@ class VersionedTable:
             return {"version": prev.version, "txn_skipped": True}
         if not keys:
             raise ValueError("merge requires at least one key column")
+        ident_defs = self.identity_columns()
+        if ident_defs:
+            self._refuse_explicit_identity(source.columns, "merge into")
+            bad_key = sorted(set(keys) & set(ident_defs))
+            if bad_key:
+                raise ValueError(
+                    f"identity column(s) {bad_key} cannot be merge keys "
+                    "— the source cannot carry them (GENERATED ALWAYS)"
+                )
         tgt_cols = {f.name for f in self.schema().fields}
         src_cols = set(source.columns)
         missing = [k for k in keys if k not in src_cols or k not in tgt_cols]
@@ -2380,14 +2858,36 @@ class VersionedTable:
             return base
 
         merged_cols = [
-            F.when(take_source, F.col(f"s.{f.name}"))
+            # identity columns ALWAYS come from the target side: matched
+            # updates keep the row's id (the aligned source carries only
+            # NULL there), inserts are NULL here and assigned fresh ids
+            # below — GENERATED ALWAYS semantics under merge.
+            F.col(f"t.{f.name}").alias(f.name)
+            if f.name in ident_defs
+            else F.when(take_source, F.col(f"s.{f.name}"))
             .otherwise(_tgt_value(f))
             .alias(f.name)
             for f in schema.fields
         ]
-        result = joined.filter(
-            ~(s_present & is_delete) & ~nmbs_del_row
-        ).select(*merged_cols)
+        kept = joined.filter(~(s_present & is_delete) & ~nmbs_del_row)
+        ident_last: dict = {}
+        ident_caches: list = []
+        ins_assigned: DataFrame | None = None
+        if ident_defs:
+            marked = kept.select(
+                *merged_cols, (s_present & ~t_present).alias("__ins")
+            ).persist()
+            ident_caches.append(marked)
+            ins_raw = marked.filter(F.col("__ins")).drop("__ins")
+            rest = marked.filter(~F.col("__ins")).drop("__ins")
+            ins_assigned, ident_last, cache = self._assign_identity(
+                ins_raw, self._identity_plan(prev)
+            )
+            if cache is not None:
+                ident_caches.append(cache)
+            result = rest.unionByName(ins_assigned)
+        else:
+            result = kept.select(*merged_cols)
         new_files = self._write_files(result, self.data_dir, schema=schema)
 
         # 3. change feed: Delta-CDF-shaped rows.
@@ -2398,14 +2898,34 @@ class VersionedTable:
         #    key changed, and deletes of nonexistent keys emit nothing.
         src_cols = [F.col(f"s.{f.name}").alias(f.name) for f in schema.fields]
         tgt_cols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
-        post = joined.filter(
-            s_present & ~is_delete & (~t_present | m_upd)
-        ).select(
-            *src_cols,
-            F.when(t_present, "update_postimage")
-            .otherwise("insert")
-            .alias(CHANGE_TYPE_COL),
-        )
+        if ident_defs:
+            # update images keep the target row's id; insert images must
+            # show the freshly ASSIGNED ids, so they come from the
+            # assigned frame, not the (id-less) source side of the join
+            upd_cols = [
+                (
+                    F.col(f"t.{f.name}")
+                    if f.name in ident_defs
+                    else F.col(f"s.{f.name}")
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+            post = joined.filter(
+                s_present & ~is_delete & t_present & m_upd
+            ).select(
+                *upd_cols, F.lit("update_postimage").alias(CHANGE_TYPE_COL)
+            ).unionByName(
+                ins_assigned.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+            )
+        else:
+            post = joined.filter(
+                s_present & ~is_delete & (~t_present | m_upd)
+            ).select(
+                *src_cols,
+                F.when(t_present, "update_postimage")
+                .otherwise("insert")
+                .alias(CHANGE_TYPE_COL),
+            )
         pre = joined.filter(
             s_present & t_present & (is_delete | m_upd)
         ).select(
@@ -2445,8 +2965,11 @@ class VersionedTable:
             txn_app,
             txn_version,
             nmbs_active=nmbs_active,
+            identity_stats=ident_last or None,
         )
         src.unpersist()
+        for c in ident_caches:
+            c.unpersist()
         return {
             "version": v,
             "probe_candidate_files": len(probe_files),
@@ -2466,6 +2989,7 @@ class VersionedTable:
         txn_version: int | None,
         retry_conflicts: int = 5,
         nmbs_active: bool = False,
+        identity_stats: dict | None = None,
     ) -> tuple[int, dict]:
         """Optimistic-concurrency resolution for merge (Delta VLDB'20
         §3.2): on a version collision, re-read the new latest commit
@@ -2512,6 +3036,8 @@ class VersionedTable:
                 txn_app,
                 txn_version,
             )
+            if identity_stats:
+                stats["identity"] = dict(identity_stats)
             try:
                 self._write_commit(
                     Commit(
@@ -2536,6 +3062,16 @@ class VersionedTable:
                 if fresh.schema_json != prev.schema_json:
                     raise CommitConflictError(
                         "concurrent schema change during merge — re-run"
+                    ) from None
+                if identity_stats and (fresh.stats.get("identity") or {}) != (
+                    prev.stats.get("identity") or {}
+                ):
+                    # a concurrent commit consumed identity ids this
+                    # merge's inserted rows may collide with; the
+                    # rewrite is baked into files — re-run the merge
+                    raise CommitConflictError(
+                        "concurrent identity allocation during merge "
+                        "— re-run"
                     ) from None
                 if list(fresh.dv_files) != list(prev.dv_files):
                     # a concurrent DV delete may reference files this
@@ -2902,6 +3438,7 @@ class VersionedTable:
         retry_conflicts: int = 5,
         dv_append: list[str] | None = None,
         dv_referenced: list[str] | None = None,
+        identity_stats: dict | None = None,
     ) -> int:
         """Optimistic concurrency for predicate copy-on-write ops
         (delete/update/overwrite_where) and DV deletes — the same
@@ -2932,6 +3469,13 @@ class VersionedTable:
             if base.version != prev.version:
                 extra["rebased_from_version"] = prev.version
             dv = list(base.dv_files) + list(dv_append or [])
+            cow_stats = self._with_new_file_stats(
+                self._carry_stats(base, carryover, extra),
+                new_files,
+                schema_json or prev.schema_json,
+            )
+            if identity_stats:
+                cow_stats["identity"] = dict(identity_stats)
             try:
                 self._write_commit(
                     Commit(
@@ -2941,11 +3485,7 @@ class VersionedTable:
                         cdf_files,
                         schema_json or prev.schema_json,
                         time.time(),
-                        self._with_new_file_stats(
-                            self._carry_stats(base, carryover, extra),
-                            new_files,
-                            schema_json or prev.schema_json,
-                        ),
+                        cow_stats,
                         dv_files=dv,
                     )
                 )
@@ -2958,6 +3498,15 @@ class VersionedTable:
                 if fresh.schema_json != prev.schema_json:
                     raise CommitConflictError(
                         f"concurrent schema change during {op} — re-run"
+                    ) from None
+                if identity_stats and (fresh.stats.get("identity") or {}) != (
+                    prev.stats.get("identity") or {}
+                ):
+                    # ids this op assigned may collide with the
+                    # concurrent winner's — re-run to re-assign
+                    raise CommitConflictError(
+                        f"concurrent identity allocation during {op} "
+                        "— re-run"
                     ) from None
                 if list(fresh.dv_files) != list(prev.dv_files):
                     raise CommitConflictError(
@@ -2994,6 +3543,7 @@ class VersionedTable:
         updated rows (Delta does the same): updating a referenced
         column keeps the derivation true instead of tripping the
         write probe."""
+        self._refuse_explicit_identity(assignments, "UPDATE")
         prev = self.get_commit()
         gen_recompute = {
             g: e

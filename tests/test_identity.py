@@ -1,0 +1,323 @@
+"""GENERATED ALWAYS AS IDENTITY — the reference's surrogate keys
+(``/root/reference/dbrdemo.sql:20``, ``dbrconfig.sql:21,34``) whose
+atomicity SQL Server provides via ``SCOPE_IDENTITY()``. The engine
+arbitrates allocation through the COMMIT: each id-assigning commit
+records the last value used in its stats, the put-if-absent publish
+lets exactly one concurrent writer win each version slot, and the
+loser shifts its already-written ids past the fresh high-water before
+retrying — so two lockless PROCESSES mint disjoint ids, which the old
+read-max+1-under-a-thread-lock ledger could not guarantee."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nrtwithdeltalake_spark.pipeline.config import (
+    ConfigStore,
+    WATERMARKS_SCHEMA,
+)
+from nrtwithdeltalake_spark.pipeline.sqldml import (
+    UnsupportedSqlError,
+    execute_dml,
+)
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+
+def _mk(spark, tmp_path, rows=("a", "b", "c"), name="t"):
+    df = spark.createDataFrame([(s,) for s in rows], "s string")
+    return VersionedTable.create(
+        spark, str(tmp_path / name), df, identity={"id": (1, 1)}
+    )
+
+
+def test_create_assigns_contiguous_ids_and_prepends_column(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert [f.name for f in t.schema().fields][0] == "id"
+    rows = sorted((r.id, r.s) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.identity_high_water("id") == 3
+    assert t.identity_columns() == {"id": (1, 1)}
+
+
+def test_custom_start_and_step(spark, tmp_path):
+    df = spark.createDataFrame([("x",), ("y",)], "s string")
+    t = VersionedTable.create(
+        spark, str(tmp_path / "ss"), df, identity={"id": (100, 10)}
+    )
+    assert sorted(r.id for r in t.read().collect()) == [100, 110]
+    t.append(spark.createDataFrame([("z",)], "s string"))
+    assert sorted(r.id for r in t.read().collect()) == [100, 110, 120]
+
+
+def test_always_semantics_refuse_explicit_values_everywhere(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.createDataFrame([(9, "z")], "id long, s string"))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge(
+            spark.createDataFrame([(9, "z")], "id long, s string"), ["s"]
+        )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.update("s = 'a'", {"id": F.lit(0)})
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.overwrite(spark.createDataFrame([(9, "z")], "id long, s string"))
+    with pytest.raises(ValueError, match="cannot supply"):
+        VersionedTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            spark.createDataFrame([(1, "a")], "id long, s string"),
+            identity={"id": (1, 1)},
+        )
+    with pytest.raises(ValueError, match="merge keys"):
+        t.merge(spark.createDataFrame([("a",)], "s string"), ["id"])
+
+
+def test_merge_keeps_matched_ids_and_assigns_fresh_to_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(spark.createDataFrame([("a",), ("d",)], "s string"), ["s"])
+    rows = dict((r.s, r.id) for r in t.read().collect())
+    assert rows == {"a": 1, "b": 2, "c": 3, "d": 4}
+    # change feed: insert image carries the ASSIGNED id, update images
+    # keep the target's id
+    cdf = sorted(
+        (r.id, r.s, r._change_type) for r in t.change_feed(0).collect()
+    )
+    assert (4, "d", "insert") in cdf
+    assert (1, "a", "update_postimage") in cdf
+    assert not any(r[0] is None for r in cdf)
+
+
+def test_delete_never_reuses_ids(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete("s = 'c'")
+    t.append(spark.createDataFrame([("d",)], "s string"))
+    rows = sorted((r.id, r.s) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "b"), (4, "d")]  # 3 is never reissued
+
+
+def test_overwrite_and_restore_keep_high_water(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([("x",)], "s string"))
+    assert [r.id for r in t.read().collect()] == [4]
+    t.restore(0)
+    t.append(spark.createDataFrame([("post",)], "s string"))
+    rows = sorted((r.id, r.s) for r in t.read().collect())
+    # the restored-away row's id (4) is NOT reissued
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (5, "post")]
+
+
+def test_concurrent_lockless_appends_mint_disjoint_ids(spark, tmp_path):
+    """The commit-arbitration storm: 4 threads over 2 INDEPENDENT
+    VersionedTable instances (no shared python state — the two-process
+    simulation) each append 1-row batches; every append's OCC loser
+    must shift past the fresh high-water, so ids are exactly 1..N."""
+    p = str(tmp_path / "storm")
+    VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([], "s string"),
+        identity={"id": (1, 1)},
+    )
+    errs: list = []
+
+    def worker(wid):
+        t = VersionedTable(spark, p)  # own instance: no shared lock
+        for i in range(5):
+            try:
+                t.append(
+                    spark.createDataFrame(
+                        [(f"w{wid}-{i}",)], "s string"
+                    ),
+                    retry_conflicts=50,
+                )
+            except Exception as e:  # surface, don't deadlock the join
+                errs.append(repr(e))
+
+    th = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs, errs[:3]
+    t = VersionedTable(spark, p)
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids == list(range(1, 21)), ids
+    assert t.identity_high_water("id") == 20
+
+
+def test_add_identity_column_shapes(spark, tmp_path):
+    # (a) new column on an empty table
+    t = VersionedTable.create(
+        spark, str(tmp_path / "e"), spark.createDataFrame([], "s string")
+    )
+    t.add_identity_column("id")
+    t.append(spark.createDataFrame([("a",), ("b",)], "s string"))
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # (b) adopt an existing unique BIGINT column
+    t2 = VersionedTable.create(
+        spark,
+        str(tmp_path / "adopt"),
+        spark.createDataFrame([(7, "x"), (9, "y")], "k long, s string"),
+    )
+    t2.add_identity_column("k")
+    t2.append(spark.createDataFrame([("z",)], "s string"))
+    rows = sorted((r.k, r.s) for r in t2.read().collect())
+    assert rows == [(7, "x"), (9, "y"), (10, "z")]  # continues past max
+    # refusals
+    t3 = VersionedTable.create(
+        spark,
+        str(tmp_path / "bad3"),
+        spark.createDataFrame([("a",)], "s string"),
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        t3.add_identity_column("id")
+    t4 = VersionedTable.create(
+        spark,
+        str(tmp_path / "bad4"),
+        spark.createDataFrame([(1, "a"), (1, "b")], "k long, s string"),
+    )
+    with pytest.raises(ValueError, match="unique"):
+        t4.add_identity_column("k")
+    t5 = VersionedTable.create(
+        spark,
+        str(tmp_path / "bad5"),
+        spark.createDataFrame([("a",)], "k string"),
+    )
+    with pytest.raises(ValueError, match="BIGINT"):
+        t5.add_identity_column("k")
+    with pytest.raises(ValueError, match="nonzero"):
+        t5.add_identity_column("j", step=0)
+
+
+def test_identity_survives_clone(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    dest = str(tmp_path / "cl")
+    t.clone(dest, shallow=False)
+    c = VersionedTable(spark, dest)
+    assert c.identity_columns() == {"id": (1, 1)}
+    c.append(spark.createDataFrame([("d",)], "s string"))
+    assert sorted(r.id for r in c.read().collect()) == [1, 2, 3, 4]
+
+
+def test_identity_overflow_guard(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "of"),
+        spark.createDataFrame([], "s string"),
+        identity={"id": ((1 << 63) - 2, 1)},
+    )
+    t.append(spark.createDataFrame([("a",)], "s string"))
+    with pytest.raises(ValueError, match="overflow"):
+        t.append(spark.createDataFrame([("b",), ("c",)], "s string"))
+
+
+def test_sql_create_table_identity_end_to_end(spark, tmp_path):
+    p = str(tmp_path / "sqlt")
+    execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{p}` (id BIGINT GENERATED ALWAYS AS "
+        "IDENTITY (START WITH 5 INCREMENT BY 5), s STRING, "
+        "tag STRING GENERATED ALWAYS AS (upper(s)))",
+    )
+    t = VersionedTable(spark, p)
+    assert t.identity_columns() == {"id": (5, 5)}
+    assert t.generated_columns() == {"tag": "upper(s)"}
+    execute_dml(
+        spark, f"INSERT INTO versioned.`{p}` (s) VALUES ('a'), ('b')"
+    )
+    rows = sorted((r.id, r.s, r.tag) for r in t.read().collect())
+    assert rows == [(5, "a", "A"), (10, "b", "B")]
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        execute_dml(
+            spark, f"INSERT INTO versioned.`{p}` (id, s) VALUES (1, 'z')"
+        )
+    with pytest.raises(UnsupportedSqlError, match="BY DEFAULT"):
+        execute_dml(
+            spark,
+            f"CREATE TABLE versioned.`{tmp_path}/bd` "
+            "(id BIGINT GENERATED BY DEFAULT AS IDENTITY, s STRING)",
+        )
+    with pytest.raises(UnsupportedSqlError, match="BIGINT"):
+        execute_dml(
+            spark,
+            f"CREATE TABLE versioned.`{tmp_path}/it` "
+            "(id INT GENERATED ALWAYS AS IDENTITY, s STRING)",
+        )
+
+
+def test_ledger_ids_commit_arbitrated_across_stores(spark, tmp_path):
+    """VERDICT r10 defect #1: two driver processes sharing NO lock must
+    mint disjoint WatermarkIds. Simulated with two ConfigStore
+    instances (each has its own thread lock, so the lock arbitrates
+    nothing across them) hammered from 4 threads."""
+    root = str(tmp_path / "cfg")
+    cs1 = ConfigStore(spark, root)
+    cs1.init()
+    cs2 = ConfigStore(spark, root)  # second "process"
+    assert "WatermarkId" in cs1.watermarks.identity_columns()
+    ids: list = []
+    errs: list = []
+    lock = threading.Lock()
+
+    def worker(cs):
+        for _ in range(5):
+            try:
+                wid = cs.open_watermark(1, None, 0)
+                with lock:
+                    ids.append(wid)
+            except Exception as e:
+                with lock:
+                    errs.append(repr(e))
+
+    th = [
+        threading.Thread(target=worker, args=(cs,))
+        for cs in (cs1, cs2)
+        for _ in range(2)
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs, errs[:3]
+    assert sorted(ids) == list(range(1, 21)), sorted(ids)
+    # the ledger table agrees with what the callers were told
+    tbl = sorted(r.WatermarkId for r in cs1.watermarks.read().collect())
+    assert tbl == list(range(1, 21))
+    # EntityId allocation is identity-backed too (fresh entities table:
+    # the storm only wrote ledger rows referencing entity 1)
+    e1 = cs1.register_entity("src.A", "silver.A", "CT", ["k"])
+    e2 = cs2.register_entity("src.B", "silver.B", "TMSTP", ["k"], "ts")
+    assert [e1, e2] == [1, 2]
+
+
+def test_ledger_register_entity_ids_sequential(spark, tmp_path):
+    root = str(tmp_path / "cfg2")
+    cs = ConfigStore(spark, root)
+    cs.init()
+    ids = [
+        cs.register_entity(f"src.T{i}", f"silver.T{i}", "CT", ["k"])
+        for i in range(3)
+    ]
+    assert ids == [1, 2, 3]
+    got = sorted(r.EntityId for r in cs.entities.read().collect())
+    assert got == [1, 2, 3]
+    # ledger read shape unchanged (golden pipeline contract)
+    assert [f.name for f in cs.watermarks.read().schema.fields] == [
+        f.name for f in WATERMARKS_SCHEMA.fields
+    ]
+
+
+def test_identity_property_validation(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "pv"), spark.createDataFrame([("a",)], "s string")
+    )
+    for bad in (
+        "[]",
+        "{}",
+        '{"id": {"start": 1}}',
+        '{"id": {"start": 1, "step": 0}}',
+        '{"id": {"start": "1", "step": 1}}',
+    ):
+        with pytest.raises(ValueError):
+            t.set_properties({"versioned.identityColumns": bad})
