@@ -886,9 +886,19 @@ def _execute_insert(spark: SparkSession, plan) -> dict:
             )
     target_cols = user_cols or [f.name for f in table.schema().fields]
     if len(df.columns) != len(target_cols):
+        ident = sorted(table.identity_columns())
+        hint = (
+            f" — {ident} are GENERATED ALWAYS AS IDENTITY; list the "
+            f"non-identity columns explicitly, e.g. INSERT INTO t "
+            f"({', '.join(c for c in target_cols if c not in ident)}) ..."
+            if not user_cols
+            and ident
+            and len(df.columns) == len(target_cols) - len(ident)
+            else ""
+        )
         raise UnsupportedSqlError(
             f"INSERT arity mismatch: query produces {len(df.columns)} "
-            f"column(s), target list has {len(target_cols)}"
+            f"column(s), target list has {len(target_cols)}{hint}"
         )
     df = df.toDF(*target_cols)
     if plan.overwrite():

@@ -2636,6 +2636,11 @@ class VersionedTable:
         ident_defs = self.identity_columns()
         if ident_defs:
             self._refuse_explicit_identity(source.columns, "merge into")
+            if not_matched_by_source_update:
+                self._refuse_explicit_identity(
+                    not_matched_by_source_update,
+                    "assign (WHEN NOT MATCHED BY SOURCE UPDATE) to",
+                )
             bad_key = sorted(set(keys) & set(ident_defs))
             if bad_key:
                 raise ValueError(

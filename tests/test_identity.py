@@ -321,3 +321,130 @@ def test_identity_property_validation(spark, tmp_path):
     ):
         with pytest.raises(ValueError):
             t.set_properties({"versioned.identityColumns": bad})
+
+
+def test_streaming_merge_sink_assigns_identity(spark, tmp_path):
+    """The NRT sink shape over an identity table (the reference's
+    silver tables carry IDENTITY surrogate keys, dbrdemo.sql:20):
+    pre-create the target with the identity column, stream batches
+    through the foreachBatch merge sink — inserts get commit-arbitrated
+    ids, re-merged keys KEEP theirs across micro-batches."""
+    from nrtwithdeltalake_spark.streaming.nrt import run_stream_to_table
+
+    tgt = str(tmp_path / "silver")
+    VersionedTable.create(
+        spark,
+        tgt,
+        spark.createDataFrame([], "k long, v string"),
+        identity={"rid": (1, 1)},
+    )
+    sdir = str(tmp_path / "in")
+    schema = "k long, v string"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b1.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sdir}/*.parquet")
+    )
+    run_stream_to_table(stream, tgt, ["k"], str(tmp_path / "ck"))
+    first = {r.k: r.rid for r in VersionedTable(spark, tgt).read().collect()}
+    assert sorted(first.values()) == [1, 2]
+
+    # second drain: k=1 updates (keeps rid), k=3 inserts (fresh rid)
+    spark.createDataFrame(
+        [(1, "a2"), (3, "c")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sdir}/*.parquet")
+    )
+    run_stream_to_table(stream, tgt, ["k"], str(tmp_path / "ck"))
+    rows = {r.k: (r.rid, r.v) for r in VersionedTable(spark, tgt).read().collect()}
+    assert rows[1] == (first[1], "a2")  # id kept through the update
+    assert rows[2] == (first[2], "b")
+    assert rows[3][0] == 3 and rows[3][1] == "c"
+    assert len({rid for rid, _ in rows.values()}) == 3
+
+
+def test_shift_orphans_are_vacuumable(spark, tmp_path, monkeypatch):
+    """An append that loses the identity race abandons its pre-shift
+    files (unreferenced by any commit); vacuum's orphan cleanup must
+    reclaim them — the storage story of the shift-and-retry path."""
+    import time as _time
+
+    p = str(tmp_path / "orph")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([], "s string"),
+        identity={"id": (1, 1)},
+    )
+    # force one identity race: a concurrent 1-row append lands between
+    # this append's id assignment and its commit publish
+    orig_write = VersionedTable._write_commit
+    state = {"raced": False}
+
+    def racing(self, commit, *a, **kw):
+        if commit.op == "append" and not state["raced"]:
+            state["raced"] = True
+            VersionedTable(self.spark, self.path).append(
+                self.spark.createDataFrame([("racer",)], "s string")
+            )
+        return orig_write(self, commit, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_write_commit", racing)
+    t.append(spark.createDataFrame([("loser",)], "s string"))
+    monkeypatch.setattr(VersionedTable, "_write_commit", orig_write)
+    assert state["raced"]
+    rows = sorted((r.id, r.s) for r in t.read().collect())
+    assert rows == [(1, "racer"), (2, "loser")]
+
+    # the loser's pre-shift file is on disk but in no commit
+    live = {os.path.realpath(f) for c in t.history() for f in t.get_commit(c.version).files}
+    on_disk = {
+        os.path.realpath(os.path.join(dp, f))
+        for dp, _, fs in os.walk(t.data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    orphans = on_disk - live
+    assert orphans  # the abandoned pre-shift write
+    t.vacuum(retain_last=100, clean_orphans_hours=0.0)
+    assert not (
+        {
+            os.path.realpath(os.path.join(dp, f))
+            for dp, _, fs in os.walk(t.data_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        - live
+    )
+    # table still reads exactly
+    assert sorted((r.id, r.s) for r in t.read().collect()) == rows
+
+
+def test_sql_insert_arity_hint_names_identity_columns(spark, tmp_path):
+    p = str(tmp_path / "hint")
+    execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{p}` "
+        "(id BIGINT GENERATED ALWAYS AS IDENTITY, s STRING)",
+    )
+    with pytest.raises(UnsupportedSqlError, match="GENERATED ALWAYS AS IDENT"):
+        execute_dml(spark, f"INSERT INTO versioned.`{p}` VALUES ('a')")
+    # the suggested form works
+    execute_dml(spark, f"INSERT INTO versioned.`{p}` (s) VALUES ('a')")
+    assert VersionedTable(spark, p).read().collect()[0].id == 1
+
+
+def test_nmbs_update_cannot_assign_identity(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge(
+            spark.createDataFrame([("a",)], "s string"),
+            ["s"],
+            not_matched_by_source_update={"id": "0"},
+        )
