@@ -94,6 +94,25 @@ class ConfigStore:
                 identity={"WatermarkId": (1, 1)},
             )
 
+    def upgrade_ledger_identity(self) -> list[str]:
+        """Migrate a legacy store (created before identity columns) onto
+        commit-arbitrated id allocation: adopt the existing
+        ``EntityId``/``WatermarkId`` columns as identity (their values
+        are already unique BIGINTs; the high-water starts past the
+        current max, so old and new ids never collide). Idempotent —
+        already-upgraded columns are skipped. Run while no pipeline is
+        active (same discipline as any DDL). Returns the columns
+        upgraded."""
+        upgraded = []
+        for table, col in (
+            (self.entities, "EntityId"),
+            (self.watermarks, "WatermarkId"),
+        ):
+            if col not in table.identity_columns():
+                table.add_identity_column(col)
+                upgraded.append(col)
+        return upgraded
+
     @property
     def entities(self) -> VersionedTable:
         return VersionedTable(self.spark, self.entities_path)

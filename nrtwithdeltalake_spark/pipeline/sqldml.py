@@ -606,13 +606,16 @@ def execute_dml(spark: SparkSession, sql_text: str):
                     int(proto.get("min_writer", 1)),
                     list(proto.get("reader_features") or []),
                     list(proto.get("writer_features") or []),
+                    sorted(table.identity_columns()),
+                    table.not_null_columns(),
                 )
             ],
             "format string, location string, version bigint, "
             "created_at double, last_modified double, num_files bigint, "
             "size_in_bytes bigint, num_dv_files bigint, num_columns bigint, "
             "min_reader_version bigint, min_writer_version bigint, "
-            "reader_features array<string>, writer_features array<string>",
+            "reader_features array<string>, writer_features array<string>, "
+            "identity_columns array<string>, not_null_columns array<string>",
         )
     m = _RESTORE_RE.match(sql_text)
     if m:

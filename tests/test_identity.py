@@ -448,3 +448,107 @@ def test_nmbs_update_cannot_assign_identity(spark, tmp_path):
             ["s"],
             not_matched_by_source_update={"id": "0"},
         )
+
+
+def test_legacy_store_upgrades_to_identity_ledger(spark, tmp_path):
+    """A store created before identity columns (explicit-id appends
+    under a thread lock) migrates in place: adopt the existing unique
+    id columns, high-water starts past the legacy max, and the
+    commit-arbitrated path takes over with no id collision."""
+    from nrtwithdeltalake_spark.pipeline.config import (
+        ENTITIES_SCHEMA,
+        ConfigStore,
+    )
+
+    root = str(tmp_path / "legacy")
+    # legacy layout: full schemas, no identity declarations
+    VersionedTable.create(
+        spark,
+        os.path.join(root, "entities"),
+        spark.createDataFrame([], ENTITIES_SCHEMA),
+    )
+    VersionedTable.create(
+        spark,
+        os.path.join(root, "watermarks"),
+        spark.createDataFrame([], WATERMARKS_SCHEMA),
+    )
+    cs = ConfigStore(spark, root)
+    # legacy fallback path still works (read-max+1, id supplied)
+    e1 = cs.register_entity("src.L", "silver.L", "CT", ["k"])
+    w1 = cs.open_watermark(e1, None, 0)
+    w2 = cs.open_watermark(e1, None, 1)
+    assert (e1, w1, w2) == (1, 1, 2)
+
+    upgraded = cs.upgrade_ledger_identity()
+    assert upgraded == ["EntityId", "WatermarkId"]
+    assert cs.upgrade_ledger_identity() == []  # idempotent
+
+    # post-upgrade: ids continue PAST the legacy max via commit
+    # arbitration (two lockless store instances, disjoint ids)
+    cs2 = ConfigStore(spark, root)
+    ids = [cs.open_watermark(e1, None, 2), cs2.open_watermark(e1, None, 3)]
+    assert sorted(ids) == [3, 4]
+    e2 = cs2.register_entity("src.M", "silver.M", "TMSTP", ["k"], "ts")
+    assert e2 == 2
+    tbl = sorted(r.WatermarkId for r in cs.watermarks.read().collect())
+    assert tbl == [1, 2, 3, 4]
+
+
+def test_mixed_merge_append_identity_storm(spark, tmp_path):
+    """Merges (which conflict loudly on concurrent identity movement)
+    and appends (which shift-and-retry) racing on one identity table:
+    with caller-side merge retries, everything lands and every id is
+    unique — the mixed-writer shape of a real NRT deployment (stream
+    merge sink + backfill appends)."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+
+    p = str(tmp_path / "mixed")
+    VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([], "k long, s string"),
+        identity={"id": (1, 1)},
+    )
+    errs: list = []
+
+    def appender(w):
+        t = VersionedTable(spark, p)
+        for i in range(4):
+            try:
+                t.append(
+                    spark.createDataFrame(
+                        [(1000 + w * 10 + i, f"a{w}-{i}")], "k long, s string"
+                    ),
+                    retry_conflicts=50,
+                )
+            except Exception as e:
+                errs.append(repr(e))
+
+    def merger(w):
+        t = VersionedTable(spark, p)
+        for i in range(4):
+            src = spark.createDataFrame(
+                [(2000 + w * 10 + i, f"m{w}-{i}")], "k long, s string"
+            )
+            for _ in range(60):  # caller-side retry, as documented
+                try:
+                    t.merge(src, ["k"])
+                    break
+                except CommitConflictError:
+                    continue
+            else:
+                errs.append(f"merge w{w}-{i} never landed")
+
+    th = [threading.Thread(target=appender, args=(w,)) for w in range(2)] + [
+        threading.Thread(target=merger, args=(w,)) for w in range(2)
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs, errs[:3]
+    t = VersionedTable(spark, p)
+    rows = t.read().collect()
+    assert len(rows) == 16
+    ids = sorted(r.id for r in rows)
+    assert len(set(ids)) == 16, ids
+    assert ids == list(range(1, 17)), ids  # contiguous: nothing leaked
+    assert t.identity_high_water("id") == 16

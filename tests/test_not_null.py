@@ -129,3 +129,15 @@ def test_sql_alter_column_not_null_round_trip(spark, tmp_path):
             spark,
             f"ALTER TABLE versioned.`{t.path}` ALTER COLUMN x TYPE STRING",
         )
+
+
+def test_describe_detail_surfaces_identity_and_not_null(spark, tmp_path):
+    p = str(tmp_path / "dd")
+    execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{p}` "
+        "(id BIGINT GENERATED ALWAYS AS IDENTITY, s STRING NOT NULL)",
+    )
+    row = execute_dml(spark, f"DESCRIBE DETAIL versioned.`{p}`").collect()[0]
+    assert row.identity_columns == ["id"]
+    assert row.not_null_columns == ["s"]

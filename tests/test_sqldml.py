@@ -638,6 +638,7 @@ def test_describe_detail(spark, twin_tables):
     assert row.num_dv_files == 0
     assert row.num_columns == 3
     assert row.created_at <= row.last_modified
+    assert row.identity_columns == [] and row.not_null_columns == []
 
 
 def test_time_travel_clause_inside_string_literal_not_rewritten(spark, twin_tables):
