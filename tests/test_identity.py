@@ -552,3 +552,102 @@ def test_mixed_merge_append_identity_storm(spark, tmp_path):
     assert len(set(ids)) == 16, ids
     assert ids == list(range(1, 17)), ids  # contiguous: nothing leaked
     assert t.identity_high_water("id") == 16
+
+
+def test_identity_assignment_plan_is_shuffle_free(spark, tmp_path):
+    """The assignment claim in the code: monotonically_increasing_id
+    decomposition + a literal offset map — the assigned frame must add
+    ZERO exchanges over the input (the bounded per-partition count agg
+    is a separate job; the WRITE plan itself never shuffles)."""
+    from nrtwithdeltalake_spark.plans import inspect as pinspect
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "plan"),
+        spark.createDataFrame([], "k long, s string"),
+        identity={"id": (1, 1)},
+    )
+    src = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("x").alias("s")
+    )
+    assigned, last, cache = t._assign_identity(
+        src, t._identity_plan(t.get_commit())
+    )
+    try:
+        assert pinspect.num_shuffles(assigned) == 0
+        plan = pinspect.physical_plan(assigned).lower()
+        assert "exchange" not in plan, plan
+        assert "element_at" in plan  # the literal offset map, in codegen
+        assert last == {"id": 1000}
+        assert assigned.select("id").distinct().count() == 1000
+    finally:
+        if cache is not None:
+            cache.unpersist()
+
+
+def test_identity_randomized_op_sweep(spark, tmp_path):
+    """Seeded random walk over the whole mutation surface of an
+    identity table (append / merge / delete / update / overwrite /
+    compact / restore): after every op, ids are unique + non-null and
+    the high-water equals the max id ever assigned — the invariant
+    that makes identity a usable surrogate key."""
+    import random
+
+    rng = random.Random(1107)
+    p = str(tmp_path / "sweep")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([], "k long, s string"),
+        identity={"id": (1, 1)},
+    )
+    next_k = [0]
+
+    def fresh_rows(n):
+        rows = [(next_k[0] + i, f"v{next_k[0] + i}") for i in range(n)]
+        next_k[0] += n
+        return spark.createDataFrame(rows, "k long, s string")
+
+    hw_ever = [0]
+
+    def check(op):
+        rows = t.read().collect()
+        ids = [r.id for r in rows]
+        assert all(i is not None for i in ids), (op, rows)
+        assert len(ids) == len(set(ids)), (op, sorted(ids))
+        hw = t.identity_high_water("id") or 0
+        assert hw >= hw_ever[0], (op, hw, hw_ever[0])  # never regresses
+        assert all(i <= hw for i in ids), (op, hw, max(ids or [0]))
+        hw_ever[0] = hw
+
+    for step in range(18):
+        op = rng.choice(
+            ["append", "merge", "delete", "update", "overwrite",
+             "compact", "restore"]
+        )
+        if op == "append":
+            t.append(fresh_rows(rng.randint(1, 4)))
+        elif op == "merge":
+            # mix of updates to existing keys and brand-new keys
+            existing = [r.k for r in t.read().select("k").collect()]
+            upd = rng.sample(existing, min(2, len(existing)))
+            rows = [(k, f"u{step}") for k in upd] + [
+                (next_k[0], f"m{step}")
+            ]
+            next_k[0] += 1
+            t.merge(
+                spark.createDataFrame(rows, "k long, s string"), ["k"]
+            )
+        elif op == "delete":
+            t.delete(f"pmod(k, 7) = {rng.randint(0, 6)}")
+        elif op == "update":
+            t.update(f"pmod(k, 5) = {rng.randint(0, 4)}",
+                     {"s": F.lit(f"upd{step}")})
+        elif op == "overwrite":
+            t.overwrite(fresh_rows(rng.randint(1, 3)))
+        elif op == "compact":
+            t.compact()
+        elif op == "restore":
+            v = rng.randint(0, t.latest_version())
+            t.restore(v)
+        check(op)
