@@ -1492,6 +1492,16 @@ class VersionedTable:
                 df = df.withColumn(c, F.lit(None).cast("long"))
             return df.drop(mid), {}, cached
         parts.sort(key=lambda r: r["__pid"])
+        for r in parts:
+            # the mid decomposition holds only while the per-partition
+            # counter stays in its 33 low bits — beyond ~8.5B rows per
+            # partition ids would silently collide; refuse instead
+            if r["count"] >= (1 << 33):
+                raise ValueError(
+                    f"identity assignment: input partition {r['__pid']} "
+                    f"holds {r['count']} rows (>= 2^33) — repartition "
+                    "the batch first"
+                )
         total, acc, offsets = sum(r["count"] for r in parts), 0, {}
         for r in parts:
             offsets[r["__pid"]] = acc
@@ -1567,7 +1577,16 @@ class VersionedTable:
                     f"identity column {name!r} must be BIGINT, is "
                     f"{schema[name].dataType.simpleString()}"
                 )
-            agg = self.read().agg(
+            # scan the RAW files (deletion vectors NOT applied): a
+            # DV-masked row still holds its id, and adopting a
+            # high-water below it would reissue that id — time travel
+            # to the pre-delete version would then show a duplicate key
+            raw = (
+                self._read_files(prev.files, prev.schema_json)
+                if prev.files
+                else self.read()
+            )
+            agg = raw.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count(name).alias("nn"),
                 F.count_distinct(F.col(name)).alias("nd"),

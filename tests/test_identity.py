@@ -651,3 +651,25 @@ def test_identity_randomized_op_sweep(spark, tmp_path):
             v = rng.randint(0, t.latest_version())
             t.restore(v)
         check(op)
+
+
+def test_adopt_high_water_covers_dv_masked_rows(spark, tmp_path):
+    """Adoption must scan RAW files (DVs not applied): a merge-on-read
+    deleted row still holds its id, and adopting a lower high-water
+    would reissue it — time travel to the pre-delete version would
+    then show a duplicate surrogate key."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "dv"),
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (9, "hidden-max")], "k long, s string"
+        ),
+    )
+    t.delete("k = 9", use_dv=True)  # masked, not rewritten
+    t.add_identity_column("k")
+    t.append(spark.createDataFrame([("new",)], "s string"))
+    # the new id continues past the MASKED row's 9, not the visible 2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 10]
+    # pre-delete snapshot stays duplicate-free
+    v0 = t.read(version=0).select("k").collect()
+    assert sorted(r.k for r in v0) == [1, 2, 9]
