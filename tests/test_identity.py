@@ -673,3 +673,42 @@ def test_adopt_high_water_covers_dv_masked_rows(spark, tmp_path):
     # pre-delete snapshot stays duplicate-free
     v0 = t.read(version=0).select("k").collect()
     assert sorted(r.k for r in v0) == [1, 2, 9]
+
+
+def test_identity_ids_flow_through_change_feed_stream(spark, tmp_path):
+    """Read-side loop closure: the versioned DataSource's change-feed
+    STREAM delivers the assigned ids (insert images from merges and
+    appends alike) — a downstream NRT consumer keys on the surrogate
+    ids the table minted."""
+    from nrtwithdeltalake_spark.sources import datasource as ds
+
+    ds.register(spark)
+    p = str(tmp_path / "cdcstream")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([("a",), ("b",)], "s string"),
+        identity={"id": (1, 1)},
+    )
+    t.merge(spark.createDataFrame([("a",), ("c",)], "s string"), ["s"])
+    t.append(spark.createDataFrame([("d",)], "s string"))
+    rows = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", p)
+        .option("feed", "changes")
+        .option("startingVersion", -1)
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, e: rows.extend(
+                (r.id, r.s, r._change_type) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    inserts = sorted((i, s) for i, s, ct in rows if ct == "insert")
+    assert inserts == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert not any(i is None for i, _, _ in rows)
