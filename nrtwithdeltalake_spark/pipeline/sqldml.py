@@ -944,6 +944,7 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
     identity: dict = {}
     generated: dict = {}
     not_null: list = []
+    defaults: dict = {}
     for i in range(cols.size()):
         c = cols.apply(i)
         dt = T._parse_datatype_json_string(c.dataType().json())
@@ -969,6 +970,9 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
         ge = c.generationExpression()
         if ge.isDefined():
             generated[c.name()] = str(ge.get())
+        dv = c.defaultValue()
+        if dv.isDefined():
+            defaults[c.name()] = str(dv.get().originalSQL())
     df = spark.createDataFrame([], T.StructType(fields))
     t = VersionedTable.create(spark, root, df, identity=identity or None)
     for n, e in generated.items():
@@ -977,6 +981,8 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
         # declared NOT NULL → the write-gated column constraint (flips
         # the committed schema and registers the IS NULL probe)
         t.set_not_null(n)
+    for n, e in defaults.items():
+        t.set_column_default(n, e)
     return {"version": t.latest_version()}
 
 
@@ -1078,17 +1084,25 @@ def _execute_alter(spark: SparkSession, plan, kind: str) -> dict:
                     raise
         return {"version": version}
     if kind == "AlterColumns":
-        # only the SET/DROP NOT NULL shape maps onto the engine (type
-        # changes would rewrite files; comments/positions are cosmetic
-        # catalog state the versioned format doesn't carry)
-        version = None
+        # SET/DROP NOT NULL and SET/DROP DEFAULT map onto the engine
+        # (type changes would rewrite files; comments/positions are
+        # cosmetic catalog state the versioned format doesn't carry)
+        did = 0
         for s in _seq(plan.specs()):
             col_parts = _seq(s.column().name())
             if len(col_parts) != 1:
                 raise UnsupportedSqlError(
                     f"nested column {'.'.join(col_parts)!r} unsupported"
                 )
+            col = col_parts[0]
             nn = _opt(s.newNullability())
+            nd = None
+            drop_default = False
+            try:
+                nd = _opt(s.newDefaultExpression())
+                drop_default = bool(s.dropDefault())
+            except AttributeError:
+                pass
             others = []
             for attr in ("newDataType", "newComment", "newPosition"):
                 try:
@@ -1096,19 +1110,24 @@ def _execute_alter(spark: SparkSession, plan, kind: str) -> dict:
                         others.append(attr)
                 except AttributeError:
                     pass
-            if nn is None or others:
+            if others or (nn is None and nd is None and not drop_default):
                 raise UnsupportedSqlError(
                     "ALTER COLUMN supports only SET NOT NULL / DROP NOT "
-                    f"NULL (got {others or 'no nullability change'})"
+                    "NULL / SET DEFAULT expr / DROP DEFAULT "
+                    f"(got {others or 'no supported change'})"
                 )
-            version = (
-                table.set_not_null(col_parts[0])
-                if not nn
-                else table.drop_not_null(col_parts[0])
-            )
-        if version is None:
+            if nn is not None:
+                (table.set_not_null if not nn else table.drop_not_null)(col)
+                did += 1
+            if nd is not None:
+                table.set_column_default(col, str(nd.originalSQL()))
+                did += 1
+            elif drop_default:
+                table.drop_column_default(col)
+                did += 1
+        if not did:
             raise UnsupportedSqlError("ALTER COLUMN lists no columns")
-        return {"version": version}
+        return {"version": table.latest_version()}
     if kind == "DropConstraint":
         name = plan.name()
         if name not in table.constraints():

@@ -184,6 +184,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
         "generated_columns",
         "identity_columns",
         "not_null_constraints",
+        "column_defaults",
     }
 )
 
@@ -780,6 +781,8 @@ class VersionedTable:
             wf.add("identity_columns")
         if self.not_null_columns():
             wf.add("not_null_constraints")
+        if self.column_defaults():
+            wf.add("column_defaults")
         # every reader feature is implicitly a writer feature: a writer
         # republishes the snapshot, so it must understand them all
         wf |= rf
@@ -1403,6 +1406,85 @@ class VersionedTable:
                 f"by row {hit[0].asDict()}"
             )
 
+    # -- column DEFAULT values (Delta allowColumnDefaults analog) ---------
+
+    def _defaults_path(self) -> str:
+        return os.path.join(self.path, "_defaults.json")
+
+    def column_defaults(self) -> dict[str, str]:
+        """{column: default SQL expr} — the reference's
+        ``TransactionDatetime DATETIME2 DEFAULT GETUTCDATE()``
+        (``/root/reference/dbrdemo.sql:23,35``); Delta's
+        ``allowColumnDefaults`` writer feature."""
+        try:
+            with open(self._defaults_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_column_default(self, name: str, expr_sql: str) -> None:
+        """Declare ``DEFAULT expr_sql`` for an existing column: batches
+        that OMIT the column get the expression instead of NULL on
+        append/create-shaped writes (INSERT semantics — SQL DEFAULT
+        applies at insert). Merge sources deliberately do NOT get
+        defaults: a matched UPDATE SET * would overwrite target values
+        with freshly-evaluated defaults, which is not what DEFAULT
+        means. Supplied values always pass through untouched (unlike
+        generated columns, no derivation must hold)."""
+        schema = self.schema()
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} does not exist")
+        if name in self.generated_columns():
+            raise ValueError(
+                f"column {name!r} is generated — a generated column is "
+                "always computed and cannot also have a DEFAULT"
+            )
+        if name in self.identity_columns():
+            raise ValueError(
+                f"column {name!r} is GENERATED ALWAYS AS IDENTITY and "
+                "cannot have a DEFAULT"
+            )
+        # SQL DEFAULT must be self-contained (constants / deterministic
+        # functions / current_timestamp-style context functions), never
+        # a reference to another column — resolve it against a
+        # column-free frame so a stray reference fails AT DECLARE TIME,
+        # and cast-check against the column's type in the same breath
+        self.spark.range(1).select(
+            F.expr(expr_sql).cast(schema[name].dataType)
+        ).schema
+        cur = self.column_defaults()
+        cur[name] = expr_sql
+        self._write_defaults(cur)
+
+    def drop_column_default(self, name: str) -> None:
+        cur = self.column_defaults()
+        if name not in cur:
+            raise ValueError(
+                f"column {name!r} has no DEFAULT (have {sorted(cur)})"
+            )
+        cur.pop(name)
+        self._write_defaults(cur)
+
+    def _write_defaults(self, cur: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(cur, f)
+        os.rename(tmp, self._defaults_path())
+
+    def _fill_defaults(self, df: DataFrame) -> DataFrame:
+        """Apply DEFAULT expressions for columns the batch omits —
+        insert-shaped writes only (append/overwrite); merge sources are
+        excluded by design (see set_column_default)."""
+        schema = None
+        for n, e in self.column_defaults().items():
+            if n not in df.columns:
+                if schema is None:
+                    schema = self.schema()
+                df = df.withColumn(
+                    n, F.expr(e).cast(schema[n].dataType)
+                )
+        return df
+
     # -- identity columns (Delta GENERATED ALWAYS AS IDENTITY) ------------
     #
     # The reference's surrogate keys are IDENTITY columns
@@ -2021,7 +2103,7 @@ class VersionedTable:
         with its data-skipping stats intact. Rows where the predicate is
         NULL are kept (not matched), mirroring SQL filter semantics."""
         prev = self.get_commit()
-        df = self._fill_generated(df)
+        df = self._fill_generated(self._fill_defaults(df))
         prev_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         ident_last: dict = {}
         ident_cache = None
@@ -2405,6 +2487,7 @@ class VersionedTable:
                 (self._constraints_path(), dest._constraints_path()),
                 (self._generated_path(), dest._generated_path()),
                 (self._properties_path(), dest._properties_path()),
+                (self._defaults_path(), dest._defaults_path()),
             ):
                 if os.path.exists(src_side):
                     os.makedirs(os.path.dirname(dst_side), exist_ok=True)
@@ -2439,7 +2522,7 @@ class VersionedTable:
         prev = self.get_commit()
         if self._txn_skip(prev, txn_app, txn_version):
             return prev.version
-        df = self._fill_generated(df)
+        df = self._fill_generated(self._fill_defaults(df))
         ident_plan: dict = {}
         ident_last: dict = {}
         ident_cache = None
@@ -3230,6 +3313,12 @@ class VersionedTable:
                     f"{gname!r} ({gsql}) — drop the generation binding, "
                     "rename, and re-add it against the new name"
                 )
+        if old in self.identity_columns():
+            raise ValueError(
+                f"column {old!r} is GENERATED ALWAYS AS IDENTITY — "
+                "rename is unsupported (the definition and high-water "
+                "mark key on the name)"
+            )
         renamed = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable, f.metadata)
@@ -3241,6 +3330,12 @@ class VersionedTable:
         stats = self._carry_stats(
             prev, prev.files, {"renamed_column": f"{old}->{new}"}
         )
+        # a DEFAULT follows its column (the expr is self-contained,
+        # only the registry key changes)
+        defaults = self.column_defaults()
+        if old in defaults:
+            defaults[new] = defaults.pop(old)
+            self._write_defaults(defaults)
         # data-skipping stats follow the logical name: re-key them
         if "file_stats" in stats:
             stats["file_stats"] = {
@@ -3291,6 +3386,16 @@ class VersionedTable:
                     f"column {name!r} is part of generated column "
                     f"{gname!r} ({gsql}) — drop the generation binding first"
                 )
+        if name in self.identity_columns():
+            raise ValueError(
+                f"column {name!r} is GENERATED ALWAYS AS IDENTITY — "
+                "identity columns cannot be dropped (the high-water "
+                "mark and ALWAYS semantics would dangle)"
+            )
+        if name in self.column_defaults():
+            # the DEFAULT dies with its column (defaults are
+            # self-contained, so nothing else can reference it)
+            self.drop_column_default(name)
         v = prev.version + 1
         self._write_commit(
             Commit(
