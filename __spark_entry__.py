@@ -29,29 +29,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship(spark, "/root/testdata/sf0.001")
 
 
-def _rotation_order(names) -> list[str]:
-    """Coverage-converging order for the driver's per-round sample:
-
-    1. queries whose LAST driver sample failed (hash/schema/row mismatch
-       or an oracle error) — fixes must be re-verified before anything
-       else, so known-bad entries sort FIRST, never hide at the back;
-    2. queries never sampled by the driver — converge to full coverage;
-    3. queries that passed cleanly — re-sampled last.
-
-    (The local pytest oracle sweep covers ALL queries every round; this
-    only affects which subset lands in the driver's artifact.)"""
+def _sample_history(artifact_dir: str) -> tuple[dict, dict]:
+    """Parse every CORRECTNESS_r*.json under ``artifact_dir`` into
+    (last_status, last_round): per query name, whether its LATEST
+    sample passed cleanly and the round number it last appeared in.
+    Round numbers come from the filename (``CORRECTNESS_r07.json`` →
+    7), so ordering is robust past two digits."""
     import glob
     import json
+    import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    last_status: dict[str, bool] = {}  # name -> cleanly passed in latest sample
-    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    last_status: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
+    paths = []
+    for p in glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            paths.append((int(m.group(1)), p))
+    for rnd, p in sorted(paths):
         try:
             with open(p) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
         for name, rec in data.items():
+            last_round[name] = rnd
             if not isinstance(rec, dict):
                 last_status[name] = False
                 continue
@@ -64,13 +66,35 @@ def _rotation_order(names) -> list[str]:
                 and err is None
             )
             last_status[name] = clean
+    return last_status, last_round
 
-    def rank(n: str) -> int:
+
+def _rotation_order(names, artifact_dir: str | None = None) -> list[str]:
+    """Coverage-converging order for the driver's per-round sample:
+
+    1. queries whose LAST driver sample failed (hash/schema/row mismatch
+       or an oracle error) — fixes must be re-verified before anything
+       else, so known-bad entries sort FIRST, never hide at the back;
+    2. queries never sampled by the driver — converge to full coverage;
+    3. queries that passed cleanly — LEAST-RECENTLY-SAMPLED first, so
+       the official record of every query keeps refreshing instead of
+       the same alphabetical head being re-sampled forever; name is
+       only the final tiebreak within one round.
+
+    (The local pytest oracle sweep covers ALL queries every round; this
+    only affects which subset lands in the driver's artifact.)"""
+    if artifact_dir is None:
+        artifact_dir = os.path.dirname(os.path.abspath(__file__))
+    last_status, last_round = _sample_history(artifact_dir)
+
+    def key(n: str):
         if n not in last_status:
-            return 1  # never sampled
-        return 0 if not last_status[n] else 2  # failed first, clean last
+            return (1, 0, n)  # never sampled
+        if not last_status[n]:
+            return (0, last_round.get(n, 0), n)  # failed first
+        return (2, last_round.get(n, 0), n)  # clean: oldest record first
 
-    return sorted(names, key=lambda n: (rank(n), n))
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -93,6 +93,13 @@ class ConfigStore:
                 ),
                 identity={"WatermarkId": (1, 1)},
             )
+        # a pre-identity store (created before commit-arbitrated ids)
+        # is swept forward HERE — init() is idempotent and every
+        # pipeline entry point calls it, so no silent single-process
+        # allocation path survives (adoption validates uniqueness and
+        # starts the high-water past existing ids, so old and new ids
+        # never collide)
+        self.upgrade_ledger_identity()
 
     def upgrade_ledger_identity(self) -> list[str]:
         """Migrate a legacy store (created before identity columns) onto
@@ -150,18 +157,15 @@ class ConfigStore:
             T.StructType(ENTITIES_SCHEMA.fields[1:]),
         )
         if "EntityId" not in ents.identity_columns():
-            # legacy store created before identity columns: preserve the
-            # old (single-process) allocation so existing stores keep
-            # working; new stores never take this path
-            cur = ents.read()
-            next_id = (
-                cur.agg(F.coalesce(F.max("EntityId"), F.lit(0))).first()[0]
-                or 0
-            ) + 1
-            ents.append(row.withColumn("EntityId", F.lit(next_id)).select(
-                *[f.name for f in ENTITIES_SCHEMA.fields]
-            ))
-            return next_id
+            # a legacy (pre-identity) store only reaches here when the
+            # caller bypassed init(); read-max+1 allocation is not
+            # multi-writer safe, so refuse with the one-call fix named
+            raise RuntimeError(
+                f"config store at {self.root!r} predates commit-"
+                "arbitrated id allocation — run ConfigStore.init() or "
+                "ConfigStore.upgrade_ledger_identity() once (idempotent) "
+                "before registering entities"
+            )
         v = ents.append(row)
         # the id THIS append assigned = the commit's own high-water
         # (commit records are immutable, so this read is race-free)
@@ -187,20 +191,12 @@ class ConfigStore:
         ).withColumn("LoadStartDatetime", F.current_timestamp())
         with self._ledger_lock:
             if "WatermarkId" not in wt.identity_columns():
-                # legacy store predating identity columns
-                cur = wt.read()
-                next_id = (
-                    cur.agg(
-                        F.coalesce(F.max("WatermarkId"), F.lit(0))
-                    ).first()[0]
-                    or 0
-                ) + 1
-                wt.append(
-                    row.withColumn("WatermarkId", F.lit(next_id)).select(
-                        *[f.name for f in WATERMARKS_SCHEMA.fields]
-                    )
+                raise RuntimeError(
+                    f"config store at {self.root!r} predates commit-"
+                    "arbitrated id allocation — run ConfigStore.init() "
+                    "or ConfigStore.upgrade_ledger_identity() once "
+                    "(idempotent) before opening watermarks"
                 )
-                return next_id
             v = wt.append(row)
             return wt.identity_high_water("WatermarkId", version=v)
 

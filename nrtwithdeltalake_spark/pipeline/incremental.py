@@ -193,6 +193,7 @@ def run_pipeline(
     Spark job scheduling is thread-safe, so a thread pool turns the
     reference's serial per-entity loop into overlapping jobs (the
     single biggest structural bottleneck listed in BASELINE.md)."""
+    store.init()  # idempotent; sweeps a pre-identity store forward
     entities = store.entities_with_watermarks().collect()  # config rows: tiny
     with ThreadPoolExecutor(max_workers=max_parallel) as pool:
         futures = [

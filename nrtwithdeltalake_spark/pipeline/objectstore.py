@@ -105,6 +105,79 @@ class InMemoryObjectStore:
         os.replace(tmp, key)  # atomic for readers; exclusivity already won
 
 
+class LocalFSConditionalPutStore:
+    """A second REAL implementation of the object-store client surface
+    (``put_object(key, body, if_none_match=...)`` / ``get_object``) —
+    over an actual filesystem instead of a dict. It exists to prove the
+    SEAM, not to add a backend: binding boto3 (S3 ``If-None-Match: *``),
+    google-cloud-storage (``if_generation_match=0``) or
+    azure-storage-blob (ETag ``If-None-Match``) means implementing
+    exactly these two methods with the client library's conditional
+    write; this container has no cloud credentials, so the conformance
+    storm runs against this FS-backed client to prove
+    ``ConditionalPutCommitStore`` works over a real medium with real
+    concurrency, not just the in-memory fake.
+
+    Atomicity: the body lands in a same-directory tempfile first
+    (``mkstemp`` opens with ``O_CREAT|O_EXCL``, so the temp is private),
+    then ``os.link`` publishes it at ``key`` — link is atomic and fails
+    ``EEXIST`` for every racer but one, which maps to
+    :class:`PreconditionFailed` exactly like a 412. Readers therefore
+    never observe a torn object (they see nothing, or the complete
+    winner bytes), matching per-key read atomicity object stores give
+    for free."""
+
+    def put_object(self, key: str, body: str, *, if_none_match: bool) -> None:
+        d = os.path.dirname(key)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".osput")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+            if not if_none_match:
+                os.replace(tmp, key)  # unconditional PUT: last writer wins
+                return
+            try:
+                os.link(tmp, key)
+            except FileExistsError:
+                raise PreconditionFailed(key) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def get_object(self, key: str) -> str | None:
+        try:
+            with open(key) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+
+class AmbiguityInjector:
+    """Wrap any object-store client so its first ``n`` puts APPLY and
+    then raise :class:`AmbiguousPutError` — the lost-response hazard,
+    injectable against REAL backends (the in-memory fake has the knob
+    built in; this brings the same storm to ``LocalFSConditionalPut
+    Store`` and to any future cloud binding)."""
+
+    def __init__(self, client, n: int = 1) -> None:
+        self._client = client
+        self._left = n
+        self._lock = threading.Lock()
+
+    def put_object(self, key: str, body: str, *, if_none_match: bool) -> None:
+        self._client.put_object(key, body, if_none_match=if_none_match)
+        with self._lock:
+            if self._left > 0:
+                self._left -= 1
+                raise AmbiguousPutError(key)
+
+    def get_object(self, key: str) -> str | None:
+        return self._client.get_object(key)
+
+
 class ConditionalPutCommitStore:
     """The commit-store seam over any conditional-put object store.
 

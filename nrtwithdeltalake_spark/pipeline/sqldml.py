@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -503,6 +504,12 @@ _RESTORE_RE = re.compile(
     r"VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ... | FOR ALL COLUMNS]
+_ANALYZE_RE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+{_IDENT}\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _ident_parts(ident: str) -> list[str]:
@@ -590,6 +597,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
             size = sum(ex.map(_sz, c.files))
         first = table.get_commit(0)
         proto = c.protocol or {}
+        tstats = table.table_statistics()
         return spark.createDataFrame(
             [
                 (
@@ -608,6 +616,11 @@ def execute_dml(spark: SparkSession, sql_text: str):
                     list(proto.get("writer_features") or []),
                     sorted(table.identity_columns()),
                     table.not_null_columns(),
+                    None if tstats is None else int(tstats["row_count"]),
+                    None
+                    if tstats is None
+                    else int(tstats["analyzed_version"]),
+                    sorted(tstats["columns"]) if tstats else [],
                 )
             ],
             "format string, location string, version bigint, "
@@ -615,12 +628,28 @@ def execute_dml(spark: SparkSession, sql_text: str):
             "size_in_bytes bigint, num_dv_files bigint, num_columns bigint, "
             "min_reader_version bigint, min_writer_version bigint, "
             "reader_features array<string>, writer_features array<string>, "
-            "identity_columns array<string>, not_null_columns array<string>",
+            "identity_columns array<string>, not_null_columns array<string>, "
+            "analyzed_row_count bigint, analyzed_version bigint, "
+            "analyzed_columns array<string>",
         )
     m = _RESTORE_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
         return {"version": table.restore(int(m.group(2)))}
+    m = _ANALYZE_RE.match(sql_text)
+    if m:
+        # ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ... | FOR ALL
+        # COLUMNS] → analyze(): one distributed aggregate, persisted
+        # metadata-only (see VersionedTable.analyze)
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        clause = (m.group(2) or "").strip()
+        if clause.upper() == "ALL COLUMNS":
+            cols = [f.name for f in table.schema().fields]
+        elif clause:
+            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+        else:
+            cols = None
+        return table.analyze(columns=cols)
     m = _CONVERT_RE.match(sql_text)
     if m:
         # Delta's CONVERT TO DELTA parquet.`/path` — in-place adoption
@@ -642,7 +671,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
         return {"version": 0, "path": t.path}
     if re.match(
         r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+(HISTORY|DETAIL)"
-        r"|RESTORE|CONVERT)\b",
+        r"|RESTORE|CONVERT|ANALYZE)\b",
         sql_text,
         re.IGNORECASE,
     ):
@@ -651,7 +680,8 @@ def execute_dml(spark: SparkSession, sql_text: str):
             "OPTIMIZE t [ZORDER BY (c, ...)], VACUUM t [RETAIN n HOURS], "
             "DESCRIBE HISTORY t, DESCRIBE DETAIL t, "
             "RESTORE [TABLE] t [TO] VERSION AS OF n, "
-            "CONVERT TO VERSIONED parquet.`/path`"
+            "CONVERT TO VERSIONED parquet.`/path`, "
+            "ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ...]"
         )
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql_text)
     kind = _cls(plan)
@@ -914,10 +944,14 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
     ``Id BIGINT GENERATED ALWAYS AS IDENTITY`` shape
     (``/root/reference/dbrdemo.sql:20``, ``dbrconfig.sql:21,34``).
     Builds an EMPTY versioned table at the path with the declared
-    schema; identity specs map to commit-arbitrated identity columns
-    (ALWAYS semantics only — BY DEFAULT is refused loudly because the
-    engine never accepts explicit identity values), and ``GENERATED
-    ALWAYS AS (expr)`` columns map to the generated-column registry."""
+    schema; identity specs (ALWAYS and BY DEFAULT) map to
+    commit-arbitrated identity columns — kept at their DECLARED
+    position and implicitly NOT NULL, like Delta — and ``GENERATED
+    ALWAYS AS (expr)`` columns map to the generated-column registry.
+    DEFAULT expressions are validated BEFORE the table is created (the
+    same resolve/cast probe ``set_column_default`` runs), and any
+    post-create declaration failure removes the partially-created
+    table, so a corrected re-run never hits 'already exists'."""
     name_parts = _seq(plan.name().nameParts())
     if len(name_parts) != 2 or name_parts[0].lower() != "versioned":
         raise UnsupportedSqlError(
@@ -941,6 +975,7 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
         raise ValueError(f"versioned table already exists at {root!r}")
     cols = plan.columns()
     fields: list = []
+    declared_order: list[str] = []
     identity: dict = {}
     generated: dict = {}
     not_null: list = []
@@ -948,22 +983,24 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
     for i in range(cols.size()):
         c = cols.apply(i)
         dt = T._parse_datatype_json_string(c.dataType().json())
+        declared_order.append(c.name())
         spec = c.identityColumnSpec()
         if spec.isDefined():
             s = spec.get()
-            if s.isAllowExplicitInsert():
-                raise UnsupportedSqlError(
-                    "GENERATED BY DEFAULT AS IDENTITY is unsupported — "
-                    "the engine implements ALWAYS semantics only "
-                    "(explicit identity values are never accepted)"
-                )
             if not isinstance(dt, T.LongType):
                 raise UnsupportedSqlError(
                     f"identity column {c.name()!r} must be BIGINT, "
                     f"is {dt.simpleString()}"
                 )
-            identity[c.name()] = (int(s.getStart()), int(s.getStep()))
-            continue  # prepended by create(); never part of the body df
+            identity[c.name()] = {
+                "start": int(s.getStart()),
+                "step": int(s.getStep()),
+                "mode": "default" if s.isAllowExplicitInsert() else "always",
+            }
+            # implicitly NOT NULL (Delta/reference parity) — enforced
+            # via the same write-gated constraint as a declared one
+            not_null.append(c.name())
+            continue  # assigned by create(); never part of the body df
         fields.append(T.StructField(c.name(), dt, True))
         if not c.nullable():
             not_null.append(c.name())
@@ -973,16 +1010,42 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
         dv = c.defaultValue()
         if dv.isDefined():
             defaults[c.name()] = str(dv.get().originalSQL())
-    df = spark.createDataFrame([], T.StructType(fields))
-    t = VersionedTable.create(spark, root, df, identity=identity or None)
-    for n, e in generated.items():
-        t.add_generated_column(n, e)
-    for n in not_null:
-        # declared NOT NULL → the write-gated column constraint (flips
-        # the committed schema and registers the IS NULL probe)
-        t.set_not_null(n)
+    body = T.StructType(fields)
+    by_name = {f.name: f for f in fields}
+    # pre-validate everything validate-able BEFORE the table exists:
+    # a bad DEFAULT/generation expression then fails with NO partial
+    # table left behind (ALTER-time declarations re-validate anyway)
     for n, e in defaults.items():
-        t.set_column_default(n, e)
+        # self-contained (column-free) resolve + cast check — the exact
+        # probe set_column_default runs at declare time
+        spark.range(1).select(F.expr(e).cast(by_name[n].dataType)).schema
+    for n, e in generated.items():
+        # generation expressions may reference sibling columns: resolve
+        # against an empty frame with the declared body schema
+        spark.createDataFrame([], body).select(F.expr(e)).schema
+    df = spark.createDataFrame([], body)
+    t = VersionedTable.create(
+        spark,
+        root,
+        df,
+        identity=identity or None,
+        column_order=declared_order if identity else None,
+    )
+    try:
+        for n, e in generated.items():
+            t.add_generated_column(n, e)
+        for n in not_null:
+            # declared NOT NULL → the write-gated column constraint
+            # (flips the committed schema and registers the IS NULL
+            # probe)
+            t.set_not_null(n)
+        for n, e in defaults.items():
+            t.set_column_default(n, e)
+    except Exception:
+        # the table was born in THIS call — remove the partial state so
+        # the corrected statement can re-run
+        shutil.rmtree(root, ignore_errors=True)
+        raise
     return {"version": t.latest_version()}
 
 

@@ -1203,6 +1203,13 @@ class VersionedTable:
         return v
 
     def drop_not_null(self, col: str) -> int:
+        """Inverse of ``set_not_null``. Ordering matters: the
+        nullable=True schema commit publishes FIRST, the enforcement
+        entry leaves the constraints sidecar SECOND — a crash (or a
+        concurrent writer) between the two then leaves the CONSERVATIVE
+        state (schema already nullable, constraint still enforced),
+        never a schema that promises non-nullability with enforcement
+        gone. ``set_not_null`` is the mirror image (sidecar first)."""
         name = f"notnull:{col}"
         cons = self.constraints()
         if name not in cons:
@@ -1210,8 +1217,6 @@ class VersionedTable:
                 f"column {col!r} has no NOT NULL constraint "
                 f"(have {self.not_null_columns()})"
             )
-        cons.pop(name)
-        self._write_constraints(cons)
         prev = self.get_commit()
         schema = T.StructType.fromJson(json.loads(prev.schema_json))
         new_schema = T.StructType(
@@ -1238,6 +1243,8 @@ class VersionedTable:
                 dv_files=list(prev.dv_files),
             )
         )
+        cons.pop(name)
+        self._write_constraints(cons)
         return v
 
     # -- table properties (Delta TBLPROPERTIES analog) ---------------------
@@ -1286,10 +1293,12 @@ class VersionedTable:
                         or not isinstance(d.get("start"), int)
                         or not isinstance(d.get("step"), int)
                         or d["step"] == 0
+                        or d.get("mode", "always") not in ("always", "default")
                     ):
                         raise ValueError(
                             f"{k}[{c!r}] must be "
-                            '{"start": int, "step": nonzero int}'
+                            '{"start": int, "step": nonzero int'
+                            ', "mode": "always"|"default"}'
                         )
             if k == "versioned.bloomFilterColumns":
                 cols = [c.strip() for c in str(v).split(",") if c.strip()]
@@ -1317,6 +1326,121 @@ class VersionedTable:
         with os.fdopen(fd, "w") as f:
             json.dump(props, f)
         os.rename(tmp, self._properties_path())
+
+    # -- ANALYZE TABLE statistics (Spark/Delta COMPUTE STATISTICS) ---------
+
+    _ANALYZE_PROP = "versioned.analyze.stats"
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``.
+
+        ONE distributed aggregate over the snapshot: row count always;
+        per requested column approximate NDV (HyperLogLog —
+        ``approx_count_distinct``, the only viable NDV at 100 TB),
+        min, max, and null count. The result persists metadata-only
+        into table properties (no data commit), stamped with the
+        snapshot version it describes so consumers can tell stale
+        stats from fresh ones. Surfaced by DESCRIBE DETAIL; consumed
+        by ``read_for_join()``'s broadcast decision."""
+        c = self.get_commit()
+        schema = self.schema()
+        by_name = {f.name: f for f in schema.fields}
+        cols = list(columns or [])
+        unknown = [x for x in cols if x not in by_name]
+        if unknown:
+            raise ValueError(
+                f"ANALYZE columns {unknown} not in schema "
+                f"{sorted(by_name)}"
+            )
+        df = self.read()
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for col in cols:
+            aggs += [
+                F.approx_count_distinct(col).alias(f"__ndv_{col}"),
+                (F.count(F.lit(1)) - F.count(col)).alias(f"__nulls_{col}"),
+            ]
+            # min/max only for orderable atomic types (arrays/maps/
+            # structs/binary have no useful ordering for planning)
+            if isinstance(
+                by_name[col].dataType,
+                (
+                    T.NumericType,
+                    T.StringType,
+                    T.DateType,
+                    T.TimestampType,
+                    T.BooleanType,
+                ),
+            ):
+                aggs += [
+                    F.min(col).alias(f"__min_{col}"),
+                    F.max(col).alias(f"__max_{col}"),
+                ]
+        r = df.agg(*aggs).first()
+
+        def _plain(v):
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        col_stats = {}
+        for col in cols:
+            d = {
+                "ndv": int(r[f"__ndv_{col}"]),
+                "null_count": int(r[f"__nulls_{col}"]),
+            }
+            if f"__min_{col}" in r.asDict():
+                d["min"] = _plain(r[f"__min_{col}"])
+                d["max"] = _plain(r[f"__max_{col}"])
+            col_stats[col] = d
+        stats = {
+            "analyzed_version": int(c.version),
+            "row_count": int(r["__rows"]),
+            "columns": col_stats,
+        }
+        self.set_properties({self._ANALYZE_PROP: json.dumps(stats)})
+        return stats
+
+    def table_statistics(self) -> dict | None:
+        """The last ANALYZE result (None if never analyzed). Check
+        ``analyzed_version`` against ``latest_version()`` for
+        staleness — stats are NOT auto-refreshed by writes."""
+        raw = self.properties().get(self._ANALYZE_PROP)
+        return json.loads(raw) if raw else None
+
+    # conservative per-type in-memory width estimate for the broadcast
+    # decision (bytes per value; strings/binary dominate, so they get
+    # the fattest guess — a wrong "too big" only costs a shuffle, a
+    # wrong "broadcast" can OOM the driver, so guesses skew LARGE)
+    _WIDTH_GUESS = {
+        "byte": 1, "short": 2, "integer": 4, "long": 8, "float": 4,
+        "double": 8, "boolean": 1, "date": 4, "timestamp": 8,
+    }
+
+    def estimated_bytes(self) -> int | None:
+        """Row-count × per-column width estimate from the last ANALYZE
+        (None without stats). Deliberately pessimistic for strings."""
+        stats = self.table_statistics()
+        if stats is None:
+            return None
+        width = 0
+        for f in self.schema().fields:
+            width += self._WIDTH_GUESS.get(f.dataType.simpleString(), 48)
+        return int(stats["row_count"]) * max(width, 8)
+
+    def read_for_join(self, threshold_bytes: int = 10 * 1024 * 1024):
+        """Read the snapshot with a stats-informed broadcast hint: when
+        the last ANALYZE is CURRENT (same version as the snapshot) and
+        the estimated in-memory size fits under ``threshold_bytes``
+        (Spark's autoBroadcastJoinThreshold default, 10 MB), the frame
+        is wrapped in ``F.broadcast`` so a dimension-side join never
+        shuffles the fact side. Stale or absent stats fall back to a
+        plain read — never guess a broadcast from old numbers."""
+        df = self.read()
+        stats = self.table_statistics()
+        if stats is None or stats["analyzed_version"] != self.latest_version():
+            return df
+        est = self.estimated_bytes()
+        if est is not None and est <= threshold_bytes:
+            return F.broadcast(df)
+        return df
 
     # -- generated columns (Delta GENERATED ALWAYS AS analog) -------------
 
@@ -1441,7 +1565,7 @@ class VersionedTable:
             )
         if name in self.identity_columns():
             raise ValueError(
-                f"column {name!r} is GENERATED ALWAYS AS IDENTITY and "
+                f"column {name!r} is a GENERATED AS IDENTITY column and "
                 "cannot have a DEFAULT"
             )
         # SQL DEFAULT must be self-contained (constants / deterministic
@@ -1500,9 +1624,18 @@ class VersionedTable:
     # mint disjoint ids, which a read-max+1-under-a-thread-lock scheme
     # cannot guarantee.
     #
-    # ALWAYS semantics (Delta's GENERATED ALWAYS): explicit writes to an
-    # identity column are refused everywhere — append/merge/overwrite
-    # batches must not carry the column, UPDATE must not assign it.
+    # Two modes, mirroring Delta:
+    #  - ALWAYS (GENERATED ALWAYS AS IDENTITY): explicit writes to the
+    #    column are refused everywhere — append/merge/overwrite batches
+    #    must not carry it, UPDATE must not assign it.
+    #  - BY DEFAULT (GENERATED BY DEFAULT AS IDENTITY): a batch MAY carry
+    #    the column; supplied values pass through (validated non-null)
+    #    and the commit's high-water advances past them, so values the
+    #    engine generates later never collide with supplied ones.
+    #    Like Delta, supplied values are NOT checked for uniqueness
+    #    against already-assigned ids — BY DEFAULT trades that guarantee
+    #    for explicit-insert compatibility. UPDATE of an identity column
+    #    is refused in both modes (Delta's rule).
     # Values are contiguous WITHIN a commit; concurrent writers keep them
     # disjoint (never reissued), and RESTORE keeps the high-water mark so
     # ids of restored-away rows are never reused (Delta's rule).
@@ -1517,6 +1650,16 @@ class VersionedTable:
         return {
             c: (int(d["start"]), int(d["step"]))
             for c, d in json.loads(raw).items()
+        }
+
+    def identity_modes(self) -> dict[str, str]:
+        """{column: 'always' | 'default'} — pre-mode declarations (no
+        ``mode`` key in the stored spec) read as 'always'."""
+        raw = self.properties().get(self._IDENTITY_PROP)
+        if not raw:
+            return {}
+        return {
+            c: d.get("mode", "always") for c, d in json.loads(raw).items()
         }
 
     def identity_high_water(self, col: str, version: int | None = None) -> int | None:
@@ -1534,15 +1677,75 @@ class VersionedTable:
             out[c] = (start if last is None else int(last) + step, step)
         return out
 
-    def _refuse_explicit_identity(self, cols, op: str) -> None:
+    def _refuse_explicit_identity(
+        self, cols, op: str, include_by_default: bool = False
+    ) -> None:
+        """Refuse a batch/assignment that names an identity column.
+        ALWAYS-mode columns are refused everywhere; ``include_by_default``
+        extends the refusal to BY DEFAULT columns for the operations
+        Delta also forbids in both modes (UPDATE assignments)."""
         ident = self.identity_columns()
-        bad = sorted(c for c in ident if c in set(cols))
+        modes = self.identity_modes()
+        bad = sorted(
+            c
+            for c in ident
+            if c in set(cols)
+            and (include_by_default or modes.get(c, "always") == "always")
+        )
         if bad:
+            kinds = {modes.get(c, "always") for c in bad}
+            label = (
+                "GENERATED ALWAYS AS IDENTITY"
+                if kinds == {"always"}
+                else "GENERATED ... AS IDENTITY"
+            )
             raise ValueError(
-                f"cannot {op} GENERATED ALWAYS AS IDENTITY column(s) "
+                f"cannot {op} {label} column(s) "
                 f"{bad} — the engine assigns them; drop them from the "
                 "batch/assignments"
             )
+
+    def _explicit_identity_split(self, cols) -> list[str]:
+        """The BY DEFAULT identity columns a batch explicitly carries."""
+        modes = self.identity_modes()
+        return sorted(
+            c
+            for c in self.identity_columns()
+            if c in set(cols) and modes.get(c, "always") == "default"
+        )
+
+    def _explicit_identity_extremes(
+        self, df: DataFrame, cols: list[str]
+    ) -> dict[str, int]:
+        """Validate explicitly-supplied (BY DEFAULT) identity values and
+        return {col: farthest-along-the-step value} for the commit's
+        high-water advance. One bounded aggregate over the batch; NULL
+        values are refused (a NULL id can never be arbitrated past).
+        {} for an empty batch — the carried high-water then stands."""
+        if not cols:
+            return {}
+        defs = self.identity_columns()
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"__nn_{c}"),
+                F.max(F.col(c).cast("long")).alias(f"__mx_{c}"),
+                F.min(F.col(c).cast("long")).alias(f"__mn_{c}"),
+            ]
+        r = df.agg(*aggs).first()
+        if not r["__n"]:
+            return {}
+        out = {}
+        for c in cols:
+            if r[f"__nn_{c}"] != r["__n"]:
+                raise ValueError(
+                    f"explicit values for GENERATED BY DEFAULT AS "
+                    f"IDENTITY column {c!r} must be non-null "
+                    f"({r['__n']} rows, {r[f'__nn_{c}']} non-null)"
+                )
+            step = defs[c][1]
+            out[c] = int(r[f"__mx_{c}"] if step > 0 else r[f"__mn_{c}"])
+        return out
 
     def _assign_identity(
         self, df: DataFrame, plan: dict[str, tuple[int, int]]
@@ -1618,22 +1821,37 @@ class VersionedTable:
         )
 
     def _shift_identity_files(
-        self, files: list[str], out_dir: str, shifts: dict[str, int]
+        self,
+        files: list[str],
+        out_dir: str,
+        shifts: dict[str, int],
+        schema: T.StructType | None = None,
     ) -> list[str]:
         """Rewrite already-written batch files with identity values
         shifted by ``shifts`` — the append OCC loser's rebase when a
         concurrent commit consumed the id range it assumed. Reads back
         the files themselves (deterministic, unlike the source frame);
-        the orphaned originals are unreferenced and vacuumable."""
+        the orphaned originals are unreferenced and vacuumable.
+        ``schema`` is the commit schema the rewritten files will live
+        under — a schema-evolving append MUST pass its merged schema so
+        the rewrite stamps the NEW columns' field ids too (otherwise an
+        id-mapped read would null-fill them for the rebased batch)."""
         if not files or not shifts:
             return files
         df = self.spark.read.parquet(*files)
         for c, d in shifts.items():
             df = df.withColumn(c, (F.col(c) + F.lit(int(d))).cast("long"))
-        return self._write_files(df, out_dir, enforce=False)
+        return self._write_files(df, out_dir, enforce=False, schema=schema)
 
-    def add_identity_column(self, name: str, start: int = 1, step: int = 1) -> None:
-        """Declare ``name`` as GENERATED ALWAYS AS IDENTITY.
+    def add_identity_column(
+        self,
+        name: str,
+        start: int = 1,
+        step: int = 1,
+        mode: str = "always",
+    ) -> None:
+        """Declare ``name`` as GENERATED ALWAYS (or, with
+        ``mode='default'``, GENERATED BY DEFAULT) AS IDENTITY.
 
         Two shapes, mirroring what Delta can express: (a) a NEW LongType
         column on an EMPTY table (the CREATE TABLE ... IDENTITY shape —
@@ -1647,6 +1865,10 @@ class VersionedTable:
         discipline — same as add/drop/rename column)."""
         if step == 0:
             raise ValueError("identity step must be nonzero")
+        if mode not in ("always", "default"):
+            raise ValueError(
+                f"identity mode must be 'always' or 'default', got {mode!r}"
+            )
         if name in self.identity_columns():
             raise ValueError(f"column {name!r} is already an identity column")
         prev = self.get_commit()
@@ -1693,11 +1915,10 @@ class VersionedTable:
                 )
             self.add_column(name, T.LongType())
             prev = self.get_commit()
-        defs = {
-            c: {"start": s, "step": k}
-            for c, (s, k) in self.identity_columns().items()
-        }
-        defs[name] = {"start": int(start), "step": int(step)}
+        raw = self.properties().get(self._IDENTITY_PROP)
+        # preserve existing specs VERBATIM (incl. their mode keys)
+        defs = json.loads(raw) if raw else {}
+        defs[name] = {"start": int(start), "step": int(step), "mode": mode}
         self.set_properties({self._IDENTITY_PROP: json.dumps(defs)})
         if hw is not None:
             # record the adopted high-water in a metadata-only commit so
@@ -1952,6 +2173,7 @@ class VersionedTable:
         df: DataFrame,
         extra_stats: dict | None = None,
         identity: dict | None = None,
+        column_order: list[str] | None = None,
     ) -> "VersionedTable":
         """Initial full load — the reference's overwrite branch (O4,
         ``COPY_MSQL_TO_SILVER.py:193``). ``extra_stats`` rides the
@@ -1959,12 +2181,16 @@ class VersionedTable:
         stamp provenance — e.g. IncrementalChecksum's base_version —
         without mutating a published commit afterwards.
 
-        ``identity``: ``{col: (start, step)}`` declares GENERATED
-        ALWAYS AS IDENTITY column(s) at birth — the reference's
-        ``Id BIGINT GENERATED ALWAYS AS IDENTITY``
-        (``dbrdemo.sql:20``, ``dbrconfig.sql:21,34``). The column must
-        NOT be in ``df`` (ALWAYS semantics); it is prepended to the
-        schema and any initial rows get ids from ``start``."""
+        ``identity``: ``{col: spec}`` declares identity column(s) at
+        birth — the reference's ``Id BIGINT GENERATED ALWAYS AS
+        IDENTITY`` (``dbrdemo.sql:20``, ``dbrconfig.sql:21,34``). A
+        spec is ``start`` / ``(start, step)`` /
+        ``{"start":, "step":, "mode": "always"|"default"}``. An
+        ALWAYS column must NOT be in ``df``; a BY DEFAULT column MAY
+        carry explicit initial values (validated non-null, high-water
+        starts past them). Generated columns are prepended unless
+        ``column_order`` gives the full final order (the SQL CREATE
+        path uses it to keep the DDL-declared positions)."""
         t = cls(spark, path)
         if cls.exists(path):
             raise RuntimeError(f"table already exists at {path}")
@@ -1973,22 +2199,58 @@ class VersionedTable:
             os.makedirs(path, exist_ok=True)
             defs = {}
             plan = {}
+            explicit: list[str] = []
             for col, sk in identity.items():
-                start, step = (sk, 1) if isinstance(sk, int) else tuple(sk)
+                mode = "always"
+                if isinstance(sk, dict):
+                    start = int(sk["start"])
+                    step = int(sk.get("step", 1))
+                    mode = sk.get("mode", "always")
+                elif isinstance(sk, int):
+                    start, step = sk, 1
+                else:
+                    start, step = tuple(sk)
                 if step == 0:
                     raise ValueError("identity step must be nonzero")
-                if col in df.columns:
+                if mode not in ("always", "default"):
                     raise ValueError(
-                        f"cannot supply values for GENERATED ALWAYS AS "
-                        f"IDENTITY column {col!r} at create — drop it "
-                        "from the dataframe"
+                        f"identity mode must be 'always' or 'default', "
+                        f"got {mode!r}"
                     )
-                defs[col] = {"start": int(start), "step": int(step)}
-                plan[col] = (int(start), int(step))
+                if col in df.columns:
+                    if mode == "always":
+                        raise ValueError(
+                            f"cannot supply values for GENERATED ALWAYS "
+                            f"AS IDENTITY column {col!r} at create — "
+                            "drop it from the dataframe"
+                        )
+                    explicit.append(col)
+                defs[col] = {
+                    "start": int(start),
+                    "step": int(step),
+                    "mode": mode,
+                }
+                if col not in df.columns:
+                    plan[col] = (int(start), int(step))
             t.set_properties({cls._IDENTITY_PROP: json.dumps(defs)})
-            df, ident_last, ident_cache = t._assign_identity(df, plan)
-            df = df.select(*identity.keys(), *(c for c in df.columns
-                                               if c not in identity))
+            explicit_cache = None
+            if explicit:
+                # pin ONE materialization so the extremes aggregate and
+                # the file writes see identical explicit values
+                df = explicit_cache = df.persist()
+            ident_last = t._explicit_identity_extremes(df, explicit)
+            df, assigned_last, ident_cache = t._assign_identity(df, plan)
+            ident_last.update(assigned_last)
+            order = column_order or (
+                list(identity)
+                + [c for c in df.columns if c not in identity]
+            )
+            if sorted(order) != sorted(df.columns):
+                raise ValueError(
+                    f"column_order {order} is not a permutation of the "
+                    f"created columns {sorted(df.columns)}"
+                )
+            df = df.select(*order)
         schema = _with_field_ids(_strip_ids(df.schema))  # mapping from birth
         files = t._write_files(df, t.data_dir, schema=schema)
         cdf = t._write_files(
@@ -2007,6 +2269,8 @@ class VersionedTable:
         )
         if identity and ident_cache is not None:
             ident_cache.unpersist()
+        if identity and explicit_cache is not None:
+            explicit_cache.unpersist()
         return t
 
     @classmethod
@@ -2107,13 +2371,26 @@ class VersionedTable:
         prev_schema = T.StructType.fromJson(json.loads(prev.schema_json))
         ident_last: dict = {}
         ident_cache = None
+        explicit_cache = None
         if self.identity_columns():
             self._refuse_explicit_identity(df.columns, "overwrite")
+            explicit = self._explicit_identity_split(df.columns)
+            if explicit:
+                df = explicit_cache = df.persist()
+            explicit_ext = self._explicit_identity_extremes(df, explicit)
             # numbering CONTINUES past the previous high-water — an
-            # overwrite never reuses ids of replaced rows (Delta's rule)
+            # overwrite never reuses ids of replaced rows (Delta's rule);
+            # _write_commit's monotone combine keeps that true for
+            # explicit BY DEFAULT values below the high-water too
             df, ident_last, ident_cache = self._assign_identity(
-                df, self._identity_plan(prev)
+                df,
+                {
+                    c: p
+                    for c, p in self._identity_plan(prev).items()
+                    if c not in explicit
+                },
             )
+            ident_last.update(explicit_ext)
             order = [
                 f.name for f in prev_schema.fields if f.name in set(df.columns)
             ]
@@ -2200,6 +2477,8 @@ class VersionedTable:
             )
             if ident_cache is not None:
                 ident_cache.unpersist()
+            if explicit_cache is not None:
+                explicit_cache.unpersist()
             return v
 
         pred = F.coalesce(F.expr(replace_where), F.lit(False))
@@ -2255,6 +2534,8 @@ class VersionedTable:
         )
         if ident_cache is not None:
             ident_cache.unpersist()
+        if explicit_cache is not None:
+            explicit_cache.unpersist()
         return ver
 
     def restore(self, version: int) -> int:
@@ -2526,10 +2807,23 @@ class VersionedTable:
         ident_plan: dict = {}
         ident_last: dict = {}
         ident_cache = None
+        explicit_cache = None
         if self.identity_columns():
             self._refuse_explicit_identity(df.columns, "append to")
-            ident_plan = self._identity_plan(prev)
+            explicit = self._explicit_identity_split(df.columns)
+            if explicit:
+                # BY DEFAULT columns the batch carries: values pass
+                # through; one bounded aggregate advances the high-water
+                # past them (pinned to one materialization)
+                df = explicit_cache = df.persist()
+            explicit_ext = self._explicit_identity_extremes(df, explicit)
+            ident_plan = {
+                c: p
+                for c, p in self._identity_plan(prev).items()
+                if c not in explicit
+            }
             df, ident_last, ident_cache = self._assign_identity(df, ident_plan)
+            ident_last.update(explicit_ext)
         schema = self._merged_schema(prev, df)
         df = _align_to(df, schema)
         new_files = self._write_files(df, self.data_dir, schema=schema)
@@ -2540,6 +2834,8 @@ class VersionedTable:
         )
         if ident_cache is not None:
             ident_cache.unpersist()
+        if explicit_cache is not None:
+            explicit_cache.unpersist()
         attempt = 0
         while True:
             try:
@@ -2583,11 +2879,24 @@ class VersionedTable:
                         if fresh_plan[c][0] != ident_plan[c][0]
                     }
                     if shifts:
+                        # the same BIGINT bound _assign_identity enforces:
+                        # a rebase near the int64 edge must refuse, not
+                        # wrap into colliding/negative ids (both ends of
+                        # the shifted range — the fresh first id and the
+                        # shifted last id — must stay representable)
+                        for c, d in shifts.items():
+                            for edge in (fresh_plan[c][0], ident_last[c] + d):
+                                if not (-(1 << 63) <= edge < (1 << 63)):
+                                    raise ValueError(
+                                        f"identity rebase for column {c!r} "
+                                        f"would overflow BIGINT (shift={d}, "
+                                        f"edge value={edge})"
+                                    )
                         new_files = self._shift_identity_files(
-                            new_files, self.data_dir, shifts
+                            new_files, self.data_dir, shifts, schema=schema
                         )
                         cdf = self._shift_identity_files(
-                            cdf, self.cdf_dir, shifts
+                            cdf, self.cdf_dir, shifts, schema=schema
                         )
                         ident_last = {
                             c: ident_last[c] + shifts.get(c, 0)
@@ -2736,14 +3045,24 @@ class VersionedTable:
         if not keys:
             raise ValueError("merge requires at least one key column")
         ident_defs = self.identity_columns()
+        ident_carried: list[str] = []
         if ident_defs:
+            # ALWAYS columns: the source must not carry them. BY DEFAULT
+            # columns MAY ride in the source — insert images take the
+            # supplied value (Delta's merge-insert parity); matched rows
+            # keep the target's id in both modes (identity is never
+            # updated).
             self._refuse_explicit_identity(source.columns, "merge into")
+            ident_carried = self._explicit_identity_split(source.columns)
             if not_matched_by_source_update:
                 self._refuse_explicit_identity(
                     not_matched_by_source_update,
                     "assign (WHEN NOT MATCHED BY SOURCE UPDATE) to",
+                    include_by_default=True,
                 )
-            bad_key = sorted(set(keys) & set(ident_defs))
+            # a carried BY DEFAULT identity column is a legal merge key
+            # (upsert-by-id); an ALWAYS column can never be one
+            bad_key = sorted(set(keys) & set(ident_defs) - set(ident_carried))
             if bad_key:
                 raise ValueError(
                     f"identity column(s) {bad_key} cannot be merge keys "
@@ -2964,18 +3283,27 @@ class VersionedTable:
                 ).otherwise(base)
             return base
 
-        merged_cols = [
-            # identity columns ALWAYS come from the target side: matched
-            # updates keep the row's id (the aligned source carries only
-            # NULL there), inserts are NULL here and assigned fresh ids
-            # below — GENERATED ALWAYS semantics under merge.
-            F.col(f"t.{f.name}").alias(f.name)
-            if f.name in ident_defs
-            else F.when(take_source, F.col(f"s.{f.name}"))
-            .otherwise(_tgt_value(f))
-            .alias(f.name)
-            for f in schema.fields
-        ]
+        def _merged_value(f: T.StructField) -> F.Column:
+            if f.name in ident_defs:
+                if f.name in ident_carried:
+                    # BY DEFAULT column the source carries: inserts take
+                    # the SUPPLIED value; matched/unmatched target rows
+                    # keep the row's id (identity is never updated)
+                    return F.when(
+                        t_present, F.col(f"t.{f.name}")
+                    ).otherwise(F.col(f"s.{f.name}")).alias(f.name)
+                # identity columns the source omits come from the target
+                # side: matched updates keep the row's id (the aligned
+                # source carries only NULL there), inserts are NULL here
+                # and assigned fresh ids below.
+                return F.col(f"t.{f.name}").alias(f.name)
+            return (
+                F.when(take_source, F.col(f"s.{f.name}"))
+                .otherwise(_tgt_value(f))
+                .alias(f.name)
+            )
+
+        merged_cols = [_merged_value(f) for f in schema.fields]
         kept = joined.filter(~(s_present & is_delete) & ~nmbs_del_row)
         ident_last: dict = {}
         ident_caches: list = []
@@ -2987,9 +3315,20 @@ class VersionedTable:
             ident_caches.append(marked)
             ins_raw = marked.filter(F.col("__ins")).drop("__ins")
             rest = marked.filter(~F.col("__ins")).drop("__ins")
-            ins_assigned, ident_last, cache = self._assign_identity(
-                ins_raw, self._identity_plan(prev)
+            # carried BY DEFAULT values ride through; validate them and
+            # advance the high-water past the insert images' extremes
+            carried_ext = self._explicit_identity_extremes(
+                ins_raw, ident_carried
             )
+            ins_assigned, ident_last, cache = self._assign_identity(
+                ins_raw,
+                {
+                    c: p
+                    for c, p in self._identity_plan(prev).items()
+                    if c not in ident_carried
+                },
+            )
+            ident_last.update(carried_ext)
             if cache is not None:
                 ident_caches.append(cache)
             result = rest.unionByName(ins_assigned)
@@ -3672,7 +4011,10 @@ class VersionedTable:
         updated rows (Delta does the same): updating a referenced
         column keeps the derivation true instead of tripping the
         write probe."""
-        self._refuse_explicit_identity(assignments, "UPDATE")
+        # Delta refuses UPDATE of identity columns in BOTH modes
+        self._refuse_explicit_identity(
+            assignments, "UPDATE", include_by_default=True
+        )
         prev = self.get_commit()
         gen_recompute = {
             g: e

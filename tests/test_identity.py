@@ -234,12 +234,6 @@ def test_sql_create_table_identity_end_to_end(spark, tmp_path):
         execute_dml(
             spark, f"INSERT INTO versioned.`{p}` (id, s) VALUES (1, 'z')"
         )
-    with pytest.raises(UnsupportedSqlError, match="BY DEFAULT"):
-        execute_dml(
-            spark,
-            f"CREATE TABLE versioned.`{tmp_path}/bd` "
-            "(id BIGINT GENERATED BY DEFAULT AS IDENTITY, s STRING)",
-        )
     with pytest.raises(UnsupportedSqlError, match="BIGINT"):
         execute_dml(
             spark,
@@ -452,41 +446,53 @@ def test_nmbs_update_cannot_assign_identity(spark, tmp_path):
 
 def test_legacy_store_upgrades_to_identity_ledger(spark, tmp_path):
     """A store created before identity columns (explicit-id appends
-    under a thread lock) migrates in place: adopt the existing unique
-    id columns, high-water starts past the legacy max, and the
-    commit-arbitrated path takes over with no id collision."""
+    under a thread lock) has NO silent allocation path left: ledger
+    writes fail loudly naming the one-call fix, and ``init()`` sweeps
+    the store forward automatically — adopting the existing unique id
+    columns with the high-water past the legacy max, so the commit-
+    arbitrated path takes over with no id collision."""
+    import datetime
+
     from nrtwithdeltalake_spark.pipeline.config import (
         ENTITIES_SCHEMA,
         ConfigStore,
     )
 
     root = str(tmp_path / "legacy")
-    # legacy layout: full schemas, no identity declarations
+    # legacy layout: full schemas, no identity declarations, with
+    # EXISTING watermark history written by the old explicit-id scheme
+    now = datetime.datetime(2024, 1, 1, 12, 0, 0)
     VersionedTable.create(
         spark,
         os.path.join(root, "entities"),
-        spark.createDataFrame([], ENTITIES_SCHEMA),
+        spark.createDataFrame(
+            [(1, "src.L", "silver.L", "source", "silver", "CT", None, ["k"])],
+            ENTITIES_SCHEMA,
+        ),
     )
     VersionedTable.create(
         spark,
         os.path.join(root, "watermarks"),
-        spark.createDataFrame([], WATERMARKS_SCHEMA),
+        spark.createDataFrame(
+            [(1, 1, None, 0, now, now), (2, 1, None, 1, now, None)],
+            WATERMARKS_SCHEMA,
+        ),
     )
     cs = ConfigStore(spark, root)
-    # legacy fallback path still works (read-max+1, id supplied)
-    e1 = cs.register_entity("src.L", "silver.L", "CT", ["k"])
-    w1 = cs.open_watermark(e1, None, 0)
-    w2 = cs.open_watermark(e1, None, 1)
-    assert (e1, w1, w2) == (1, 1, 2)
-
-    upgraded = cs.upgrade_ledger_identity()
-    assert upgraded == ["EntityId", "WatermarkId"]
-    assert cs.upgrade_ledger_identity() == []  # idempotent
+    # the read-max+1 fallback is GONE — pre-upgrade ledger writes
+    # refuse loudly and name the fix
+    with pytest.raises(RuntimeError, match="upgrade_ledger_identity"):
+        cs.open_watermark(1, None, 2)
+    with pytest.raises(RuntimeError, match="upgrade_ledger_identity"):
+        cs.register_entity("src.M", "silver.M", "TMSTP", ["k"], "ts")
+    # init() (idempotent, called by every pipeline entry) auto-upgrades
+    cs.init()
+    assert cs.upgrade_ledger_identity() == []  # already swept forward
 
     # post-upgrade: ids continue PAST the legacy max via commit
     # arbitration (two lockless store instances, disjoint ids)
     cs2 = ConfigStore(spark, root)
-    ids = [cs.open_watermark(e1, None, 2), cs2.open_watermark(e1, None, 3)]
+    ids = [cs.open_watermark(1, None, 2), cs2.open_watermark(1, None, 3)]
     assert sorted(ids) == [3, 4]
     e2 = cs2.register_entity("src.M", "silver.M", "TMSTP", ["k"], "ts")
     assert e2 == 2
@@ -712,3 +718,404 @@ def test_identity_ids_flow_through_change_feed_stream(spark, tmp_path):
     inserts = sorted((i, s) for i, s, ct in rows if ct == "insert")
     assert inserts == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
     assert not any(i is None for i, _, _ in rows)
+
+
+# -- GENERATED BY DEFAULT AS IDENTITY (Delta parity: explicit values
+# -- accepted, high-water advanced past them) --------------------------
+
+
+def _mk_bd(spark, tmp_path, name="bd"):
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / name),
+        spark.createDataFrame([("a",), ("b",)], "s string"),
+        identity={"id": {"start": 1, "step": 1, "mode": "default"}},
+    )
+
+
+def test_by_default_append_explicit_then_generated(spark, tmp_path):
+    t = _mk_bd(spark, tmp_path)
+    assert t.identity_modes() == {"id": "default"}
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # explicit values pass through verbatim
+    t.append(spark.createDataFrame([(100, "x"), (107, "y")], "id long, s string"))
+    rows = {r.s: r.id for r in t.read().collect()}
+    assert (rows["x"], rows["y"]) == (100, 107)
+    # the high-water advanced past the explicit max: the next GENERATED
+    # value continues from there, never colliding with supplied ids
+    t.append(spark.createDataFrame([("z",)], "s string"))
+    assert {r.id for r in t.read().filter("s = 'z'").collect()} == {108}
+    assert t.identity_high_water("id") == 108
+
+
+def test_by_default_explicit_null_refused(spark, tmp_path):
+    t = _mk_bd(spark, tmp_path)
+    with pytest.raises(ValueError, match="non-null"):
+        t.append(
+            spark.createDataFrame([(None, "x")], "id long, s string")
+        )
+
+
+def test_by_default_explicit_below_high_water_keeps_monotone(spark, tmp_path):
+    """Explicit values BELOW the high-water don't regress it (Delta's
+    monotone rule): generation continues from the old high-water."""
+    t = _mk_bd(spark, tmp_path)  # hw = 2
+    t.append(spark.createDataFrame([(-5, "x")], "id long, s string"))
+    assert t.identity_high_water("id") == 2
+    t.append(spark.createDataFrame([("z",)], "s string"))
+    assert t.read().filter("s = 'z'").collect()[0].id == 3
+
+
+def test_always_column_still_refused_alongside_by_default(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "mix"),
+        spark.createDataFrame([("a",)], "s string"),
+        identity={
+            "aid": {"start": 1, "step": 1, "mode": "always"},
+            "did": {"start": 10, "step": 10, "mode": "default"},
+        },
+    )
+    # carrying the ALWAYS column is refused even when the BY DEFAULT
+    # one rides along
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(
+            spark.createDataFrame(
+                [(5, 50, "x")], "aid long, did long, s string"
+            )
+        )
+    # carrying only the BY DEFAULT column works; aid keeps generating
+    t.append(spark.createDataFrame([(50, "x")], "did long, s string"))
+    r = t.read().filter("s = 'x'").collect()[0]
+    assert (r.aid, r.did) == (2, 50)
+    # UPDATE refuses BOTH modes (Delta's rule)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.update("s = 'x'", {"did": "99"})
+
+
+def test_by_default_create_with_explicit_initial_values(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "seed"),
+        spark.createDataFrame([(7, "a"), (3, "b")], "id long, s string"),
+        identity={"id": {"start": 1, "step": 1, "mode": "default"}},
+    )
+    assert sorted((r.id, r.s) for r in t.read().collect()) == [
+        (3, "b"),
+        (7, "a"),
+    ]
+    t.append(spark.createDataFrame([("c",)], "s string"))
+    assert t.read().filter("s = 'c'").collect()[0].id == 8
+
+
+def test_by_default_overwrite_explicit(spark, tmp_path):
+    t = _mk_bd(spark, tmp_path)  # hw = 2
+    t.overwrite(
+        spark.createDataFrame([(40, "n1"), (41, "n2")], "id long, s string")
+    )
+    assert sorted(r.id for r in t.read().collect()) == [40, 41]
+    # overwrite never regresses the high-water; generation continues
+    t.append(spark.createDataFrame([("n3",)], "s string"))
+    assert t.read().filter("s = 'n3'").collect()[0].id == 42
+
+
+def test_by_default_merge_upsert_by_id(spark, tmp_path):
+    """The upsert-by-surrogate-id shape BY DEFAULT exists for: the
+    source carries ids AS the merge key — matched rows update in
+    place, unmatched insert with their SUPPLIED id, and the table's
+    own generation continues past the supplied ids afterwards."""
+    t = _mk_bd(spark, tmp_path)  # rows (1,'a'), (2,'b')
+    t.merge(
+        spark.createDataFrame(
+            [(2, "b2"), (50, "new")], "id long, s string"
+        ),
+        keys=["id"],
+    )
+    rows = sorted((r.id, r.s) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "b2"), (50, "new")]
+    assert t.identity_high_water("id") == 50
+    # a source OMITTING the column still gets fresh generated ids
+    t.merge(spark.createDataFrame([("q",)], "s string"), keys=["s"])
+    assert t.read().filter("s = 'q'").collect()[0].id == 51
+    # matched rows never change their id even when the source carries a
+    # DIFFERENT value for a non-key match
+    t2 = _mk_bd(spark, tmp_path, name="bd2")  # (1,'a'), (2,'b')
+    t2.merge(
+        spark.createDataFrame([(99, "a")], "id long, s string"),
+        keys=["s"],
+    )
+    assert t2.read().filter("s = 'a'").collect()[0].id == 1
+    # the 99 never landed in any row (no insert happened), so the
+    # high-water stands: only INSERT images advance it
+    assert t2.identity_high_water("id") == 2
+
+
+def test_by_default_merge_insert_null_id_refused(spark, tmp_path):
+    t = _mk_bd(spark, tmp_path)
+    with pytest.raises(ValueError, match="non-null"):
+        t.merge(
+            spark.createDataFrame([(None, "new")], "id long, s string"),
+            keys=["s"],
+        )
+
+
+def test_always_identity_merge_key_still_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)  # ALWAYS mode
+    with pytest.raises(ValueError, match="merge keys"):
+        t.merge(
+            spark.createDataFrame([("a",)], "s string"), keys=["id", "s"]
+        )
+
+
+def test_by_default_lockless_append_storm(spark, tmp_path):
+    """BY DEFAULT twin of the lockless-append storm: two table handles
+    (no shared lock) interleave explicit-id appends and generated
+    appends; every generated id must be unique and disjoint from every
+    explicit id minted AFTER the explicit batch committed."""
+    p = str(tmp_path / "bdstorm")
+    VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([], "s string"),
+        identity={"id": {"start": 1, "step": 1, "mode": "default"}},
+    )
+    errs: list = []
+    lock = threading.Lock()
+
+    def gen_worker(n):
+        t = VersionedTable(spark, p)
+        for i in range(4):
+            try:
+                t.append(
+                    spark.createDataFrame(
+                        [(f"g{n}-{i}-{j}",) for j in range(3)], "s string"
+                    ),
+                    retry_conflicts=50,
+                )
+            except Exception as e:
+                with lock:
+                    errs.append(repr(e))
+
+    def explicit_worker():
+        t = VersionedTable(spark, p)
+        for i in range(4):
+            try:
+                base = 1000 * (i + 1)
+                t.append(
+                    spark.createDataFrame(
+                        [(base + j, f"e{i}-{j}") for j in range(3)],
+                        "id long, s string",
+                    ),
+                    retry_conflicts=50,
+                )
+            except Exception as e:
+                with lock:
+                    errs.append(repr(e))
+
+    th = [
+        threading.Thread(target=gen_worker, args=(0,)),
+        threading.Thread(target=gen_worker, args=(1,)),
+        threading.Thread(target=explicit_worker),
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert errs == []
+    rows = VersionedTable(spark, p).read().collect()
+    assert len(rows) == 36
+    ids = [r.id for r in rows]
+    assert len(set(ids)) == 36  # explicit ranges chosen disjoint; all
+    # generated ids unique among themselves AND never reusing an
+    # explicit id that was already committed when they were minted
+    gen_ids = [r.id for r in rows if r.s.startswith("g")]
+    assert len(set(gen_ids)) == len(gen_ids)
+    hw = VersionedTable(spark, p).identity_high_water("id")
+    assert hw == max(ids)
+
+
+def test_sql_by_default_identity_end_to_end(spark, tmp_path):
+    p = str(tmp_path / "sqlbd")
+    execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{p}` "
+        "(id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 5 "
+        "INCREMENT BY 5), s STRING)",
+    )
+    t = VersionedTable(spark, p)
+    assert t.identity_columns() == {"id": (5, 5)}
+    assert t.identity_modes() == {"id": "default"}
+    # omitted → generated; explicit → accepted
+    execute_dml(spark, f"INSERT INTO versioned.`{p}` (s) VALUES ('a')")
+    execute_dml(
+        spark, f"INSERT INTO versioned.`{p}` (id, s) VALUES (42, 'b')"
+    )
+    execute_dml(spark, f"INSERT INTO versioned.`{p}` (s) VALUES ('c')")
+    rows = {r.s: r.id for r in t.read().collect()}
+    assert rows == {"a": 5, "b": 42, "c": 47}
+    # UPDATE of an identity column is refused in both modes
+    with pytest.raises(ValueError, match="IDENTITY"):
+        execute_dml(
+            spark, f"UPDATE versioned.`{p}` SET id = 1 WHERE s = 'a'"
+        )
+
+
+def test_sql_identity_position_and_nullability_preserved(spark, tmp_path):
+    """ADVICE r11: the DDL-declared column position survives (no
+    prepend), and the identity column is implicitly NOT NULL."""
+    p = str(tmp_path / "pos")
+    execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{p}` "
+        "(s STRING, id BIGINT GENERATED ALWAYS AS IDENTITY, v INT)",
+    )
+    t = VersionedTable(spark, p)
+    fields = {f.name: f for f in t.schema().fields}
+    assert [f.name for f in t.schema().fields] == ["s", "id", "v"]
+    assert fields["id"].nullable is False
+    assert t.not_null_columns() == ["id"]
+    execute_dml(
+        spark, f"INSERT INTO versioned.`{p}` (s, v) VALUES ('a', 7)"
+    )
+    r = t.read().collect()[0]
+    assert (r.s, r.id, r.v) == ("a", 1, 7)
+    # SELECT * positional order matches the DDL
+    assert t.read().columns == ["s", "id", "v"]
+
+
+def test_sql_create_table_failure_leaves_no_partial_table(spark, tmp_path):
+    """ADVICE r11: a bad DEFAULT expression must not leave a
+    half-created table behind — the corrected statement re-runs."""
+    p = str(tmp_path / "atomic")
+    with pytest.raises(Exception):
+        execute_dml(
+            spark,
+            f"CREATE TABLE versioned.`{p}` "
+            "(s STRING, n INT DEFAULT no_such_function_xyz())",
+        )
+    assert not VersionedTable.exists(p)
+    execute_dml(
+        spark,
+        f"CREATE TABLE versioned.`{p}` (s STRING, n INT DEFAULT 7)",
+    )
+    execute_dml(spark, f"INSERT INTO versioned.`{p}` (s) VALUES ('a')")
+    assert VersionedTable(spark, p).read().collect()[0].n == 7
+
+
+def test_rebase_overflow_guard(spark, tmp_path, monkeypatch):
+    """ADVICE r11: an OCC identity rebase near the BIGINT edge must
+    refuse loudly, not wrap into colliding/negative ids."""
+    p = str(tmp_path / "rof")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([], "s string"),
+        identity={"id": ((1 << 63) - 4, 1)},
+    )
+    orig_write = VersionedTable._write_commit
+    state = {"raced": False}
+
+    def racing(self, commit, *a, **kw):
+        if commit.op == "append" and not state["raced"]:
+            state["raced"] = True
+            # racer consumes 2 ids: (1<<63)-4 and (1<<63)-3
+            VersionedTable(self.spark, self.path).append(
+                self.spark.createDataFrame(
+                    [("r1",), ("r2",)], "s string"
+                )
+            )
+        return orig_write(self, commit, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_write_commit", racing)
+    # loser planned (1<<63)-4 … (1<<63)-2 for 3 rows; after the racer
+    # consumes two ids the shift lands the last row on 1<<63 — out of
+    # BIGINT range, so the rebase must refuse
+    with pytest.raises(ValueError, match="overflow"):
+        t.append(
+            spark.createDataFrame([("a",), ("b",), ("c",)], "s string")
+        )
+    monkeypatch.setattr(VersionedTable, "_write_commit", orig_write)
+    assert state["raced"]
+
+
+def test_rebase_keeps_evolved_schema_field_ids(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): an identity append that EVOLVES the schema
+    and loses the OCC race must rewrite its batch under the evolved
+    commit schema — otherwise the new column's files miss their field
+    ids and id-mapped reads null-fill them (silent data loss)."""
+    p = str(tmp_path / "evorace")
+    t = VersionedTable.create(
+        spark,
+        p,
+        spark.createDataFrame([("a",)], "s string"),
+        identity={"id": (1, 1)},
+    )
+    orig_write = VersionedTable._write_commit
+    state = {"raced": False}
+
+    def racing(self, commit, *a, **kw):
+        if commit.op == "append" and not state["raced"]:
+            state["raced"] = True
+            # racer does NOT evolve the schema (a concurrent schema
+            # change is a real conflict and would abort the loser)
+            VersionedTable(self.spark, self.path).append(
+                self.spark.createDataFrame([("racer",)], "s string")
+            )
+        return orig_write(self, commit, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_write_commit", racing)
+    # the loser's batch carries a NEW column -> schema evolution + shift
+    t.append(
+        spark.createDataFrame([("loser", 7.5)], "s string, extra double")
+    )
+    monkeypatch.setattr(VersionedTable, "_write_commit", orig_write)
+    assert state["raced"]
+    rows = {r.s: (r.id, r.extra) for r in t.read().collect()}
+    assert rows["a"] == (1, None)
+    assert rows["racer"] == (2, None)
+    # pre-fix this read null-filled extra for the rebased batch
+    assert rows["loser"] == (3, 7.5)
+    # the change feed's rebased files must keep the column too
+    # versions: 0=create, 1=racer's append, 2=the rebased loser
+    cdf = (
+        t.change_feed(1)
+        .filter("_change_type = 'insert'")
+        .collect()
+    )
+    assert [(r.s, r.extra) for r in cdf] == [("loser", 7.5)]
+
+
+def test_drop_not_null_crash_leaves_conservative_state(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: drop_not_null publishes the nullable schema FIRST;
+    a crash before the sidecar update leaves the CONSERVATIVE state
+    (constraint still enforced) — never unenforced non-nullability."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "dnn"),
+        spark.createDataFrame([("a",)], "s string"),
+    )
+    t.set_not_null("s")
+    orig = VersionedTable._write_constraints
+
+    def crashing(self, cons):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(VersionedTable, "_write_constraints", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.drop_not_null("s")
+    monkeypatch.setattr(VersionedTable, "_write_constraints", orig)
+    # schema already flipped nullable, but enforcement SURVIVES: a NULL
+    # row is still refused
+    assert t.schema()["s"].nullable is True
+    assert t.not_null_columns() == ["s"]
+    from nrtwithdeltalake_spark.pipeline.tables import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(None,)], "s string"))
+    # re-running the drop heals the half-state
+    t.drop_not_null("s")
+    assert t.not_null_columns() == []
+    t.append(spark.createDataFrame([(None,)], "s string"))
+    assert t.read().filter("s is null").count() == 1

@@ -491,3 +491,98 @@ def test_conditional_put_storm_under_ambiguity_injection(tmp_path):
             InMemoryObjectStore(ambiguous_failures=3, write_through=True)
         )
         tb.storm_commit_store(store, str(tmp_path / f"amb{i}"))
+
+
+def test_localfs_conditional_put_store_conformance(tmp_path):
+    """VERDICT r11 #5: the commit-store seam proven against a SECOND
+    real client implementation — ``LocalFSConditionalPutStore`` (actual
+    filesystem, mkstemp O_EXCL temp + atomic link publish) behind the
+    same ``ConditionalPutCommitStore`` the cloud bindings would use.
+    The same storms the in-memory fake passes must pass here, with real
+    file concurrency."""
+    from nrtwithdeltalake_spark.pipeline import tables as tb
+    from nrtwithdeltalake_spark.pipeline.objectstore import (
+        AmbiguityInjector,
+        ConditionalPutCommitStore,
+        LocalFSConditionalPutStore,
+    )
+
+    # conformance storm: exactly one winner per round, winner's bytes
+    for i in range(3):
+        tb.storm_commit_store(
+            ConditionalPutCommitStore(LocalFSConditionalPutStore()),
+            str(tmp_path / f"ok{i}"),
+        )
+
+    # the AMBIGUITY-INJECTION storm (lost responses + retry 412s +
+    # read-back ownership) against the real client, exactly as run
+    # against the in-memory fake
+    for i in range(3):
+        tb.storm_commit_store(
+            ConditionalPutCommitStore(
+                AmbiguityInjector(LocalFSConditionalPutStore(), n=3)
+            ),
+            str(tmp_path / f"amb{i}"),
+        )
+
+    # single-key ambiguity resolution: a put that succeeds with a lost
+    # response must resolve to our own win via read-back, and a
+    # different later writer still loses
+    client = AmbiguityInjector(LocalFSConditionalPutStore(), n=1)
+    store = ConditionalPutCommitStore(client)
+    key = str(tmp_path / "log" / "00000000000000000001.json")
+    assert store.put_if_absent(key, "payload-A") is True
+    assert store.put_if_absent(key, "payload-B") is False
+    assert client.get_object(key) == "payload-A"
+
+    # the published object is a plain file: LocalLinkCommitStore-side
+    # readers (the engine's native log reader) see the same bytes
+    with open(key) as f:
+        assert f.read() == "payload-A"
+
+
+def test_localfs_conditional_put_unconditional_mode(tmp_path):
+    """if_none_match=False is a plain last-writer-wins PUT (the mode
+    checkpoints/pointers would use); the conditional mode on the same
+    key still refuses."""
+    from nrtwithdeltalake_spark.pipeline.objectstore import (
+        LocalFSConditionalPutStore,
+        PreconditionFailed,
+    )
+
+    import pytest
+
+    c = LocalFSConditionalPutStore()
+    key = str(tmp_path / "obj" / "k.json")
+    c.put_object(key, "v1", if_none_match=False)
+    c.put_object(key, "v2", if_none_match=False)
+    assert c.get_object(key) == "v2"
+    with pytest.raises(PreconditionFailed):
+        c.put_object(key, "v3", if_none_match=True)
+    assert c.get_object(key) == "v2"
+    assert c.get_object(str(tmp_path / "missing")) is None
+
+
+def test_versioned_table_end_to_end_through_localfs_object_store(
+    spark, tmp_path, monkeypatch
+):
+    """The whole table format publishing commits through the FS-backed
+    conditional-put client — the exact wiring a boto3/azure binding
+    would use, minus the network."""
+    from nrtwithdeltalake_spark.pipeline import tables as tb
+    from nrtwithdeltalake_spark.pipeline.objectstore import (
+        ConditionalPutCommitStore,
+        LocalFSConditionalPutStore,
+    )
+
+    store = ConditionalPutCommitStore(LocalFSConditionalPutStore())
+    monkeypatch.setattr(tb, "COMMIT_STORE", store)
+    p = str(tmp_path / "t")
+    t = tb.VersionedTable.create(
+        spark, p, spark.createDataFrame([("a", 1)], "s string, v long")
+    )
+    t.append(spark.createDataFrame([("b", 2)], "s string, v long"))
+    t.merge(spark.createDataFrame([("a", 9)], "s string, v long"), ["s"])
+    rows = sorted((r.s, r.v) for r in t.read().collect())
+    assert rows == [("a", 9), ("b", 2)]
+    assert t.latest_version() == 2

@@ -140,4 +140,5 @@ def test_describe_detail_surfaces_identity_and_not_null(spark, tmp_path):
     )
     row = execute_dml(spark, f"DESCRIBE DETAIL versioned.`{p}`").collect()[0]
     assert row.identity_columns == ["id"]
-    assert row.not_null_columns == ["s"]
+    # identity columns are implicitly NOT NULL (Delta/reference parity)
+    assert row.not_null_columns == ["id", "s"]

@@ -157,3 +157,55 @@ def test_rotation_order_fails_first_then_unsampled():
             f"failed queries {sorted(failed)} must sort before previously-"
             "clean ones in the driver rotation"
         )
+
+
+def test_rotation_order_clean_tier_is_lru(tmp_path):
+    """VERDICT r11 #1: within the clean tier the rotation must order
+    LEAST-recently-sampled first (not alphabetically), so every
+    official record keeps refreshing. Pinned against synthetic
+    artifact fixtures."""
+    import json
+
+    import __spark_entry__ as e
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad = {**ok, "hash_match": False}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 1, "oracle_rows": None,
+                 "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_aaa": ok, "q_old": ok, "q_ro_old": rows_only})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_aaa": ok, "q_mid": ok})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"q_aaa": ok, "q_new": ok, "q_broken": bad})
+    )
+    names = ["q_aaa", "q_broken", "q_mid", "q_new", "q_never",
+             "q_old", "q_ro_old"]
+    order = e._rotation_order(names, artifact_dir=str(tmp_path))
+    # tier 0: the failed query; tier 1: never sampled; tier 2 (clean):
+    # ascending by the round of the LATEST record — r01's q_old /
+    # q_ro_old (rows-only counts as clean) before r02's q_mid before
+    # r10's q_aaa/q_new, alphabetical only WITHIN a round
+    assert order == ["q_broken", "q_never", "q_old", "q_ro_old",
+                     "q_mid", "q_aaa", "q_new"]
+    # a later FAILED record demotes a previously-clean query into the
+    # re-verify tier and its recency updates (latest record wins)
+    (tmp_path / "CORRECTNESS_r11.json").write_text(
+        json.dumps({"q_old": bad, "q_broken": ok})
+    )
+    order = e._rotation_order(names, artifact_dir=str(tmp_path))
+    assert order[:2] == ["q_old", "q_never"]
+    assert order.index("q_ro_old") < order.index("q_mid") < order.index(
+        "q_broken"
+    )
+    # two-digit round ordering is numeric, not lexicographic
+    (tmp_path / "CORRECTNESS_r9.json").write_text(
+        json.dumps({"q_nine": ok})
+    )
+    order = e._rotation_order(names + ["q_nine"],
+                              artifact_dir=str(tmp_path))
+    assert order.index("q_nine") < order.index("q_broken")  # r9 < r11
