@@ -482,6 +482,10 @@ _VACUUM_RE = re.compile(
     r"(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_REORG_RE = re.compile(
+    rf"^\s*REORG\s+TABLE\s+{_IDENT}\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     rf"^\s*DESC(?:RIBE)?\s+HISTORY\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
 )
@@ -566,6 +570,12 @@ def execute_dml(spark: SparkSession, sql_text: str):
         # Delta's default retention window when RETAIN is omitted
         hours = float(m.group(2)) if m.group(2) else 168.0
         return table.vacuum(retain_hours=hours, dry_run=bool(m.group(3)))
+    m = _REORG_RE.match(sql_text)
+    if m:
+        # Delta's REORG TABLE t APPLY (PURGE): rewrite only the files
+        # carrying deletion vectors or dropped-column bytes — O(debt)
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        return {"version": table.reorg_purge()}
     m = _HISTORY_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
@@ -671,7 +681,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
         return {"version": 0, "path": t.path}
     if re.match(
         r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+(HISTORY|DETAIL)"
-        r"|RESTORE|CONVERT|ANALYZE)\b",
+        r"|RESTORE|CONVERT|ANALYZE|REORG)\b",
         sql_text,
         re.IGNORECASE,
     ):
@@ -680,6 +690,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
             "OPTIMIZE t [ZORDER BY (c, ...)], VACUUM t [RETAIN n HOURS], "
             "DESCRIBE HISTORY t, DESCRIBE DETAIL t, "
             "RESTORE [TABLE] t [TO] VERSION AS OF n, "
+            "REORG TABLE t APPLY (PURGE), "
             "CONVERT TO VERSIONED parquet.`/path`, "
             "ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ...]"
         )
@@ -1147,9 +1158,10 @@ def _execute_alter(spark: SparkSession, plan, kind: str) -> dict:
                     raise
         return {"version": version}
     if kind == "AlterColumns":
-        # SET/DROP NOT NULL and SET/DROP DEFAULT map onto the engine
-        # (type changes would rewrite files; comments/positions are
-        # cosmetic catalog state the versioned format doesn't carry)
+        # SET/DROP NOT NULL, SET/DROP DEFAULT, and TYPE <wider> map onto
+        # the engine (TYPE is metadata-only widening — see
+        # widen_column_type; comments/positions are cosmetic catalog
+        # state the versioned format doesn't carry)
         did = 0
         for s in _seq(plan.specs()):
             col_parts = _seq(s.column().name())
@@ -1166,19 +1178,32 @@ def _execute_alter(spark: SparkSession, plan, kind: str) -> dict:
                 drop_default = bool(s.dropDefault())
             except AttributeError:
                 pass
+            nt = None
+            try:
+                nt = _opt(s.newDataType())
+            except AttributeError:
+                pass
             others = []
-            for attr in ("newDataType", "newComment", "newPosition"):
+            for attr in ("newComment", "newPosition"):
                 try:
                     if _opt(getattr(s, attr)()) is not None:
                         others.append(attr)
                 except AttributeError:
                     pass
-            if others or (nn is None and nd is None and not drop_default):
+            if others or (
+                nn is None and nd is None and nt is None and not drop_default
+            ):
                 raise UnsupportedSqlError(
-                    "ALTER COLUMN supports only SET NOT NULL / DROP NOT "
-                    "NULL / SET DEFAULT expr / DROP DEFAULT "
-                    f"(got {others or 'no supported change'})"
+                    "ALTER COLUMN supports only TYPE <wider-type> / SET "
+                    "NOT NULL / DROP NOT NULL / SET DEFAULT expr / DROP "
+                    f"DEFAULT (got {others or 'no supported change'})"
                 )
+            if nt is not None:
+                try:
+                    table.widen_column_type(col, nt.simpleString())
+                except ValueError as e:
+                    raise UnsupportedSqlError(str(e)) from None
+                did += 1
             if nn is not None:
                 (table.set_not_null if not nn else table.drop_not_null)(col)
                 did += 1

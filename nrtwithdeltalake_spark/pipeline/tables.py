@@ -3750,6 +3750,93 @@ class VersionedTable:
         )
         return v
 
+    def widen_column_type(self, name: str, new_type) -> int:
+        """Metadata-only ``ALTER TABLE ... ALTER COLUMN c TYPE <wider>``
+        — Delta type widening (``delta.enableTypeWidening``). Commits
+        the wider schema and rewrites NOTHING: the read path always
+        applies the commit schema explicitly (``_read_files``), and
+        Spark 4's parquet reader upcasts narrow pages losslessly through
+        a wider read schema (int32 pages as LONG, float as DOUBLE,
+        decimal rescale) in both name- and field-id-matching modes —
+        the exact set ``widened_type`` accepts, verified there. O(1)
+        regardless of table size. Narrowing and representation changes
+        (string↔number, long→double) are refused loudly — they would
+        need a full rewrite and can round-trip wrong. Time travel
+        still reads earlier versions with the old type; future writes
+        enforce the wide type. Data-skipping min/max stats carry (a
+        widened value compares identically); bloom sidecars stay valid
+        for the integer chain (two's-complement canon is width-free —
+        ``bloom.canon``) and floats/decimals never bloom."""
+        if isinstance(new_type, T.DataType):
+            new_dt = new_type
+        else:
+            # full DDL type parser ("bigint", "decimal(12,2)", ...)
+            new_dt = T.DataType.fromDDL(new_type)
+        prev = self.get_commit()
+        schema = T.StructType.fromJson(json.loads(prev.schema_json))
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} does not exist")
+        old_dt = schema[name].dataType
+        if new_dt == old_dt:
+            raise ValueError(
+                f"column {name!r} already has type {old_dt.simpleString()}"
+            )
+        if name in self.identity_columns():
+            raise ValueError(
+                f"column {name!r} is an IDENTITY column — it stays "
+                "BIGINT (the allocator's high-water arithmetic is "
+                "64-bit)"
+            )
+        w = widened_type(old_dt, new_dt)
+        if w is None or w != new_dt:
+            raise ValueError(
+                f"cannot change column {name!r} from "
+                f"{old_dt.simpleString()} to {new_dt.simpleString()}: not "
+                "a safe widening (byte→short→int→long, float→double, "
+                "int32-or-narrower→double, decimal scale/precision "
+                "growth) — a narrowing or representation change would "
+                "require rewriting every file and can lose values"
+            )
+        if self._read_registration() is not None:
+            # the registered external parquet table serves the CATALOG
+            # schema, which this metadata-only commit cannot update —
+            # after the first wide-typed write, db.table consumers
+            # would read int64 pages through an int32 catalog schema
+            raise ValueError(
+                "table is catalog-registered; the registered parquet "
+                "schema would go stale and break on the first wide "
+                "write. Deregister, widen, then re-register."
+            )
+        widened = T.StructType(
+            [
+                T.StructField(f.name, new_dt, f.nullable, f.metadata)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        )
+        v = prev.version + 1
+        self._write_commit(
+            Commit(
+                v,
+                "widen_column",
+                prev.files,
+                [],
+                widened.json(),
+                time.time(),
+                self._carry_stats(
+                    prev,
+                    prev.files,
+                    {
+                        "widened_column": f"{name}: "
+                        f"{old_dt.simpleString()}->{new_dt.simpleString()}"
+                    },
+                ),
+                dv_files=list(prev.dv_files),
+            )
+        )
+        return v
+
     def delete(self, condition: str, use_dv: bool = False) -> int:
         """Predicate DELETE — Delta ``DELETE FROM t WHERE ...`` parity
         (the retention/GDPR primitive the merge delete-branch doesn't
@@ -4345,6 +4432,163 @@ class VersionedTable:
                     raise CommitConflictError(
                         "concurrent deletion-vector commit during "
                         "compaction — re-run on the fresh snapshot"
+                    ) from None
+                base = fresh
+
+    def _dead_column_files(self, c: Commit) -> set[str]:
+        """Files whose parquet footers still carry columns the logical
+        schema no longer has — the physical debt a metadata-only
+        ``drop_column`` (or rename away from an id-free column) leaves
+        behind. Footer-only pyarrow reads, threaded — O(#files)
+        metadata cost, no data pages touched. Matching mirrors the
+        read path: BY FIELD ID when both sides carry ids, by name
+        otherwise."""
+        if not c.files:
+            return set()
+        import pyarrow.parquet as pq
+
+        schema = T.StructType.fromJson(json.loads(c.schema_json))
+        live_ids = {
+            int(f.metadata[_FIELD_ID])
+            for f in schema.fields
+            if f.metadata and _FIELD_ID in f.metadata
+        }
+        live_names = {f.name for f in schema.fields}
+
+        def _has_dead(path: str) -> bool:
+            try:
+                arrow = pq.ParquetFile(path).schema_arrow
+            except OSError:
+                return False  # unreadable file: not purge's problem
+            for fld in arrow:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None and live_ids:
+                    if int(fid) not in live_ids:
+                        return True
+                elif fld.name not in live_names:
+                    return True
+            return False
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            flags = list(ex.map(_has_dead, c.files))
+        return {f for f, dead in zip(c.files, flags) if dead}
+
+    def reorg_purge(
+        self, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """``REORG TABLE ... APPLY (PURGE)`` (Delta parity): physically
+        rewrite exactly the files carrying format debt —
+
+        * files a DELETION VECTOR references: the merge-on-read deletes
+          are materialized and the vectors are spent, ending the
+          read-side anti-join tax without a full OPTIMIZE;
+        * files whose footers still hold DROPPED columns' bytes
+          (metadata-only ``drop_column`` never rewrites — purge
+          reclaims the space and makes the physical files match the
+          logical schema, Delta's column-mapping REORG use case).
+
+        Clean files carry over untouched with their committed stats.
+        Cost is O(debt), never O(table) — at 100 TB this is the op that
+        makes merge-on-read deletes and metadata-only drops sustainable:
+        debt is settled file-by-file instead of by table rewrite. Pure
+        reorganization: row content is unchanged, so NO change-feed rows
+        are emitted and prior versions stay readable (time travel keeps
+        the old files alive until ``vacuum``). Same OCC commute law as
+        ``compact``: rebases over concurrent appends / metadata commits,
+        refuses loudly if a concurrent writer rewrote a purged file or
+        committed new deletion vectors. Returns the current version
+        untouched when there is no debt (no empty commit)."""
+        prev = self.get_commit()
+        dv_ref = self._dv_referenced_files(prev)
+        dead = self._dead_column_files(prev)
+        candidates = [
+            f
+            for f in prev.files
+            if _strip_scheme(f) in dv_ref or f in dead
+        ]
+        if not candidates:
+            return prev.version
+        df = self._snapshot(prev, files=candidates)
+        total = sum(os.path.getsize(f) for f in candidates)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        if n_out < len(candidates):
+            df = df.coalesce(n_out)
+        # a fully-deleted candidate set leaves nothing to rewrite — the
+        # commit then only drops files (and the spent vectors)
+        new_files = (
+            self._write_files(df, self.data_dir, enforce=False)
+            if df.take(1)
+            else []
+        )
+        doomed = set(candidates)
+        base = prev
+        attempt = 0
+        harvested: dict = {}
+        harvest_schema: str | None = None
+        while True:
+            files = new_files + [f for f in base.files if f not in doomed]
+            stats: dict = {
+                "files_purged": len(candidates),
+                "files_after": len(new_files),
+                "dv_referenced": len(dv_ref),
+                "dead_column_files": len(dead),
+                "bytes": total,
+            }
+            if harvest_schema != base.schema_json and new_files:
+                harvested = dict(
+                    self._with_new_file_stats(
+                        {}, new_files, base.schema_json
+                    ).get("file_stats", {})
+                )
+                harvest_schema = base.schema_json
+            fstats = dict(harvested)
+            base_fstats = base.stats.get("file_stats", {})
+            for f in files:
+                if f not in fstats and f in base_fstats:
+                    fstats[f] = base_fstats[f]
+            if fstats:
+                stats["file_stats"] = fstats
+            if base.stats.get("txn"):
+                stats["txn"] = dict(base.stats["txn"])
+            if base.version != prev.version:
+                stats["rebased_from_version"] = prev.version
+            try:
+                self._write_commit(
+                    Commit(
+                        base.version + 1,
+                        "reorg_purge",
+                        files,
+                        [],
+                        base.schema_json,
+                        time.time(),
+                        stats,
+                        # every DV-referenced live file was rewritten
+                        # with its deletions applied — vectors spent
+                        # (entries for already-gone files were stale)
+                        dv_files=[],
+                    )
+                )
+                return base.version + 1
+            except CommitConflictError:
+                attempt += 1
+                if attempt > 5:
+                    raise
+                fresh = self.get_commit()
+                removed = doomed - set(fresh.files)
+                if removed:
+                    raise CommitConflictError(
+                        "concurrent writer rewrote/removed file(s) this "
+                        f"purge rewrote ({sorted(removed)[:3]}…) — "
+                        "re-run REORG on the fresh snapshot"
+                    ) from None
+                if list(fresh.dv_files) != list(prev.dv_files):
+                    # new vectors may mark rows in files this purge
+                    # already rewrote without those deletions
+                    raise CommitConflictError(
+                        "concurrent deletion-vector commit during "
+                        "REORG PURGE — re-run on the fresh snapshot"
                     ) from None
                 base = fresh
 

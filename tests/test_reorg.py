@@ -1,0 +1,117 @@
+"""``REORG TABLE ... APPLY (PURGE)`` — settle physical format debt
+without an O(table) rewrite: files referenced by deletion vectors are
+rewritten with their deletions materialized (vectors spent), and files
+whose footers still hold dropped-column bytes are rewritten to the
+logical schema. Clean files carry over by reference."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from nrtwithdeltalake_spark.pipeline.sqldml import execute_dml
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+
+def _mk(spark, tmp_path, name="t", parts=4):
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 10) for i in range(40)],
+        "id long, s string, v long",
+    ).repartition(parts)
+    return VersionedTable.create(spark, str(tmp_path / name), df)
+
+
+def test_purge_materializes_deletion_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    prev_files = set(t.get_commit().files)
+    assert len(prev_files) > 1
+    t.delete("id < 10", use_dv=True)
+    dv_commit = t.get_commit()
+    assert dv_commit.dv_files  # merge-on-read state
+    from nrtwithdeltalake_spark.pipeline.tables import _strip_scheme
+
+    dv_touched = t._dv_referenced_files(dv_commit)
+    expected_carry = {
+        f for f in prev_files if _strip_scheme(f) not in dv_touched
+    }
+    v = t.reorg_purge()
+    c = t.get_commit()
+    assert c.version == v and c.op == "reorg_purge"
+    assert c.dv_files == []  # vectors spent
+    assert not c.cdf_files  # pure reorganization: no change rows
+    # only the DV-referenced files were rewritten; the rest carried
+    assert set(c.files) & prev_files == expected_carry
+    assert sorted(r.id for r in t.read().collect()) == list(range(10, 40))
+    # time travel: the pre-purge snapshot (with vectors) still reads
+    assert sorted(
+        r.id for r in t.read(version=v - 1).collect()
+    ) == list(range(10, 40))
+    # and the pre-delete snapshot shows everything
+    assert t.read(version=v - 2).count() == 40
+
+
+def test_purge_without_debt_is_a_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path, "clean")
+    v0 = t.latest_version()
+    assert t.reorg_purge() == v0  # no empty commit
+    assert t.latest_version() == v0
+
+
+def test_purge_reclaims_dropped_column_bytes(spark, tmp_path):
+    t = _mk(spark, tmp_path, "dropcol")
+    t.drop_column("v")  # metadata-only: footers still carry v's bytes
+    c = t.get_commit()
+    assert t._dead_column_files(c) == set(c.files)
+    v = t.reorg_purge()
+    c2 = t.get_commit()
+    assert c2.version == v
+    # every rewritten footer now matches the logical schema
+    for f in c2.files:
+        names = {fld.name for fld in pq.ParquetFile(f).schema_arrow}
+        assert "v" not in names
+    assert t._dead_column_files(c2) == set()
+    assert t.reorg_purge() == v  # debt settled: second purge no-ops
+    assert sorted(r.id for r in t.read().collect()) == list(range(40))
+
+
+def test_purge_preserves_identity_high_water(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "ident"),
+        spark.createDataFrame([], "s string"),
+    )
+    t.add_identity_column("rid")
+    t.append(spark.createDataFrame([("a",), ("b",), ("c",)], "s string"))
+    hw = t.identity_high_water("rid")
+    t.delete("s = 'a'", use_dv=True)
+    t.reorg_purge()
+    assert t.identity_high_water("rid") == hw
+    t.append(spark.createDataFrame([("d",)], "s string"))
+    ids = sorted(r.rid for r in t.read().collect())
+    assert len(ids) == len(set(ids)) == 3  # no reissued id
+
+
+def test_sql_reorg_purge(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sql")
+    t.delete("id >= 30", use_dv=True)
+    out = execute_dml(
+        spark, f"REORG TABLE versioned.`{t.path}` APPLY (PURGE)"
+    )
+    assert out["version"] == t.latest_version()
+    assert t.get_commit().dv_files == []
+    assert t.read().count() == 30
+
+
+def test_purge_then_vacuum_reclaims_originals(spark, tmp_path):
+    import os
+
+    t = _mk(spark, tmp_path, "vac")
+    t.delete("id < 20", use_dv=True)
+    doomed = t._dv_referenced_files(t.get_commit())
+    t.reorg_purge()
+    rep = t.vacuum(retain_last=1, retain_hours=0.0)
+    # the purged originals are unreferenced by the latest commit and
+    # reclaimable once retention allows
+    live = set(t.get_commit().files)
+    assert not (doomed & {os.path.normpath(f) for f in live})
+    assert rep["deleted_files"] >= 1
+    assert sorted(r.id for r in t.read().collect()) == list(range(20, 40))
