@@ -486,6 +486,26 @@ _REORG_RE = re.compile(
     rf"^\s*REORG\s+TABLE\s+{_IDENT}\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+_COPY_INTO_RE = re.compile(
+    rf"^\s*COPY\s+INTO\s+{_IDENT}\s+FROM\s+'([^']+)'\s+"
+    r"FILEFORMAT\s*=\s*(\w+)"
+    r"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+    r"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?"
+    r"(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _quoted_kv(raw: str | None) -> dict[str, str]:
+    """``'k' = 'v', ...`` option lists (COPY INTO FORMAT_OPTIONS /
+    COPY_OPTIONS)."""
+    if not raw or not raw.strip():
+        return {}
+    out = {}
+    for m in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", raw):
+        out[m.group(1)] = m.group(2)
+    return out
 _HISTORY_RE = re.compile(
     rf"^\s*DESC(?:RIBE)?\s+HISTORY\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
 )
@@ -576,6 +596,25 @@ def execute_dml(spark: SparkSession, sql_text: str):
         # carrying deletion vectors or dropped-column bytes — O(debt)
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
         return {"version": table.reorg_purge()}
+    m = _COPY_INTO_RE.match(sql_text)
+    if m:
+        # Delta's COPY INTO: idempotent bulk file ingestion
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        copy_opts = {
+            k.lower(): v for k, v in _quoted_kv(m.group(6)).items()
+        }
+        try:
+            return table.copy_into(
+                m.group(2),
+                file_format=m.group(3),
+                pattern=m.group(4),
+                force=copy_opts.get("force", "").lower() == "true",
+                merge_schema=copy_opts.get("mergeschema", "").lower()
+                == "true",
+                options=_quoted_kv(m.group(5)) or None,
+            )
+        except ValueError as e:
+            raise UnsupportedSqlError(str(e)) from None
     m = _HISTORY_RE.match(sql_text)
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
@@ -681,7 +720,7 @@ def execute_dml(spark: SparkSession, sql_text: str):
         return {"version": 0, "path": t.path}
     if re.match(
         r"^\s*(OPTIMIZE|VACUUM|DESC(RIBE)?\s+(HISTORY|DETAIL)"
-        r"|RESTORE|CONVERT|ANALYZE|REORG)\b",
+        r"|RESTORE|CONVERT|ANALYZE|REORG|COPY)\b",
         sql_text,
         re.IGNORECASE,
     ):
@@ -691,6 +730,9 @@ def execute_dml(spark: SparkSession, sql_text: str):
             "DESCRIBE HISTORY t, DESCRIBE DETAIL t, "
             "RESTORE [TABLE] t [TO] VERSION AS OF n, "
             "REORG TABLE t APPLY (PURGE), "
+            "COPY INTO t FROM '/path' FILEFORMAT = PARQUET "
+            "[PATTERN = '*.parquet'] [FORMAT_OPTIONS('k'='v')] "
+            "[COPY_OPTIONS('force'='true','mergeSchema'='true')], "
             "CONVERT TO VERSIONED parquet.`/path`, "
             "ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ...]"
         )

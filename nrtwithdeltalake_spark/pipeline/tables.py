@@ -2781,6 +2781,8 @@ class VersionedTable:
         txn_app: str | None = None,
         txn_version: int | None = None,
         retry_conflicts: int = 5,
+        extra_stats: dict | None = None,
+        op: str = "append",
     ) -> int:
         """Append — the reference's INSERT INTO...SELECT (O26).
 
@@ -2842,12 +2844,17 @@ class VersionedTable:
                 base_stats = self._with_new_file_stats(
                     self._carry_stats(prev, prev.files), new_files, schema
                 )
+                if extra_stats:
+                    # caller-stamped provenance rides the commit record
+                    # itself, atomic with the data (COPY INTO's loaded-
+                    # file registry, ingest batch ids, ...)
+                    base_stats.update(extra_stats)
                 if ident_last:
                     base_stats["identity"] = dict(ident_last)
                 self._write_commit(
                     Commit(
                         prev.version + 1,
-                        "append",
+                        op,
                         prev.files + new_files,
                         cdf,
                         schema.json(),
@@ -2904,6 +2911,139 @@ class VersionedTable:
                         }
                         ident_plan = fresh_plan
                 prev = fresh
+
+    # -- COPY INTO (idempotent bulk file ingestion) -------------------------
+
+    @staticmethod
+    def _copy_file_identity(path: str) -> str:
+        """A source file's load identity — path + size + mtime, the same
+        triple Delta's COPY INTO dedups on: re-running over an unchanged
+        landing directory loads nothing, while a file REWRITTEN in place
+        (new mtime/size) counts as new data."""
+        st = os.stat(path)
+        return f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}"
+
+    def _copy_into_loaded(self) -> set[str]:
+        """Union of every COPY INTO commit's loaded-file identities —
+        one O(history) forward log walk (the same scale as Delta, whose
+        COPY INTO scans the transaction log for ingested-file metadata).
+        The log is never vacuumed, so the idempotency horizon is the
+        table's full history."""
+        out: set[str] = set()
+        for c in self.history():
+            reg = c.stats.get("copy_into")
+            if reg:
+                out.update(reg.get("loaded") or [])
+        return out
+
+    def copy_into(
+        self,
+        source: str,
+        file_format: str = "parquet",
+        pattern: str | None = None,
+        force: bool = False,
+        merge_schema: bool = False,
+        options: dict | None = None,
+    ) -> dict:
+        """Delta's ``COPY INTO``: idempotent bulk ingestion of files
+        from a landing directory. Lists ``source`` recursively (hidden
+        and ``_``-prefixed names skipped; ``pattern`` is a glob over the
+        path relative to ``source``), skips every file a previous COPY
+        INTO already loaded (identity = path+size+mtime, recorded
+        atomically in the loading commit's stats), reads the remainder
+        with ``file_format``/``options``, and appends through the full
+        write path — CHECK/NOT NULL gates, DEFAULT fill, identity
+        assignment, CDF emission and file stats all apply.
+
+        ``merge_schema`` (Delta's ``mergeSchema`` copy option) admits
+        NEW source columns via schema evolution; without it, extra
+        columns are refused loudly. Missing columns null/DEFAULT-fill;
+        a source column of a safely-narrower type is cast up. ``force``
+        reloads everything regardless of the registry (Delta's
+        ``force`` — may create duplicates, same contract).
+
+        Scale: per call the work is O(new files) data + O(history)
+        commit-metadata reads; the retry story is the whole point — a
+        scheduler re-running a crashed load costs one log walk and zero
+        data writes. Run one COPY INTO per source at a time: two
+        concurrent copies of the SAME directory can both see a file
+        unloaded and double-load it (Delta's contract as well)."""
+        if not os.path.isdir(source):
+            raise ValueError(f"COPY INTO source is not a directory: {source!r}")
+        fmt = file_format.lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(
+                f"unsupported FILEFORMAT {file_format!r} "
+                "(parquet, csv, json)"
+            )
+        import fnmatch
+
+        found: list[str] = []
+        for dirpath, dirs, fnames in os.walk(source):
+            dirs[:] = [
+                d for d in dirs if not d.startswith((".", "_"))
+            ]
+            for fn in sorted(fnames):
+                if fn.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                rel = os.path.relpath(p, source)
+                if pattern is None or fnmatch.fnmatch(rel, pattern):
+                    found.append(p)
+        prev_version = self.latest_version()
+        loaded = set() if force else self._copy_into_loaded()
+        todo = [
+            p
+            for p in found
+            if force or self._copy_file_identity(p) not in loaded
+        ]
+        if not todo:
+            return {
+                "version": prev_version,
+                "files_loaded": 0,
+                "files_skipped": len(found),
+            }
+        # capture identities BEFORE reading — a file mutated mid-load is
+        # then re-loaded next run (at-least-once, never silently stale)
+        identities = [self._copy_file_identity(p) for p in todo]
+        reader = self.spark.read
+        if options:
+            reader = reader.options(**options)
+        if fmt == "parquet":
+            df = reader.option("mergeSchema", bool(merge_schema)).parquet(
+                *todo
+            )
+        else:
+            # text formats read under the table's schema (computed
+            # columns excluded — the write path fills them)
+            skip = set(self.identity_columns()) | set(
+                self.generated_columns()
+            )
+            read_schema = T.StructType(
+                [f for f in self.schema().fields if f.name not in skip]
+            )
+            df = reader.schema(read_schema).format(fmt).load(todo)
+        if not merge_schema:
+            table_cols = {f.name for f in self.schema().fields}
+            extra = [c for c in df.columns if c not in table_cols]
+            if extra:
+                raise ValueError(
+                    f"COPY INTO source carries columns {extra} the table "
+                    "lacks — pass merge_schema=True (COPY_OPTIONS "
+                    "('mergeSchema'='true')) to evolve, or fix the source"
+                )
+        v = self.append(
+            df,
+            extra_stats={
+                "copy_into": {"source": source, "loaded": identities}
+            },
+            op="copy_into",
+        )
+        return {
+            "version": v,
+            "files_loaded": len(todo),
+            "files_skipped": len(found) - len(todo),
+        }
 
     def _merged_schema(self, prev: Commit, df: DataFrame) -> T.StructType:
         """Schema evolution (README.md:8): union of target schema and new

@@ -1,0 +1,156 @@
+"""COPY INTO — Delta's idempotent bulk file ingestion. The loaded-file
+registry (path+size+mtime identities) rides the loading commit's stats,
+so idempotency is atomic with the data: a crashed load retries for free,
+a committed one skips everything."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nrtwithdeltalake_spark.pipeline.sqldml import (
+    UnsupportedSqlError,
+    execute_dml,
+)
+from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+
+def _land(dirpath, name, ids, extra_col=None):
+    os.makedirs(dirpath, exist_ok=True)
+    cols = {
+        "id": pa.array(ids, pa.int64()),
+        "s": pa.array([f"s{i}" for i in ids], pa.string()),
+    }
+    if extra_col:
+        cols[extra_col] = pa.array([float(i) for i in ids], pa.float64())
+    path = os.path.join(dirpath, name)
+    pq.write_table(pa.table(cols), path)
+    return path
+
+
+def _mk(spark, tmp_path, name="t"):
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / name),
+        spark.createDataFrame([(0, "s0")], "id long, s string"),
+    )
+
+
+def test_copy_into_is_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    land = str(tmp_path / "land")
+    _land(land, "a.parquet", [1, 2])
+    _land(land, "b.parquet", [3])
+    out = t.copy_into(land)
+    assert out["files_loaded"] == 2 and out["files_skipped"] == 0
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+    # re-run: nothing new, no new commit
+    v = t.latest_version()
+    out2 = t.copy_into(land)
+    assert out2 == {"version": v, "files_loaded": 0, "files_skipped": 2}
+    assert t.read().count() == 4
+    # a new landing file loads alone
+    _land(land, "c.parquet", [4])
+    out3 = t.copy_into(land)
+    assert out3["files_loaded"] == 1 and out3["files_skipped"] == 2
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    assert t.get_commit().op == "copy_into"
+
+
+def test_copy_into_rewritten_file_counts_as_new(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rw")
+    land = str(tmp_path / "land_rw")
+    _land(land, "a.parquet", [1])
+    t.copy_into(land)
+    time.sleep(0.01)  # distinct mtime_ns
+    _land(land, "a.parquet", [9])  # rewritten in place: new identity
+    out = t.copy_into(land)
+    assert out["files_loaded"] == 1
+    # Delta contract: the rewrite is NEW data; the old load stays
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 9]
+
+
+def test_copy_into_pattern_and_force(spark, tmp_path):
+    t = _mk(spark, tmp_path, "pat")
+    land = str(tmp_path / "land_pat")
+    _land(land, "a.parquet", [1])
+    _land(land, "skip.json.parquet", [2])
+    out = t.copy_into(land, pattern="a.*")
+    assert out["files_loaded"] == 1
+    assert sorted(r.id for r in t.read().collect()) == [0, 1]
+    # force reloads regardless of the registry
+    out = t.copy_into(land, pattern="a.*", force=True)
+    assert out["files_loaded"] == 1
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 1]
+
+
+def test_copy_into_schema_discipline(spark, tmp_path):
+    t = _mk(spark, tmp_path, "schema")
+    land = str(tmp_path / "land_schema")
+    _land(land, "wide.parquet", [1], extra_col="score")
+    with pytest.raises(ValueError, match="mergeSchema"):
+        t.copy_into(land)
+    # nothing was marked loaded by the refused attempt
+    out = t.copy_into(land, merge_schema=True)
+    assert out["files_loaded"] == 1
+    assert "score" in [f.name for f in t.schema().fields]
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got[1] == 1.0 and got[0] is None
+
+
+def test_copy_into_write_gates_apply(spark, tmp_path):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "gate"),
+        spark.createDataFrame([], "id long, s string"),
+    )
+    t.add_constraint("id_small", "id < 100")
+    t.add_identity_column("rid")
+    land = str(tmp_path / "land_gate")
+    _land(land, "bad.parquet", [500])
+    from nrtwithdeltalake_spark.pipeline.tables import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        t.copy_into(land)
+    # the failed load did NOT consume the file's identity
+    _land(land, "good.parquet", [5])
+    out = t.copy_into(land, pattern="good.parquet")
+    assert out["files_loaded"] == 1
+    row = [r for r in t.read().collect() if r.id == 5][0]
+    assert row.rid is not None  # identity assigned through COPY INTO
+
+
+def test_sql_copy_into_with_options(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sql")
+    land = str(tmp_path / "land_sql")
+    os.makedirs(land)
+    with open(os.path.join(land, "data.csv"), "w") as f:
+        f.write("id,s\n7,s7\n8,s8\n")
+    out = execute_dml(
+        spark,
+        f"COPY INTO versioned.`{t.path}` FROM '{land}' "
+        "FILEFORMAT = CSV PATTERN = '*.csv' "
+        "FORMAT_OPTIONS ('header' = 'true') ",
+    )
+    assert out["files_loaded"] == 1
+    assert sorted(r.id for r in t.read().collect()) == [0, 7, 8]
+    # idempotent through SQL too
+    out = execute_dml(
+        spark,
+        f"COPY INTO versioned.`{t.path}` FROM '{land}' "
+        "FILEFORMAT = CSV PATTERN = '*.csv' "
+        "FORMAT_OPTIONS ('header' = 'true') ",
+    )
+    assert out["files_loaded"] == 0
+    with pytest.raises(UnsupportedSqlError, match="FILEFORMAT"):
+        execute_dml(
+            spark,
+            f"COPY INTO versioned.`{t.path}` FROM '{land}' "
+            "FILEFORMAT = AVRO",
+        )
