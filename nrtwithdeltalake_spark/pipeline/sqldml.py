@@ -528,6 +528,11 @@ _RESTORE_RE = re.compile(
     r"VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_TS_RE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?{_IDENT}\s+(?:TO\s+)?"
+    r"TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
 # ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ... | FOR ALL COLUMNS]
 _ANALYZE_RE = re.compile(
     rf"^\s*ANALYZE\s+TABLE\s+{_IDENT}\s+COMPUTE\s+STATISTICS"
@@ -685,6 +690,14 @@ def execute_dml(spark: SparkSession, sql_text: str):
     if m:
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
         return {"version": table.restore(int(m.group(2)))}
+    m = _RESTORE_TS_RE.match(sql_text)
+    if m:
+        # Delta's RESTORE ... TIMESTAMP AS OF: resolve to the last
+        # version committed at or before the timestamp, then restore
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        return {
+            "version": table.restore(table.version_at(m.group(2)))
+        }
     m = _ANALYZE_RE.match(sql_text)
     if m:
         # ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ... | FOR ALL

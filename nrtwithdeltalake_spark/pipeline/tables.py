@@ -4655,13 +4655,19 @@ class VersionedTable:
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         if n_out < len(candidates):
             df = df.coalesce(n_out)
-        # a fully-deleted candidate set leaves nothing to rewrite — the
-        # commit then only drops files (and the spent vectors)
-        new_files = (
-            self._write_files(df, self.data_dir, enforce=False)
-            if df.take(1)
-            else []
-        )
+        new_files = self._write_files(df, self.data_dir, enforce=False)
+        # a fully-deleted candidate file leaves an empty output — drop
+        # it footer-only (no emptiness pre-scan job; the files are
+        # still uncommitted, so removal is safe)
+        import pyarrow.parquet as pq
+
+        kept_new = []
+        for f in new_files:
+            if pq.ParquetFile(f).metadata.num_rows > 0:
+                kept_new.append(f)
+            else:
+                os.remove(f)
+        new_files = kept_new
         doomed = set(candidates)
         base = prev
         attempt = 0

@@ -115,3 +115,71 @@ def test_purge_then_vacuum_reclaims_originals(spark, tmp_path):
     assert not (doomed & {os.path.normpath(f) for f in live})
     assert rep["deleted_files"] >= 1
     assert sorted(r.id for r in t.read().collect()) == list(range(20, 40))
+
+
+def test_purge_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """Purge is a pure reorganization — it COMMUTES with a concurrent
+    blind append: the rebase republishes the purged files beside the
+    concurrently-added ones."""
+    t = _mk(spark, tmp_path, "race_app")
+    t.delete("id < 10", use_dv=True)
+    orig_write = VersionedTable._write_commit
+    state = {"raced": False}
+
+    def racing(self, commit, *a, **kw):
+        if commit.op == "reorg_purge" and not state["raced"]:
+            state["raced"] = True
+            VersionedTable(self.spark, self.path).append(
+                self.spark.createDataFrame(
+                    [(100, "racer", 0)], "id long, s string, v long"
+                )
+            )
+        return orig_write(self, commit, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_write_commit", racing)
+    v = t.reorg_purge()
+    monkeypatch.setattr(VersionedTable, "_write_commit", orig_write)
+    assert state["raced"]
+    c = t.get_commit()
+    assert c.version == v and c.op == "reorg_purge"
+    assert c.stats.get("rebased_from_version") is not None
+    assert c.dv_files == []
+    # racer's rows survived the rebase; purged deletions stayed deleted
+    assert sorted(r.id for r in t.read().collect()) == list(
+        range(10, 40)
+    ) + [100]
+
+
+def test_purge_conflicts_with_concurrent_dv_delete(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent DV delete marks rows purge already rewrote WITHOUT
+    those deletions — committing would resurrect them; purge must
+    refuse loudly instead."""
+    from nrtwithdeltalake_spark.pipeline.tables import CommitConflictError
+    import pytest
+
+    t = _mk(spark, tmp_path, "race_dv")
+    t.delete("id < 5", use_dv=True)
+    orig_write = VersionedTable._write_commit
+    state = {"raced": False}
+
+    def racing(self, commit, *a, **kw):
+        if commit.op == "reorg_purge" and not state["raced"]:
+            state["raced"] = True
+            VersionedTable(self.spark, self.path).delete(
+                "id >= 35", use_dv=True
+            )
+        return orig_write(self, commit, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_write_commit", racing)
+    with pytest.raises(CommitConflictError, match="deletion-vector"):
+        t.reorg_purge()
+    monkeypatch.setattr(VersionedTable, "_write_commit", orig_write)
+    assert state["raced"]
+    # the refused purge left state consistent: both deletes still apply
+    assert sorted(r.id for r in t.read().collect()) == list(range(5, 35))
+    # and a re-run on the fresh snapshot settles everything
+    t.reorg_purge()
+    assert t.get_commit().dv_files == []
+    assert sorted(r.id for r in t.read().collect()) == list(range(5, 35))

@@ -339,6 +339,22 @@ def test_alter_table_ddl_and_restore(spark, twin_tables):
     assert set(sql_t.read().columns) == {"TransactionId", "name", "amount"}
     assert _snap(sql_t) == {(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)}
 
+    # RESTORE ... TIMESTAMP AS OF resolves through version_at (the last
+    # version committed at or before the timestamp) and then restores
+    import datetime as _dt
+
+    # halfway between v1 and v2 commit stamps: unambiguously "at or
+    # after v1, before v2" regardless of float→ISO rounding
+    ts_v1 = sql_t.get_commit(1).ts
+    ts_v2 = sql_t.get_commit(2).ts
+    iso = _dt.datetime.utcfromtimestamp((ts_v1 + ts_v2) / 2).isoformat()
+    res = execute_dml(spark, f"RESTORE TABLE {tgt} TIMESTAMP AS OF '{iso}'")
+    assert res["version"] == v + 2
+    assert sorted(map(tuple, sql_t.read().collect())) == sorted(
+        map(tuple, sql_t.read(version=1).collect())
+    )
+    assert sql_t.read().columns == sql_t.read(version=1).columns
+
 
 def test_insert_into_and_ctas(spark, tmp_path, twin_tables):
     """The remaining lifecycle statements: CTAS creates a versioned
