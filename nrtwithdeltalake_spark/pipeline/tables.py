@@ -177,7 +177,9 @@ class UnsupportedTableFeatureError(RuntimeError):
 # instead of guessing.
 READER_VERSION = 2
 WRITER_VERSION = 2
-SUPPORTED_READER_FEATURES = frozenset({"deletion_vectors", "column_mapping"})
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletion_vectors", "column_mapping", "type_widening"}
+)
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
     {
         "check_constraints",
@@ -770,6 +772,12 @@ class VersionedTable:
             rf.add("deletion_vectors")
         if commit.op in ("rename_column", "drop_column"):
             rf.add("column_mapping")
+        # a widened column leaves NARROW pages under a WIDE schema: a
+        # reader trusting parquet footer types over the commit schema
+        # would hand back int32 frames for a bigint column (Delta's
+        # typeWidening reader+writer feature, same rationale)
+        if commit.op == "widen_column":
+            rf.add("type_widening")
         if self.constraints():
             wf.add("check_constraints")
         if self.generated_columns():

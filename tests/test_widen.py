@@ -146,3 +146,21 @@ def test_sql_alter_column_type(spark, tmp_path):
         execute_dml(spark, f"ALTER TABLE {tgt} ALTER COLUMN x TYPE INT")
     # values unchanged through the SQL path
     assert {r.x for r in t.read().collect()} == {1, 2}
+
+
+def test_widen_stamps_type_widening_protocol(spark, tmp_path):
+    """A widen commit gates downstream readers: narrow pages under a
+    wide schema misread through a footer-typed reader, so the commit
+    demands the type_widening reader feature (monotone thereafter)."""
+    t = _mk(spark, tmp_path, "proto")
+    assert "type_widening" not in (
+        (t.get_commit().protocol or {}).get("reader_features") or []
+    )
+    t.widen_column_type("x", "bigint")
+    proto = t.get_commit().protocol
+    assert "type_widening" in proto["reader_features"]
+    # monotone: a later plain append keeps the requirement
+    t.append(
+        spark.createDataFrame([("z", 7, 0.5)], "s string, x long, f float")
+    )
+    assert "type_widening" in t.get_commit().protocol["reader_features"]
