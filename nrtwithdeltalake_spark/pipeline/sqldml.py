@@ -486,6 +486,9 @@ _REORG_RE = re.compile(
     rf"^\s*REORG\s+TABLE\s+{_IDENT}\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+{_IDENT}\s*;?\s*$", re.IGNORECASE
+)
 _COPY_INTO_RE = re.compile(
     rf"^\s*COPY\s+INTO\s+{_IDENT}\s+FROM\s+'([^']+)'\s+"
     r"FILEFORMAT\s*=\s*(\w+)"
@@ -495,6 +498,55 @@ _COPY_INTO_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _show_create_stmt(table) -> str:
+    """Reconstructable DDL for a versioned table — column types,
+    identity specs (both modes), generated expressions, DEFAULTs and
+    NOT NULL inline, followed by ALTER/SET statements for CHECK
+    constraints and table properties (which the CREATE grammar doesn't
+    carry). The output is RUNNABLE: executing each ``;``-separated
+    statement against a fresh path rebuilds an equivalent table (the
+    round-trip test pins this)."""
+    ident = table.identity_columns()
+    modes = table.identity_modes()
+    gen = table.generated_columns()
+    dflt = table.column_defaults()
+    nn = set(table.not_null_columns())
+    cols = []
+    for f in table.schema().fields:
+        line = f"  `{f.name}` {f.dataType.simpleString().upper()}"
+        if f.name in ident:
+            start, step = ident[f.name]
+            mode = (
+                "ALWAYS"
+                if modes.get(f.name, "always") == "always"
+                else "BY DEFAULT"
+            )
+            line += (
+                f" GENERATED {mode} AS IDENTITY "
+                f"(START WITH {start} INCREMENT BY {step})"
+            )
+        elif f.name in gen:
+            line += f" GENERATED ALWAYS AS ({gen[f.name]})"
+        if f.name in dflt:
+            line += f" DEFAULT {dflt[f.name]}"
+        if f.name in nn:
+            line += " NOT NULL"
+        cols.append(line)
+    tgt = f"versioned.`{table.path}`"
+    stmts = [f"CREATE TABLE {tgt} (\n" + ",\n".join(cols) + "\n)"]
+    for name, sql in sorted(table.constraints().items()):
+        if name.startswith("notnull:"):
+            continue  # already inline as NOT NULL
+        stmts.append(f"ALTER TABLE {tgt} ADD CONSTRAINT {name} CHECK ({sql})")
+    props = table.properties()
+    if props:
+        kv = ", ".join(
+            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+        )
+        stmts.append(f"ALTER TABLE {tgt} SET TBLPROPERTIES ({kv})")
+    return ";\n".join(stmts)
 
 
 def _quoted_kv(raw: str | None) -> dict[str, str]:
@@ -601,6 +653,12 @@ def execute_dml(spark: SparkSession, sql_text: str):
         # carrying deletion vectors or dropped-column bytes — O(debt)
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
         return {"version": table.reorg_purge()}
+    m = _SHOW_CREATE_RE.match(sql_text)
+    if m:
+        table = resolve_versioned(spark, _ident_parts(m.group(1)))
+        return spark.createDataFrame(
+            [(_show_create_stmt(table),)], "createtab_stmt string"
+        )
     m = _COPY_INTO_RE.match(sql_text)
     if m:
         # Delta's COPY INTO: idempotent bulk file ingestion
