@@ -515,7 +515,9 @@ def _show_create_stmt(table) -> str:
     nn = set(table.not_null_columns())
     cols = []
     for f in table.schema().fields:
-        line = f"  `{f.name}` {f.dataType.simpleString().upper()}"
+        # simpleString as-is: uppercasing would also uppercase NESTED
+        # struct/map field names, silently changing the rebuilt schema
+        line = f"  `{f.name}` {f.dataType.simpleString()}"
         if f.name in ident:
             start, step = ident[f.name]
             mode = (
@@ -542,8 +544,11 @@ def _show_create_stmt(table) -> str:
         stmts.append(f"ALTER TABLE {tgt} ADD CONSTRAINT {name} CHECK ({sql})")
     props = table.properties()
     if props:
+        # SQL single-quote escaping ('' ) keeps the output runnable for
+        # values carrying apostrophes (e.g. harvested string min/max)
+        esc = lambda s: str(s).replace("'", "''")  # noqa: E731
         kv = ", ".join(
-            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            f"'{esc(k)}' = '{esc(v)}'" for k, v in sorted(props.items())
         )
         stmts.append(f"ALTER TABLE {tgt} SET TBLPROPERTIES ({kv})")
     return ";\n".join(stmts)
@@ -762,7 +767,9 @@ def execute_dml(spark: SparkSession, sql_text: str):
         # COLUMNS] → analyze(): one distributed aggregate, persisted
         # metadata-only (see VersionedTable.analyze)
         table = resolve_versioned(spark, _ident_parts(m.group(1)))
-        clause = (m.group(2) or "").strip()
+        # whitespace-normalized: "FOR ALL  COLUMNS" (any run of spaces)
+        # must hit the ALL branch, not fall through to a None group
+        clause = re.sub(r"\s+", " ", (m.group(2) or "").strip())
         if clause.upper() == "ALL COLUMNS":
             cols = [f.name for f in table.schema().fields]
         elif clause:
@@ -1139,15 +1146,43 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
     # pre-validate everything validate-able BEFORE the table exists:
     # a bad DEFAULT/generation expression then fails with NO partial
     # table left behind (ALTER-time declarations re-validate anyway)
+    both = sorted(set(generated) & set(defaults))
+    if both:
+        raise UnsupportedSqlError(
+            f"column(s) {both} declare both GENERATED ALWAYS AS and "
+            "DEFAULT — a generated column's value is always computed, "
+            "a DEFAULT would never apply"
+        )
     for n, e in defaults.items():
         # self-contained (column-free) resolve + cast check — the exact
         # probe set_column_default runs at declare time
         spark.range(1).select(F.expr(e).cast(by_name[n].dataType)).schema
+    # generation expressions may reference sibling BODY columns only:
+    # the write path fills generated columns BEFORE identity assignment,
+    # so an identity-referencing expression would pass CREATE and then
+    # explode on the first append — refuse it HERE with the reason
     for n, e in generated.items():
-        # generation expressions may reference sibling columns: resolve
-        # against an empty frame with the declared body schema
-        spark.createDataFrame([], body).select(F.expr(e)).schema
+        try:
+            spark.createDataFrame([], body).select(F.expr(e)).schema
+        except Exception as err:
+            named = [
+                i
+                for i in identity
+                if re.search(rf"\b{re.escape(i)}\b", e)
+            ]
+            if named:
+                raise UnsupportedSqlError(
+                    f"generated column {n!r} references identity "
+                    f"column(s) {named} — identity values are assigned "
+                    "AFTER generated columns are computed, so the "
+                    "expression can never resolve at write time"
+                ) from None
+            raise err
     df = spark.createDataFrame([], body)
+    # a CREATE against a PRE-EXISTING directory (landing dir adopted as
+    # a table path) must never destroy its other contents on failure —
+    # remember what was there so cleanup removes only what WE created
+    pre_entries = set(os.listdir(root)) if os.path.isdir(root) else None
     t = VersionedTable.create(
         spark,
         root,
@@ -1167,8 +1202,20 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
             t.set_column_default(n, e)
     except Exception:
         # the table was born in THIS call — remove the partial state so
-        # the corrected statement can re-run
-        shutil.rmtree(root, ignore_errors=True)
+        # the corrected statement can re-run, but ONLY the entries this
+        # call added (the directory may have pre-existed with user data)
+        if pre_entries is None:
+            shutil.rmtree(root, ignore_errors=True)
+        else:
+            for entry in set(os.listdir(root)) - pre_entries:
+                p = os.path.join(root, entry)
+                try:
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        os.remove(p)
+                except OSError:
+                    pass
         raise
     return {"version": t.latest_version()}
 

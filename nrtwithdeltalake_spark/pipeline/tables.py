@@ -858,14 +858,14 @@ class VersionedTable:
     def _write_commit(self, commit: Commit) -> None:
         """Atomic put-if-absent publish (see ``publish_commit_file``).
         Every commit re-stamps the field-id high-water mark from its own
-        schema ∨ the carried value, keeping ``_next_field_floor`` exact
-        across drops."""
+        schema ∨ the carried value ∨ the PREDECESSOR's carried value
+        (so a hand-built stats dict — compact/purge — can never regress
+        it; a dropped column's id must never be reissued), keeping
+        ``_next_field_floor`` exact across drops."""
         m = max(
             _max_field_id(T.StructType.fromJson(json.loads(commit.schema_json))),
             int(commit.stats.get("max_field_id", 0)),
         )
-        if m:
-            commit.stats["max_field_id"] = m
         # protocol: gate on the PREDECESSOR (may we build on it at
         # all?), then stamp this commit with its features ∪ whatever
         # this commit newly requires — upgrades are monotone, never
@@ -879,6 +879,9 @@ class VersionedTable:
                 prev_raw = {}
             check_write_protocol(prev_raw, where=f"{self.path}: ")
             prev_protocol = prev_raw.get("protocol")
+            m = max(
+                m, int((prev_raw.get("stats") or {}).get("max_field_id", 0))
+            )
             # monotone in-commit timestamps (Delta inCommitTimestamps):
             # commits stamp max(now, prev_ts + 1ms), so TIMESTAMP AS OF
             # resolution (version_at's last-at-or-before rule) stays
@@ -906,6 +909,8 @@ class VersionedTable:
                     else:
                         cur[c] = int(v)
                 commit.stats["identity"] = cur
+        if m:
+            commit.stats["max_field_id"] = m
         commit.protocol = self._next_protocol(commit, prev_protocol)
         parent: dict | None = None
         if commit.version > 0 and commit.version % logcodec.CHECKPOINT_EVERY:
@@ -1360,7 +1365,11 @@ class VersionedTable:
                 f"ANALYZE columns {unknown} not in schema "
                 f"{sorted(by_name)}"
             )
-        df = self.read()
+        # aggregate over the PINNED snapshot `c`, not a re-resolved
+        # latest: a concurrent commit between get_commit() and read()
+        # would otherwise persist numbers stamped with the wrong
+        # analyzed_version (stats describing data the version never had)
+        df = self._snapshot(c)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for col in cols:
             aggs += [
@@ -1417,9 +1426,13 @@ class VersionedTable:
     # decision (bytes per value; strings/binary dominate, so they get
     # the fattest guess — a wrong "too big" only costs a shuffle, a
     # wrong "broadcast" can OOM the driver, so guesses skew LARGE)
+    # keyed by DataType.simpleString() — "tinyint"/"bigint", not the
+    # class-ish names ("byte"/"long"), or every numeric column would
+    # fall to the 48-byte string default and kill the broadcast hint
     _WIDTH_GUESS = {
-        "byte": 1, "short": 2, "integer": 4, "long": 8, "float": 4,
+        "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8, "float": 4,
         "double": 8, "boolean": 1, "date": 4, "timestamp": 8,
+        "timestamp_ntz": 8,
     }
 
     def estimated_bytes(self) -> int | None:
@@ -2917,7 +2930,11 @@ class VersionedTable:
                             c: ident_last[c] + shifts.get(c, 0)
                             for c in ident_last
                         }
-                        ident_plan = fresh_plan
+                        # advance the plan baseline ONLY for the columns
+                        # this append assigned — re-admitting an explicit
+                        # BY DEFAULT column here would make a SECOND
+                        # conflict shift the user-supplied values
+                        ident_plan = {c: fresh_plan[c] for c in ident_plan}
                 prev = fresh
 
     # -- COPY INTO (idempotent bulk file ingestion) -------------------------
@@ -2965,10 +2982,13 @@ class VersionedTable:
 
         ``merge_schema`` (Delta's ``mergeSchema`` copy option) admits
         NEW source columns via schema evolution; without it, extra
-        columns are refused loudly. Missing columns null/DEFAULT-fill;
-        a source column of a safely-narrower type is cast up. ``force``
-        reloads everything regardless of the registry (Delta's
-        ``force`` — may create duplicates, same contract).
+        parquet columns are refused loudly, extra CSV tokens fail the
+        read (FAILFAST), and extra JSON keys are projected away (the
+        pinned schema selects — JSON's standard projection semantics).
+        Missing columns null/DEFAULT-fill; a source column of a safely-
+        narrower type is cast up. ``force`` reloads everything
+        regardless of the registry (Delta's ``force`` — may create
+        duplicates, same contract).
 
         Scale: per call the work is O(new files) data + O(history)
         commit-metadata reads; the retry story is the whole point — a
@@ -3021,15 +3041,29 @@ class VersionedTable:
             df = reader.option("mergeSchema", bool(merge_schema)).parquet(
                 *todo
             )
+        elif merge_schema:
+            # text-format evolution needs DISCOVERED columns, not the
+            # pinned table schema (CSV requires a header for names)
+            if fmt == "csv":
+                reader = reader.option("inferSchema", "true")
+            df = reader.format(fmt).load(todo)
         else:
             # text formats read under the table's schema (computed
-            # columns excluded — the write path fills them)
+            # columns excluded — the write path fills them). CSV rows
+            # carrying EXTRA tokens fail loudly (FAILFAST, overridable
+            # via options); JSON applies projection semantics — extra
+            # keys are ignored, the schema selects (pass
+            # merge_schema=True to admit them instead)
             skip = set(self.identity_columns()) | set(
                 self.generated_columns()
             )
             read_schema = T.StructType(
                 [f for f in self.schema().fields if f.name not in skip]
             )
+            if fmt == "csv" and "mode" not in {
+                k.lower() for k in (options or {})
+            }:
+                reader = reader.option("mode", "FAILFAST")
             df = reader.schema(read_schema).format(fmt).load(todo)
         if not merge_schema:
             table_cols = {f.name for f in self.schema().fields}

@@ -154,3 +154,42 @@ def test_sql_copy_into_with_options(spark, tmp_path):
             f"COPY INTO versioned.`{t.path}` FROM '{land}' "
             "FILEFORMAT = AVRO",
         )
+
+
+def test_copy_into_csv_extra_column_discipline(spark, tmp_path):
+    """Text formats honor the documented schema contract: extra CSV
+    tokens FAIL the read (no silent drop); mergeSchema reads discovered
+    columns and evolves the table."""
+    t = _mk(spark, tmp_path, "csvx")
+    land = str(tmp_path / "land_csvx")
+    os.makedirs(land)
+    with open(os.path.join(land, "wide.csv"), "w") as f:
+        f.write("id,s,extra\n7,s7,zzz\n")
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed"):
+        t.copy_into(
+            land, file_format="csv", options={"header": "true"}
+        )
+    # nothing marked loaded by the failed attempt; mergeSchema evolves
+    out = t.copy_into(
+        land,
+        file_format="csv",
+        merge_schema=True,
+        options={"header": "true", "inferSchema": "true"},
+    )
+    assert out["files_loaded"] == 1
+    assert "extra" in [f.name for f in t.schema().fields]
+    got = {r.id: r.extra for r in t.read().collect()}
+    assert got[7] == "zzz" and got[0] is None
+
+
+def test_estimated_bytes_uses_real_widths(spark, tmp_path):
+    """The ANALYZE-fed width table is keyed by simpleString() names —
+    int/bigint columns must cost 4/8 bytes, not the 48-byte string
+    default (which would defeat the broadcast hint)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "wid"),
+        spark.createDataFrame([(1, 2)], "a int, b bigint"),
+    )
+    t.analyze()
+    assert t.estimated_bytes() == 1 * (4 + 8)

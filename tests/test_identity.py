@@ -1119,3 +1119,60 @@ def test_drop_not_null_crash_leaves_conservative_state(
     assert t.not_null_columns() == []
     t.append(spark.createDataFrame([(None,)], "s string"))
     assert t.read().filter("s is null").count() == 1
+
+
+def test_by_default_explicit_values_survive_double_rebase(
+    spark, tmp_path, monkeypatch
+):
+    """TWO consecutive identity-race losses must still leave explicit
+    BY DEFAULT values untouched: the retry loop's plan baseline
+    re-advance covers only the columns THIS append assigned — a buggy
+    baseline that re-admits the explicit column would shift the
+    user-supplied ids on the second conflict (silent corruption)."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "dbl"),
+        spark.createDataFrame([("seed",)], "s string"),
+        identity={
+            "aid": {"start": 1, "step": 1, "mode": "always"},
+            "did": {"start": 1000, "step": 1, "mode": "default"},
+        },
+    )
+    orig_write = VersionedTable._write_commit
+    state = {"races": 0, "in_racer": False}
+
+    def racing(self, commit, *a, **kw):
+        # the loser's first TWO publish attempts each lose to a fresh
+        # concurrent append that advances BOTH columns' high-water
+        if (
+            commit.op == "append"
+            and not state["in_racer"]
+            and state["races"] < 2
+        ):
+            state["races"] += 1
+            state["in_racer"] = True
+            try:
+                VersionedTable(self.spark, self.path).append(
+                    self.spark.createDataFrame(
+                        [(f"racer{state['races']}",)], "s string"
+                    )
+                )
+            finally:
+                state["in_racer"] = False
+        return orig_write(self, commit, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_write_commit", racing)
+    # explicit BY DEFAULT ids 7777/8888 ride the doubly-rebased append
+    t.append(
+        spark.createDataFrame(
+            [(7777, "loser1"), (8888, "loser2")], "did long, s string"
+        )
+    )
+    monkeypatch.setattr(VersionedTable, "_write_commit", orig_write)
+    assert state["races"] == 2
+    got = {r.s: (r.aid, r.did) for r in t.read().collect()}
+    # the supplied values are EXACTLY what was written
+    assert got["loser1"][1] == 7777 and got["loser2"][1] == 8888
+    # and every engine-assigned id is still distinct
+    aids = [v[0] for v in got.values()]
+    assert len(aids) == len(set(aids))

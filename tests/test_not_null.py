@@ -123,11 +123,19 @@ def test_sql_alter_column_not_null_round_trip(spark, tmp_path):
         f"INSERT INTO versioned.`{t.path}` VALUES (CAST(NULL AS STRING), 9)",
     )
     assert t.read().filter("s is null").count() == 1
-    # unsupported ALTER COLUMN shapes are refused loudly
-    with pytest.raises(UnsupportedSqlError, match="SET NOT NULL"):
+    # TYPE is now a supported shape (round-12 widening) but still
+    # refuses loudly outside the safe widening set; cosmetic shapes
+    # (COMMENT) stay unsupported with the capability list named
+    with pytest.raises(UnsupportedSqlError, match="not a safe widening"):
         execute_dml(
             spark,
             f"ALTER TABLE versioned.`{t.path}` ALTER COLUMN x TYPE STRING",
+        )
+    with pytest.raises(UnsupportedSqlError, match="SET NOT NULL"):
+        execute_dml(
+            spark,
+            f"ALTER TABLE versioned.`{t.path}` ALTER COLUMN x "
+            "COMMENT 'nope'",
         )
 
 

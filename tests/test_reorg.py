@@ -183,3 +183,27 @@ def test_purge_conflicts_with_concurrent_dv_delete(
     t.reorg_purge()
     assert t.get_commit().dv_files == []
     assert sorted(r.id for r in t.read().collect()) == list(range(5, 35))
+
+
+def test_field_id_high_water_survives_purge_and_compact(spark, tmp_path):
+    """compact/purge hand-build their commit stats; the field-id
+    high-water must still carry (centrally, in _write_commit) — a
+    regressed floor would reissue a dropped column's id and resurrect
+    its bytes from any file that escaped rewriting."""
+    import json as _json
+
+    from nrtwithdeltalake_spark.pipeline.tables import _FIELD_ID
+
+    t = _mk(spark, tmp_path, "fid")
+    t.add_column("doomed", "long")
+    hw = int(t.get_commit().stats["max_field_id"])
+    t.drop_column("doomed")
+    t.delete("id < 5", use_dv=True)
+    t.reorg_purge()
+    assert int(t.get_commit().stats["max_field_id"]) == hw
+    t.compact()
+    assert int(t.get_commit().stats["max_field_id"]) == hw
+    t.add_column("fresh", "long")
+    schema = t.schema()
+    fid = int(schema["fresh"].metadata[_FIELD_ID])
+    assert fid == hw + 1  # never re-mints the dropped column's id

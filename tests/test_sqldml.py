@@ -858,3 +858,107 @@ def test_show_create_table_round_trips(spark, tmp_path):
         )
     )
     assert [r.id for r in t2.read().collect()] == [5]
+
+
+def test_create_table_generated_referencing_identity_refused(
+    spark, tmp_path
+):
+    """The write path fills generated columns BEFORE identity
+    assignment, so `bucket = id % 10` can never resolve at write time —
+    CREATE must refuse it loudly (naming the identity column) instead
+    of accepting DDL whose first append explodes, and must leave no
+    partial table behind."""
+    import os
+
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+    p = str(tmp_path / "gen_ident")
+    with pytest.raises(UnsupportedSqlError, match="identity"):
+        execute_dml(
+            spark,
+            f"""CREATE TABLE versioned.`{p}` (
+                id BIGINT GENERATED ALWAYS AS IDENTITY,
+                s STRING,
+                bucket BIGINT GENERATED ALWAYS AS (id % 10))""",
+        )
+    assert not VersionedTable.exists(p) and not os.path.exists(p)
+    # a body-column-referencing expression still works end-to-end
+    execute_dml(
+        spark,
+        f"""CREATE TABLE versioned.`{p}` (
+            id BIGINT GENERATED ALWAYS AS IDENTITY,
+            s STRING,
+            s_up STRING GENERATED ALWAYS AS (upper(s)))""",
+    )
+    t = VersionedTable(spark, p)
+    t.append(spark.createDataFrame([("a",)], "s string"))
+    r = t.read().collect()[0]
+    assert (r.id, r.s_up) == (1, "A")
+
+
+def test_create_table_failure_never_touches_preexisting_files(
+    spark, tmp_path
+):
+    """A refused CREATE against a directory that already held user data
+    must leave that data alone — generated+DEFAULT on one column is
+    refused BEFORE the table exists, and a hypothetical post-create
+    failure removes only entries the call added."""
+    import os
+
+    land = tmp_path / "existing"
+    land.mkdir()
+    keep = land / "user_data.txt"
+    keep.write_text("precious")
+    with pytest.raises(UnsupportedSqlError, match="GENERATED"):
+        execute_dml(
+            spark,
+            f"""CREATE TABLE versioned.`{land}` (
+                c BIGINT GENERATED ALWAYS AS (1) DEFAULT 5)""",
+        )
+    assert keep.read_text() == "precious"
+    assert sorted(os.listdir(land)) == ["user_data.txt"]  # no partial table
+
+
+def test_analyze_for_all_columns_whitespace(spark, tmp_path):
+    """'FOR ALL  COLUMNS' (any space run) hits the ALL branch."""
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "an"),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+    )
+    out = execute_dml(
+        spark,
+        f"ANALYZE TABLE versioned.`{t.path}` COMPUTE STATISTICS "
+        "FOR ALL   COLUMNS",
+    )
+    assert sorted(out["columns"]) == ["id", "s"]
+
+
+def test_show_create_nested_types_and_quoted_properties(spark, tmp_path):
+    """Nested struct field names keep their case, and property values
+    carrying apostrophes round-trip through '' escaping."""
+    from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
+
+    src = str(tmp_path / "nested_src")
+    t = VersionedTable.create(
+        spark,
+        src,
+        spark.createDataFrame(
+            [], "id long, payload struct<innerName:string,qty:int>"
+        ),
+    )
+    t.set_properties({"note": "O'Brien's table"})
+    stmt = execute_dml(
+        spark, f"SHOW CREATE TABLE versioned.`{src}`"
+    ).collect()[0].createtab_stmt
+    dst = str(tmp_path / "nested_dst")
+    for s in stmt.replace(src, dst).split(";\n"):
+        execute_dml(spark, s)
+    t2 = VersionedTable(spark, dst)
+    assert [f.name for f in t2.schema()["payload"].dataType.fields] == [
+        "innerName",
+        "qty",
+    ]
+    assert t2.properties()["note"] == "O'Brien's table"
