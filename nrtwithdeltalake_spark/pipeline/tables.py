@@ -50,6 +50,16 @@ def _strip_scheme(p: str) -> str:
     return p[len("file:") :] if p.startswith("file:") else p
 
 
+def _truthy_option(options: dict | None, name: str) -> bool:
+    """Case-insensitive reader-option lookup with Spark's boolean-string
+    semantics ("true"/"1" truthy) — options dicts arrive from SQL
+    FORMAT_OPTIONS with caller-chosen key casing."""
+    for k, v in (options or {}).items():
+        if k.lower() == name.lower():
+            return str(v).strip().lower() in ("true", "1", "yes")
+    return False
+
+
 _MORTON_BITS = 16
 
 
@@ -750,7 +760,10 @@ class VersionedTable:
         return best
 
     def _next_protocol(
-        self, commit: Commit, prev_protocol: dict | None
+        self,
+        commit: Commit,
+        prev_protocol: dict | None,
+        widens: bool = False,
     ) -> dict | None:
         """The protocol this commit must carry: predecessor's features
         (monotone — a feature once required never un-requires; restore
@@ -775,8 +788,11 @@ class VersionedTable:
         # a widened column leaves NARROW pages under a WIDE schema: a
         # reader trusting parquet footer types over the commit schema
         # would hand back int32 frames for a bigint column (Delta's
-        # typeWidening reader+writer feature, same rationale)
-        if commit.op == "widen_column":
+        # typeWidening reader+writer feature, same rationale). `widens`
+        # covers the EVOLUTION path too — append/merge/copy_into whose
+        # _merged_schema adopted a wider type (op stays "append"/…)
+        # produce the same narrow-pages-under-wide-schema state
+        if commit.op == "widen_column" or widens:
             rf.add("type_widening")
         if self.constraints():
             wf.add("check_constraints")
@@ -911,7 +927,33 @@ class VersionedTable:
                 commit.stats["identity"] = cur
         if m:
             commit.stats["max_field_id"] = m
-        commit.protocol = self._next_protocol(commit, prev_protocol)
+        # widening detection vs the PREDECESSOR schema (not just the
+        # widen_column op): schema-evolution widening during append/
+        # merge/copy_into must gate readers identically — old narrow
+        # pages sit under the new wide schema either way. schema_json
+        # is a scalar record key (never delta-encoded), so prev_raw
+        # carries the full predecessor schema.
+        widens = False
+        prev_sj = prev_raw.get("schema_json") if commit.version > 0 else None
+        if prev_sj and prev_sj != commit.schema_json:
+            prev_by = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(json.loads(prev_sj)).fields
+            }
+            for f in T.StructType.fromJson(
+                json.loads(commit.schema_json)
+            ).fields:
+                p = prev_by.get(f.name)
+                if (
+                    p is not None
+                    and p != f.dataType
+                    and widened_type(p, f.dataType) == f.dataType
+                ):
+                    widens = True
+                    break
+        commit.protocol = self._next_protocol(
+            commit, prev_protocol, widens=widens
+        )
         parent: dict | None = None
         if commit.version > 0 and commit.version % logcodec.CHECKPOINT_EVERY:
             # checkpoint versions store full lists — don't pay the
@@ -3043,9 +3085,26 @@ class VersionedTable:
             )
         elif merge_schema:
             # text-format evolution needs DISCOVERED columns, not the
-            # pinned table schema (CSV requires a header for names)
+            # pinned table schema (CSV requires a header for names) —
+            # and a headerless CSV would evolve `_c0, _c1, …` garbage
+            # names into the table schema, so the header option is
+            # REQUIRED here, not just documented
             if fmt == "csv":
+                if not _truthy_option(options, "header"):
+                    raise ValueError(
+                        "COPY INTO csv with merge_schema=True needs "
+                        "column names from a header row — pass "
+                        "FORMAT_OPTIONS ('header'='true') (otherwise "
+                        "positional _c0/_c1/... names would evolve "
+                        "into the table schema)"
+                    )
                 reader = reader.option("inferSchema", "true")
+            # malformed text rows must fail the LOAD, not land as
+            # all-null rows whose file identity is still recorded as
+            # loaded (never-retried silent bad ingest) — FAILFAST for
+            # csv AND json, overridable via FORMAT_OPTIONS ('mode')
+            if "mode" not in {k.lower() for k in (options or {})}:
+                reader = reader.option("mode", "FAILFAST")
             df = reader.format(fmt).load(todo)
         else:
             # text formats read under the table's schema (computed
@@ -3060,20 +3119,41 @@ class VersionedTable:
             read_schema = T.StructType(
                 [f for f in self.schema().fields if f.name not in skip]
             )
-            if fmt == "csv" and "mode" not in {
-                k.lower() for k in (options or {})
-            }:
+            if "mode" not in {k.lower() for k in (options or {})}:
+                # malformed rows fail the load for csv AND json — a
+                # PERMISSIVE all-null load would still record the file
+                # identity as loaded and never retry it
                 reader = reader.option("mode", "FAILFAST")
             df = reader.schema(read_schema).format(fmt).load(todo)
         if not merge_schema:
-            table_cols = {f.name for f in self.schema().fields}
-            extra = [c for c in df.columns if c not in table_cols]
+            table_types = {f.name: f.dataType for f in self.schema().fields}
+            extra = [c for c in df.columns if c not in table_types]
             if extra:
                 raise ValueError(
                     f"COPY INTO source carries columns {extra} the table "
                     "lacks — pass merge_schema=True (COPY_OPTIONS "
                     "('mergeSchema'='true')) to evolve, or fix the source"
                 )
+            # a WIDER source type (bigint file into an int table) would
+            # flow into append's _merged_schema and silently widen the
+            # table schema — schema evolution without the mergeSchema
+            # opt-in. Equal or safely-NARROWER source types are fine
+            # (_align_to casts up); anything else refuses here.
+            for f in df.schema.fields:
+                t = table_types.get(f.name)
+                if (
+                    t is not None
+                    and f.dataType != t
+                    and widened_type(f.dataType, t) != t
+                ):
+                    raise ValueError(
+                        f"COPY INTO source column {f.name!r} has type "
+                        f"{f.dataType.simpleString()} but the table has "
+                        f"{t.simpleString()} — a wider/incompatible "
+                        "source type needs merge_schema=True "
+                        "(COPY_OPTIONS ('mergeSchema'='true')) to "
+                        "widen, or cast the source"
+                    )
         v = self.append(
             df,
             extra_stats={
@@ -4640,8 +4720,13 @@ class VersionedTable:
         def _has_dead(path: str) -> bool:
             try:
                 arrow = pq.ParquetFile(path).schema_arrow
-            except OSError:
-                return False  # unreadable file: not purge's problem
+            except Exception:
+                # unreadable/corrupt footer: not purge's problem — the
+                # read path fails loudly on it; pyarrow raises
+                # ArrowInvalid (NOT an OSError) for a corrupt footer,
+                # so the catch must be broad or one bad file aborts
+                # the whole REORG with a raw thread-pool traceback
+                return False
             for fld in arrow:
                 fid = (fld.metadata or {}).get(b"PARQUET:field_id")
                 if fid is not None and live_ids:

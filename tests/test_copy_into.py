@@ -193,3 +193,72 @@ def test_estimated_bytes_uses_real_widths(spark, tmp_path):
     )
     t.analyze()
     assert t.estimated_bytes() == 1 * (4 + 8)
+
+
+def test_copy_into_wider_source_type_refused_without_merge_schema(
+    spark, tmp_path
+):
+    """A WIDER source type (bigint file into an int table) must not
+    slip through append's _merged_schema as silent schema evolution —
+    without mergeSchema the load refuses; with it, the table widens
+    (ADVICE r12)."""
+    from pyspark.sql import types as T
+
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "wt"),
+        spark.createDataFrame([(0, "s0")], "id int, s string"),
+    )
+    land = str(tmp_path / "land")
+    _land(land, "a.parquet", [1, 2])  # _land writes id as int64
+    with pytest.raises(ValueError, match="wider/incompatible"):
+        t.copy_into(land)
+    # the refusal happened before the commit: nothing recorded, the
+    # same file loads after the mergeSchema opt-in and widens the table
+    out = t.copy_into(land, merge_schema=True)
+    assert out["files_loaded"] == 1
+    assert isinstance(t.schema()["id"].dataType, T.LongType)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2]
+
+
+def test_copy_into_malformed_json_fails_loudly(spark, tmp_path):
+    """Malformed JSON must fail the load (FAILFAST default), not land
+    as all-null rows whose file identity is recorded as loaded and
+    never retried (ADVICE r12). The failed file retries on the next
+    run once fixed."""
+    t = _mk(spark, tmp_path, "j")
+    land = tmp_path / "jland"
+    land.mkdir()
+    bad = land / "bad.json"
+    bad.write_text('{"id": 1, "s": "a"}\n{this is not json\n')
+    with pytest.raises(Exception, match="(?i)malformed|failfast|corrupt"):
+        t.copy_into(str(land), file_format="json")
+    # registry untouched: the fixed file loads
+    assert t.read().count() == 1
+    bad.write_text('{"id": 1, "s": "a"}\n{"id": 2, "s": "b"}\n')
+    out = t.copy_into(str(land), file_format="json")
+    assert out["files_loaded"] == 1
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2]
+
+
+def test_copy_into_headerless_csv_evolution_refused(spark, tmp_path):
+    """CSV + merge_schema without a header option would evolve
+    positional _c0/_c1/... names into the table schema — refused
+    loudly, naming the option (VERDICT r12)."""
+    t = _mk(spark, tmp_path, "hc")
+    land = tmp_path / "cland"
+    land.mkdir()
+    (land / "a.csv").write_text("id,s,score\n1,a,9.5\n2,b,8.5\n")
+    with pytest.raises(ValueError, match="header"):
+        t.copy_into(str(land), file_format="csv", merge_schema=True)
+    out = t.copy_into(
+        str(land),
+        file_format="csv",
+        merge_schema=True,
+        options={"header": "true"},
+    )
+    assert out["files_loaded"] == 1
+    assert "score" in [f.name for f in t.schema().fields]
+    assert sorted(
+        (r.id, r.s) for r in t.read().collect()
+    ) == [(0, "s0"), (1, "a"), (2, "b")]

@@ -207,3 +207,22 @@ def test_field_id_high_water_survives_purge_and_compact(spark, tmp_path):
     schema = t.schema()
     fid = int(schema["fresh"].metadata[_FIELD_ID])
     assert fid == hw + 1  # never re-mints the dropped column's id
+
+
+def test_dead_column_probe_survives_corrupt_footer(spark, tmp_path):
+    """pyarrow raises ArrowInvalid (NOT an OSError) for a corrupt
+    parquet footer; the footer probe must skip such a file — unreadable
+    is the read path's problem to report loudly, not purge's — instead
+    of aborting the whole REORG with a raw thread-pool traceback
+    (ADVICE r12)."""
+    t = _mk(spark, tmp_path, "corrupt")
+    t.drop_column("v")  # leaves dropped-column debt in every file
+    c = t.get_commit()
+    assert len(c.files) > 1
+    victim = sorted(c.files)[0]
+    with open(victim, "wb") as f:
+        f.write(b"this is not a parquet footer")
+    dead = t._dead_column_files(c)
+    # the corrupt file is skipped, the readable debt still detected
+    assert victim not in dead
+    assert dead  # the other files' dropped-column bytes are found

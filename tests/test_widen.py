@@ -164,3 +164,38 @@ def test_widen_stamps_type_widening_protocol(spark, tmp_path):
         spark.createDataFrame([("z", 7, 0.5)], "s string, x long, f float")
     )
     assert "type_widening" in t.get_commit().protocol["reader_features"]
+
+
+def test_evolution_widen_stamps_type_widening_protocol(spark, tmp_path):
+    """Schema-EVOLUTION widening — an append/merge/copy_into whose
+    source carries a safely-wider type widens the table schema via
+    _merged_schema while the op stays "append" — produces the exact
+    narrow-pages-under-wide-schema state widen_column does, so the
+    commit must demand the type_widening reader feature too (ADVICE
+    r12: the op-only gate let footer-typed readers misread int32
+    pages under a bigint schema)."""
+    t = _mk(spark, tmp_path, "evo")
+    # a non-widening append stamps nothing
+    t.append(
+        spark.createDataFrame([("c", 3, 3.5)], "s string, x int, f float")
+    )
+    assert "type_widening" not in (
+        (t.get_commit().protocol or {}).get("reader_features") or []
+    )
+    # the widening append (long source into int column) stamps it
+    t.append(
+        spark.createDataFrame(
+            [("d", 3_000_000_000, 4.5)], "s string, x long, f float"
+        )
+    )
+    assert isinstance(t.schema()["x"].dataType, T.LongType)
+    proto = t.get_commit().protocol
+    assert proto["min_reader"] == 2
+    assert "type_widening" in proto["reader_features"]
+    # the pre-widen narrow file still reads exactly through the wide
+    # schema, and the feature is monotone thereafter
+    assert sorted(r.x for r in t.read().collect()) == [1, 2, 3, 3_000_000_000]
+    t.append(
+        spark.createDataFrame([("e", 5, 5.5)], "s string, x long, f float")
+    )
+    assert "type_widening" in t.get_commit().protocol["reader_features"]
