@@ -537,7 +537,11 @@ def _show_create_stmt(table) -> str:
             line += " NOT NULL"
         cols.append(line)
     tgt = f"versioned.`{table.path}`"
-    stmts = [f"CREATE TABLE {tgt} (\n" + ",\n".join(cols) + "\n)"]
+    create = f"CREATE TABLE {tgt} (\n" + ",\n".join(cols) + "\n)"
+    pcols = table.partition_columns()
+    if pcols:
+        create += "\nPARTITIONED BY (" + ", ".join(pcols) + ")"
+    stmts = [create]
     for name, sql in sorted(table.constraints().items()):
         if name.startswith("notnull:"):
             continue  # already inline as NOT NULL
@@ -738,6 +742,16 @@ def execute_dml(spark: SparkSession, sql_text: str):
                     if tstats is None
                     else int(tstats["analyzed_version"]),
                     sorted(tstats["columns"]) if tstats else [],
+                    table.current_row_count(c),
+                    # stats freshness in one flag: exact metadata-
+                    # derived count available, OR the ANALYZE record
+                    # describes exactly this version
+                    table.current_row_count(c) is not None
+                    or (
+                        tstats is not None
+                        and int(tstats["analyzed_version"]) == int(c.version)
+                    ),
+                    table.partition_columns(),
                 )
             ],
             "format string, location string, version bigint, "
@@ -747,7 +761,8 @@ def execute_dml(spark: SparkSession, sql_text: str):
             "reader_features array<string>, writer_features array<string>, "
             "identity_columns array<string>, not_null_columns array<string>, "
             "analyzed_row_count bigint, analyzed_version bigint, "
-            "analyzed_columns array<string>",
+            "analyzed_columns array<string>, current_row_count bigint, "
+            "row_count_fresh boolean, partition_columns array<string>",
         )
     m = _RESTORE_RE.match(sql_text)
     if m:
@@ -1070,6 +1085,23 @@ def _execute_insert(spark: SparkSession, plan) -> dict:
     return {"version": table.append(df)}
 
 
+def _partitioning_cols(plan) -> list[str]:
+    """PARTITIONED BY column names from a CreateTable/CTAS plan —
+    identity transforms only (bucket/days/... have no versioned-table
+    analog; the engine's clustered compact covers those layouts)."""
+    out: list[str] = []
+    part = plan.partitioning()
+    for i in range(part.size()):
+        tr = part.apply(i)
+        if tr.getClass().getSimpleName() != "IdentityTransform":
+            raise UnsupportedSqlError(
+                f"unsupported PARTITIONED BY transform {tr.describe()!r}"
+                " — only plain column partitioning is supported"
+            )
+        out.append(tr.describe())
+    return out
+
+
 def _execute_create_table(spark: SparkSession, plan) -> dict:
     """Column-defined CREATE TABLE — including the reference's
     ``Id BIGINT GENERATED ALWAYS AS IDENTITY`` shape
@@ -1189,6 +1221,7 @@ def _execute_create_table(spark: SparkSession, plan) -> dict:
         df,
         identity=identity or None,
         column_order=declared_order if identity else None,
+        partition_by=_partitioning_cols(plan) or None,
     )
     try:
         for n, e in generated.items():
@@ -1247,7 +1280,9 @@ def _execute_ctas(spark: SparkSession, plan) -> dict:
             return {"version": VersionedTable(spark, root).latest_version()}
         raise ValueError(f"versioned table already exists at {root!r}")
     df = _plan_df(spark, plan.query())
-    VersionedTable.create(spark, root, df)
+    VersionedTable.create(
+        spark, root, df, partition_by=_partitioning_cols(plan) or None
+    )
     return {"version": 0}
 
 

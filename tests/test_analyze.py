@@ -95,35 +95,81 @@ def test_describe_detail_surfaces_analyze(spark, tmp_path):
     assert row.analyzed_columns == ["k"]
 
 
+def _join_plan(fact, dim_df):
+    return (
+        fact.join(dim_df, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
 def test_stats_informed_broadcast_hint_on_dim_join(spark, tmp_path):
-    """The VERDICT-named done-bar: a dim join planned as a broadcast
-    BECAUSE of analyzed stats — with Spark's own auto-broadcast
-    disabled, only the hint can produce a BroadcastHashJoin."""
+    """A dim join planned as a broadcast BECAUSE of table stats — with
+    Spark's own auto-broadcast disabled, only the hint can produce a
+    BroadcastHashJoin. Since the incremental-statistics round the row
+    count is EXACT from commit metadata (file_stats.__rows__ minus live
+    DV counts), so the hint fires on never-analyzed tables and — the
+    VERDICT r12 done-bar — SURVIVES appends and deletes without
+    re-ANALYZE."""
     dim = _mk(spark, tmp_path, name="dim", n=50)
     fact = spark.range(0, 10_000).withColumnRenamed("id", "k")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # un-analyzed: no stats -> no hint -> sort-merge join
-        plan = fact.join(dim.read_for_join(), "k")._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" not in plan
-        dim.analyze()
-        plan = fact.join(dim.read_for_join(), "k")._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan
+        # never analyzed: the exact metadata row count alone drives it
+        assert "BroadcastHashJoin" in _join_plan(fact, dim.read_for_join())
         # estimated size over the threshold -> no broadcast
-        plan = fact.join(dim.read_for_join(threshold_bytes=10), "k")._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" not in plan
-        # STALE stats (a write moved the snapshot) -> no broadcast:
-        # never plan from numbers describing an older version
-        dim.append(
-            spark.createDataFrame([(777, "x", 1.0)], "k long, s string, v double")
+        assert "BroadcastHashJoin" not in _join_plan(
+            fact, dim.read_for_join(threshold_bytes=10)
         )
-        plan = fact.join(dim.read_for_join(), "k")._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" not in plan
-        # re-analyzing refreshes the hint
+        # a write moves the snapshot: the hint KEEPS firing (row count
+        # rolled forward from commit metadata, no re-scan)
+        dim.append(
+            spark.createDataFrame(
+                [(777, "x", 1.0)], "k long, s string, v double"
+            )
+        )
+        assert "BroadcastHashJoin" in _join_plan(fact, dim.read_for_join())
+        # deletes too — copy-on-write AND merge-on-read (DV)
+        dim.delete("k = 777")
+        assert "BroadcastHashJoin" in _join_plan(fact, dim.read_for_join())
+        dim.delete("k = 5", use_dv=True)
+        assert "BroadcastHashJoin" in _join_plan(fact, dim.read_for_join())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_hint_falls_back_to_analyze_gate_on_legacy_commits(
+    spark, tmp_path
+):
+    """A commit whose file_stats lack the harvested __rows__ counts
+    (written by a pre-upgrade engine) must NOT guess: the hint falls
+    back to the old contract — ANALYZE describing exactly this
+    version — and a later write kills it again."""
+    import json as _json
+
+    dim = _mk(spark, tmp_path, name="legacy", n=50)
+    # simulate a legacy table: strip __rows__ from the commit record
+    c = dim.get_commit()
+    p = dim._commit_path(c.version)
+    with open(p) as f:
+        raw = _json.loads(f.read())
+    for entry in (raw.get("stats") or {}).get("file_stats", {}).values():
+        entry.pop("__rows__", None)
+    with open(p, "w") as f:
+        f.write(_json.dumps(raw))
+    dim = VersionedTable(spark, dim.path)  # drop any cached state
+    assert dim.current_row_count() is None
+    fact = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastHashJoin" not in _join_plan(
+            fact, dim.read_for_join()
+        )
         dim.analyze()
-        plan = fact.join(dim.read_for_join(), "k")._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan
+        assert "BroadcastHashJoin" in _join_plan(fact, dim.read_for_join())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -135,3 +181,108 @@ def test_estimated_bytes_scales_with_rows(spark, tmp_path):
     big.analyze()
     assert small.estimated_bytes() * 50 <= big.estimated_bytes() * 1
     assert VersionedTable(spark, str(tmp_path / "sm")).estimated_bytes() == small.estimated_bytes()
+
+
+def test_current_row_count_exact_across_op_zoo(spark, tmp_path):
+    """current_row_count must equal read().count() — exactly, from
+    metadata only — across every op family that changes the live row
+    set: append, COW delete, DV delete (incl. a second vector on the
+    same files), scoped compact carrying vectors, purge, restore,
+    replace_where, merge."""
+    t = _mk(spark, tmp_path, name="zoo", n=100)
+
+    def check():
+        rc = t.current_row_count()
+        assert rc is not None
+        assert rc == t.read().count()
+
+    check()  # create
+    t.append(
+        spark.createDataFrame(
+            [(1000 + i, "z", 0.5) for i in range(7)],
+            "k long, s string, v double",
+        )
+    )
+    check()
+    t.delete("k >= 1000 AND k < 1003")  # copy-on-write
+    check()
+    t.delete("k % 10 = 3", use_dv=True)  # merge-on-read
+    check()
+    t.delete("k % 10 = 4", use_dv=True)  # second vector, same files
+    check()
+    v_before_restore = t.latest_version()
+    t.compact(where=[("k", "<", 50)])  # scoped: carries vectors
+    check()
+    t.reorg_purge()  # spends vectors
+    check()
+    t.restore(v_before_restore)  # back to a vectored snapshot
+    check()
+    t.overwrite(
+        spark.createDataFrame(
+            [(2, "r", 9.9)], "k long, s string, v double"
+        ),
+        replace_where="k = 2",
+    )
+    check()
+    t.merge(
+        spark.createDataFrame(
+            [(5, "m", 1.1), (9999, "new", 2.2)],
+            "k long, s string, v double",
+        ),
+        keys=["k"],
+    )
+    check()
+
+
+def test_current_row_count_survives_clone(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="src", n=60)
+    t.delete("k % 7 = 0", use_dv=True)
+    expect = t.read().count()
+    sh = t.clone(str(tmp_path / "sh"), shallow=True)
+    assert sh.current_row_count() == expect == sh.read().count()
+    deep = t.clone(str(tmp_path / "deep"), shallow=False)
+    assert deep.current_row_count() == expect == deep.read().count()
+
+
+def test_current_statistics_rolls_forward(spark, tmp_path):
+    """row_count exact after writes; min/max refreshed to file-stat
+    bounds; NDV/null_count explicitly stale via ndv_as_of_version."""
+    t = _mk(spark, tmp_path, name="cs", n=100)
+    av = t.latest_version()
+    t.analyze(columns=["k", "s"])
+    cur = t.current_statistics()
+    assert cur["row_count"] == 100 and cur["row_count_exact"]
+    assert cur["analyzed_version"] == av == cur["version"]
+    # a write moves the snapshot: count rolls, bounds refresh, NDV stale
+    t.append(
+        spark.createDataFrame(
+            [(500, "zzz", 1.0)], "k long, s string, v double"
+        )
+    )
+    cur = t.current_statistics()
+    assert cur["row_count"] == 101 and cur["row_count_exact"]
+    assert cur["version"] == t.latest_version() != cur["analyzed_version"]
+    ks = cur["columns"]["k"]
+    assert ks["ndv_as_of_version"] == av
+    assert ks["minmax_kind"] == "bounds"
+    assert (ks["min"], ks["max"]) == (0, 500)  # refreshed past ANALYZE
+    ss = cur["columns"]["s"]
+    assert ss["max"] == "zzz"
+    # never analyzed: row count still present, no columns
+    u = _mk(spark, tmp_path, name="cs2", n=5)
+    cur = u.current_statistics()
+    assert cur["row_count"] == 5 and cur["columns"] == {}
+    assert cur["analyzed_version"] is None
+
+
+def test_describe_detail_shows_freshness(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="ddf", n=30)
+    row = execute_dml(
+        spark, f"DESCRIBE DETAIL versioned.`{t.path}`"
+    ).collect()[0]
+    assert row.current_row_count == 30 and row.row_count_fresh
+    t.delete("k < 10", use_dv=True)
+    row = execute_dml(
+        spark, f"DESCRIBE DETAIL versioned.`{t.path}`"
+    ).collect()[0]
+    assert row.current_row_count == 20 and row.row_count_fresh

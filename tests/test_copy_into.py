@@ -262,3 +262,63 @@ def test_copy_into_headerless_csv_evolution_refused(spark, tmp_path):
     assert sorted(
         (r.id, r.s) for r in t.read().collect()
     ) == [(0, "s0"), (1, "a"), (2, "b")]
+
+
+def test_copy_into_registry_folds_across_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """Checkpoint commits carry the cumulative union of loaded-file
+    identities (copy_into_registry), so idempotency survives — and is
+    served from — the fold rather than a full-history walk."""
+    from nrtwithdeltalake_spark.pipeline import logcodec
+
+    monkeypatch.setattr(logcodec, "CHECKPOINT_EVERY", 5)
+    t = _mk(spark, tmp_path, "ckpt")
+    land = str(tmp_path / "land_ckpt")
+    pa_file = _land(land, "a.parquet", [1, 2])
+    t.copy_into(land)  # pre-checkpoint copy
+    while t.latest_version() % 5 or t.latest_version() == 0:
+        t.append(spark.createDataFrame([(99, "x")], "id long, s string"))
+    ident_a = t._copy_file_identity(pa_file)
+    reg = t._raw_commit_stats(t.latest_version())["copy_into_registry"]
+    assert ident_a in reg
+    # the early file still skips across the checkpoint boundary
+    out = t.copy_into(land)
+    assert out["files_loaded"] == 0 and out["files_skipped"] == 1
+    # a new landing file loads once; the NEXT checkpoint folds both
+    pb_file = _land(land, "b.parquet", [3])
+    assert t.copy_into(land)["files_loaded"] == 1
+    while t.latest_version() % 5:
+        t.append(spark.createDataFrame([(98, "y")], "id long, s string"))
+    reg2 = t._raw_commit_stats(t.latest_version())["copy_into_registry"]
+    assert set(reg2) >= {ident_a, t._copy_file_identity(pb_file)}
+    assert t.copy_into(land)["files_loaded"] == 0
+
+
+def test_copy_into_loaded_walk_is_bounded_by_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """The loaded-file walk reads O(commits since the last checkpoint)
+    raw records, never O(history) — the registry stamp is the stop
+    marker."""
+    from nrtwithdeltalake_spark.pipeline import logcodec
+
+    monkeypatch.setattr(logcodec, "CHECKPOINT_EVERY", 5)
+    t = _mk(spark, tmp_path, "probe")
+    land = str(tmp_path / "land_probe")
+    pa_file = _land(land, "a.parquet", [1])
+    t.copy_into(land)
+    while t.latest_version() < 13:  # several checkpoint periods
+        t.append(spark.createDataFrame([(9, "y")], "id long, s string"))
+    calls = {"n": 0}
+    orig = VersionedTable._raw_commit_stats
+
+    def counting(self, v):
+        calls["n"] += 1
+        return orig(self, v)
+
+    monkeypatch.setattr(VersionedTable, "_raw_commit_stats", counting)
+    loaded = t._copy_into_loaded()
+    assert t._copy_file_identity(pa_file) in loaded
+    # versions 13..10 inclusive = cadence-bounded, not history-bounded
+    assert calls["n"] <= 5 + 1
