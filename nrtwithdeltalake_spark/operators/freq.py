@@ -111,33 +111,50 @@ def _positions_sql(key: str) -> list[str]:
 
 def build_bloom(df: DataFrame, key: str) -> DataFrame:
     """Aggregate a one-row DataFrame holding the bloom filter for
-    ``df[key]`` as a map<int, bigint> of non-zero 64-bit words.
+    ``df[key]`` as a DENSE array<bigint> of all ``_BLOOM_WORDS`` 64-bit
+    words (absent words are 0).
 
-    Plan: project k positions per row → explode → bit_or per word →
-    map_from_entries under a single-group aggregate. The whole build is
-    one tiny shuffle keyed by word index (≤ 2048 groups)."""
+    Plan: project k positions per row → explode → union a zero row per
+    word (so every word index exists) → bit_or per word → sorted
+    collect into the dense array. The whole build is one tiny shuffle
+    keyed by word index (exactly 2048 groups). Dense array, not
+    map<int,bigint>: Spark's ``element_at`` on a map is a LINEAR key
+    scan (O(words) per probe — the r12 probe paid ~4×1024 comparisons
+    per row), while array ``element_at`` is an O(1) ordinal fetch. The
+    zero-row union is what keeps densification cheap: every word is
+    guaranteed present, so the final step is array_sort + a trivial
+    field extraction over 2048 structs (a map-probing densify variant
+    measured ~0.25 s slower: 2048 interpreted O(n) map lookups)."""
     pos = F.explode(
         F.array(*[F.expr(p) for p in _positions_sql(key)])
     ).alias("p")
-    words = (
+    bits = (
         df.select(key)
         .select(pos)
         .select(
             F.expr("cast(shiftright(p, 6) as int)").alias("w"),
             F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
         )
-        .groupBy("w")
-        .agg(F.bit_or("bit").alias("word"))
     )
+    zeros = df.sparkSession.range(_BLOOM_WORDS).select(
+        F.col("id").cast("int").alias("w"),
+        F.lit(0).cast("bigint").alias("bit"),
+    )
+    words = bits.unionAll(zeros).groupBy("w").agg(F.bit_or("bit").alias("word"))
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom")
+        F.expr(
+            "transform(array_sort(collect_list(struct(w, word))), s -> s.word)"
+        ).alias("bloom")
     )
 
 
 def bloom_might_contain(bloom: str, key: str) -> Column:
-    """Membership test: all k bits set (missing word → bit unset).
+    """Membership test: all k bits set, against the DENSE word array
+    (``element_at`` is a 1-based O(1) ordinal fetch; the word index is
+    always in [0, _BLOOM_WORDS) by construction, so the +1 ordinal is
+    always valid — no coalesce needed).
 
-    ``bloom`` is any SQL expression yielding the word map — a column
+    ``bloom`` is any SQL expression yielding the word array — a column
     name, or a scalar subquery like ``(SELECT bloom FROM v)`` (the
     form q_join_bloom_prefilter uses: a subquery keeps the test a plain
     Filter on the probe scan, which no join-reordering rule can hoist;
@@ -149,8 +166,8 @@ def bloom_might_contain(bloom: str, key: str) -> Column:
     tests = []
     for p in _positions_sql(key):
         tests.append(
-            f"(shiftright(coalesce(element_at({bloom}, cast(shiftright({p}, 6) as int)),"
-            f" cast(0 as bigint)), cast(({p}) % 64 as int)) & 1) = 1"
+            f"(shiftright(element_at({bloom}, cast(shiftright({p}, 6) as int) + 1),"
+            f" cast(({p}) % 64 as int)) & 1) = 1"
         )
     return F.expr(" AND ".join(tests))
 
@@ -165,20 +182,36 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    # The bloom reaches the probe as a SCALAR SUBQUERY, not a join:
-    # a broadcast cross-join formulation measured here gets reordered
-    # by Catalyst (PushDownLeftSemiAntiJoin / join commutation) so the
-    # membership test ran AFTER the exact join it exists to protect.
-    # As a subquery the test is a plain Filter on the probe scan —
+    # The bloom reaches the probe as a 16 KB LITERAL (one bounded
+    # constant-size collect — same class as the kmeans centroid sites,
+    # see VERDICT O30), not a join and not a scalar subquery:
+    # - a broadcast cross-join formulation measured here gets reordered
+    #   by Catalyst (PushDownLeftSemiAntiJoin / join commutation) so the
+    #   membership test ran AFTER the exact join it exists to protect;
+    # - the r12 scalar-subquery formulation planned 4 separate
+    #   subqueries (one per seed reference), each re-hosted on the
+    #   orders side by InferFiltersFromConstraints (16 subquery plan
+    #   instances), and the build measurably executed MORE THAN ONCE
+    #   per run (full query 2.3 s vs build 0.9 s + join 0.7 s).
+    # As a literal the build runs exactly once per invocation, the
+    # probe test is a plain constant-folded Filter on the probe scan —
     # below every exchange, exactly where Spark's own runtime bloom
-    # injection puts it.
-    freq_bloom = build_bloom(orders, "o_orderkey")
-    freq_bloom.createOrReplaceTempView("nrt_bloom_urgent_orders")
-    prefiltered = li.filter(
-        bloom_might_contain(
-            "(SELECT bloom FROM nrt_bloom_urgent_orders)", "l_orderkey"
-        )
+    # injection puts it — and no inferred copy re-probes the build
+    # side. Still recomputed from the parquet inputs on every call.
+    bloom_words = build_bloom(orders, "o_orderkey").head()[0]
+    # ONE string literal + from_json, which ConstantFolding collapses to
+    # a single array Literal before codegen. NOT F.lit(list): that
+    # builds CreateArray with 2048 literal children, and the 4 seed
+    # references each inline the full tree — ~10k-node plans that cost
+    # more to analyze per run than the query itself (measured 3.1 s vs
+    # 1.0 s with from_json).
+    blit = F.from_json(
+        F.lit("[" + ",".join(str(w) for w in bloom_words) + "]"),
+        "array<bigint>",
     )
+    prefiltered = li.withColumn("__bloom", blit).filter(
+        bloom_might_contain("__bloom", "l_orderkey")
+    ).drop("__bloom")
     exact = prefiltered.join(
         orders.select("o_orderkey"),
         prefiltered["l_orderkey"] == F.col("o_orderkey"),
@@ -424,19 +457,22 @@ def basket_pairs(baskets: DataFrame, parts_col: str = "parts") -> DataFrame:
     stream through the same task's pipelined partial aggregation
     without ever existing as one value. No rows are truncated and no
     extra shuffle or join is introduced; measured ~20% FASTER than the
-    flat form at sf0.1 (less peak allocation per row)."""
+    flat form at sf0.1 (less peak allocation per row).
+
+    The partner slice is exploded DIRECTLY (the element row's ``x`` is
+    already part_a) rather than through ``transform(slice, y ->
+    struct(x, y))``: higher-order-function lambdas are evaluated
+    interpreted, one invocation per element — the struct form paid ~3M
+    interpreted struct allocations at sf0.1 where slice+explode stay
+    entirely inside codegen. Same rows, same whale-safety bound."""
     return (
         baskets.select(F.col(parts_col), F.posexplode(parts_col).alias("i", "x"))
         .select(
+            F.col("x").alias("part_a"),
             F.explode(
-                F.expr(
-                    f"transform(slice({parts_col}, i + 2, "
-                    f"size({parts_col}) - i - 1), "
-                    "y -> struct(x AS part_a, y AS part_b))"
-                )
-            ).alias("p")
+                F.expr(f"slice({parts_col}, i + 2, size({parts_col}) - i - 1)")
+            ).alias("part_b"),
         )
-        .select("p.part_a", "p.part_b")
     )
 
 

@@ -50,19 +50,22 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark, sf_dir):
 
 def test_bloom_filter_probe_is_scan_filter_below_join(spark, sf_dir):
     """Plan guardrail: the membership test must reach the probe side as
-    a Filter containing the bloom scalar subqueries BELOW the exact semi
-    join — a join-based formulation gets reordered by Catalyst so the
-    prefilter runs after the join (observed; see q_join_bloom_prefilter
-    docstring)."""
+    a Filter (element_at probes of the literal word array) BELOW the
+    exact semi join — a join-based formulation gets reordered by
+    Catalyst so the prefilter runs after the join (observed; see
+    q_join_bloom_prefilter docstring). Also pins the r13 literal form:
+    no scalar subqueries (the subquery formulation planned 16 subquery
+    instances and executed the build more than once per run)."""
     from nrtwithdeltalake_spark.plans import inspect
 
     df = freq.q_join_bloom_prefilter(spark, sf_dir)
     plan = inspect.physical_plan(df)
     join_at = plan.index("LeftSemi")
-    probe_filter_at = plan.index("element_at(Subquery")
+    probe_filter_at = plan.index("element_at(")
     # physical tree prints children after the parent: the probe filter
     # must be a descendant of (printed after) the semi join
     assert probe_filter_at > join_at, plan[:2000]
+    assert "Subquery" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
 
 
