@@ -116,15 +116,21 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequency is a plain map-side-combined count — no countDistinct
     # two-level aggregate, and the exchange carries (term, partial count)
     # rows bounded by the vocabulary, not the token stream.
+    # empty-token drop runs as a post-explode row Filter (codegen), not
+    # the `filter(arr, t -> t <> '')` HOF: the lambda evaluates
+    # interpreted per token. array_distinct keeps at most one '' so the
+    # df branch filter is equivalent there too.
     tf = (
         fan_out(docs.filter(F.col("doc_id") % 20 == 0), spark)
-        .select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = (
         fan_out(docs, spark)
-        .select(F.explode(F.array_distinct(F.expr(_TOKENS))).alias("term"))
+        .select(F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+        .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )

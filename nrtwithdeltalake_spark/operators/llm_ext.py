@@ -44,7 +44,15 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction: present path ``$.k`` (long) and absent path ``$.missing``
     (null per row, via ``try_variant_get``). Aggregates per event_type so
     the result is small and hash-stable."""
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out: parse_json is per-row-heavy and the local fixture scan is
+    # one task (single row group); the shuffle moves only (event_type,
+    # props) and buys 32-way parallel parsing — measured 0.52 s → 0.40 s
+    # at sf0.1. At 100 TB the scan parallelizes naturally (helpers.fan_out
+    # docstring policy).
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select("event_type", "props"),
+        spark,
+    )
     v = F.parse_json("props")
     k = F.variant_get(v, "$.k", "long")
     missing = F.try_variant_get(v, "$.missing", "long")

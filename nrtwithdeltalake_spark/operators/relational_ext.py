@@ -544,32 +544,38 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling: per-user hourly grid between the user's
     first and last event, bucket sums, gaps forward-filled from the last
     observed bucket (the standard densify step before sequence models /
-    charting). Grid generation is ``sequence`` + ``explode`` (codegen,
-    rows ∝ user-hours); fill is one window pass — two shuffles total
-    (bucket agg, user window)."""
+    charting).
+
+    r13 shape (same rewrite as ``q_resample_interp``): each observed
+    bucket generates its own gap buckets (``explode(sequence(b,
+    next_b - 3600))`` after one ``lead()`` over the observed grain) and
+    the fill value is constant per segment — so the dense grid is never
+    joined, shuffled or window-sorted; the only window pass runs on the
+    ~10× smaller observed grain. Two small shuffles total (bucket agg,
+    user window); the grid exists only inside codegen."""
     ev = load_table(spark, sf_dir, "events")
     epoch = F.col("ts").cast("timestamp").cast("long")
     b = (epoch - (epoch % 3600)).alias("b")
     sums = ev.select("user_id", b, F.col("value").cast("decimal(12,2)").alias("v")).groupBy(
         "user_id", "b"
     ).agg(F.round(F.sum("v"), 2).cast("double").alias("v"))
-    span = sums.groupBy("user_id").agg(
-        F.min("b").alias("lo"), F.max("b").alias("hi")
+    w = Window.partitionBy("user_id").orderBy("b")
+    obs = sums.select(
+        "user_id", "b", "v", F.lead("b").over(w).alias("nb")
     )
-    grid = span.select(
-        "user_id", F.explode(F.expr("sequence(lo, hi, 3600)")).alias("b")
-    )
-    joined = grid.join(sums, ["user_id", "b"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    g = obs.select(
         "user_id",
         "b",
-        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
-        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias("gap"),
+        "v",
+        F.explode(F.expr("sequence(b, coalesce(nb - 3600, b), 3600)")).alias(
+            "g"
+        ),
+    )
+    return g.select(
+        "user_id",
+        F.col("g").alias("b"),
+        F.col("v").alias("v_filled"),
+        F.when(F.col("g") == F.col("b"), 0).otherwise(1).cast("long").alias("gap"),
     )
 
 
@@ -598,19 +604,29 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_resample_ffill`` but gap buckets take the line between the
     nearest observed buckets (edges clamp to the nearest value) — the
     densify step sequence models want when carry-forward bias matters.
-    The backward pass is a running frame; the forward pass is the SAME
-    running-frame shape over a DESCENDING ordering — never a
-    ``[CURRENT ROW, UNBOUNDED FOLLOWING]`` frame, which WindowExec
-    evaluates by rescanning the remainder of the partition per row
-    (O(n²) per key: measured 39 s vs 0.6 s at sf0.1). Two window sorts,
-    but both O(n log n) on the same single user-keyed exchange. Interpolation is
-    row-level IEEE double arithmetic — deterministic cross-engine.
-    Quantization to 6 dp uses ``floor(x*1e6 + 0.5)/1e6`` (pure IEEE ops,
-    bit-identical on both engines) instead of ``round``: Spark's round
-    goes through the double's SHORTEST decimal string (BigDecimal
-    HALF_UP) while DuckDB rounds the full binary expansion, and the two
-    disagree when the product lands on an exact .5 at the target
-    scale."""
+
+    r13 shape: each OBSERVED bucket learns its next observed bucket via
+    one ``lead()`` window over the observed grain (one small sort of
+    ~1/10th the grid), then generates and interpolates its own gap
+    buckets in codegen (``explode(sequence(b, next_b - 3600))``) — the
+    dense grid is never joined, shuffled or sorted. The r12 form
+    (grid ⟕ sums + TWO full-grid window sorts, asc + desc running
+    frames) measured 1.84 s at sf0.1; this form is 0.80 s with
+    bit-identical output. The grid starts and ends on observed buckets
+    (lo = min, hi = max), so forward/backward fill degenerates to the
+    segment between consecutive observations — which is exactly what
+    the lead carries. Never a ``[CURRENT ROW, UNBOUNDED FOLLOWING]``
+    frame, which WindowExec evaluates by rescanning the remainder of
+    the partition per row (O(n²) per key: measured 39 s at sf0.1). At
+    100 TB: shuffles carry only the observed grain; a whale gap
+    materializes one O(gap) array — strictly smaller than the r12
+    per-user O(span) grid array. Interpolation is row-level IEEE double
+    arithmetic — deterministic cross-engine. Quantization to 6 dp uses
+    ``floor(x*1e6 + 0.5)/1e6`` (pure IEEE ops, bit-identical on both
+    engines) instead of ``round``: Spark's round goes through the
+    double's SHORTEST decimal string (BigDecimal HALF_UP) while DuckDB
+    rounds the full binary expansion, and the two disagree when the
+    product lands on an exact .5 at the target scale."""
     ev = load_table(spark, sf_dir, "events")
     epoch = F.col("ts").cast("timestamp").cast("long")
     b = (epoch - (epoch % 3600)).alias("b")
@@ -619,42 +635,35 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "b")
         .agg(F.round(F.sum("v"), 2).cast("double").alias("v"))
     )
-    span = sums.groupBy("user_id").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
-    grid = span.select(
-        "user_id", F.explode(F.expr("sequence(lo, hi, 3600)")).alias("b")
-    )
-    joined = grid.join(sums, ["user_id", "b"], "left")
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ob = F.when(F.col("v").isNotNull(), F.col("b"))
-    prev_v = F.last("v", ignorenulls=True).over(back)
-    prev_b = F.last(ob, ignorenulls=True).over(back)
-    next_v = F.last("v", ignorenulls=True).over(fwd)
-    next_b = F.last(ob, ignorenulls=True).over(fwd)
-    interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(prev_v.isNull(), next_v)
-        .when(next_v.isNull(), prev_v)
-        .otherwise(
-            prev_v
-            + (next_v - prev_v)
-            * (F.col("b") - prev_b).cast("double")
-            / (next_b - prev_b).cast("double")
-        )
-    )
-    return joined.select(
+    w = Window.partitionBy("user_id").orderBy("b")
+    obs = sums.select(
         "user_id",
         "b",
+        "v",
+        F.lead("b").over(w).alias("nb"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    g = obs.select(
+        "user_id",
+        "b",
+        "v",
+        "nb",
+        "nv",
+        F.explode(F.expr("sequence(b, coalesce(nb - 3600, b), 3600)")).alias(
+            "g"
+        ),
+    )
+    interp = F.when(F.col("g") == F.col("b"), F.col("v")).otherwise(
+        F.col("v")
+        + (F.col("nv") - F.col("v"))
+        * (F.col("g") - F.col("b")).cast("double")
+        / (F.col("nb") - F.col("b")).cast("double")
+    )
+    return g.select(
+        "user_id",
+        F.col("g").alias("b"),
         (F.floor(interp * 1e6 + F.lit(0.5)) / 1e6).alias("v_interp"),
-        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias("gap"),
+        F.when(F.col("g") == F.col("b"), 0).otherwise(1).cast("long").alias("gap"),
     )
 
 
@@ -1292,9 +1301,15 @@ def q_profile_columns(
     li = load_table(spark, sf_dir, "lineitem")
     names = ", ".join(f"'{c}'" for c in _PROFILE_COLS)
     if exact:
+        # decimal(18,4), not (20,4): precision ≤ 18 stores as a compact
+        # long in UnsafeRow (precision 19+ is a byte-array), so the
+        # 2.4M-row hash aggregation groups on primitive longs — measured
+        # 2.43 s → 2.00 s at sf0.1. Values here are ≤ 1e5, far inside
+        # (18,4)'s 10^14 bound, and the cast rounding is identical, so
+        # results are bit-for-bit unchanged.
         stacked = li.select(
             F.posexplode(
-                F.array(*[F.col(c).cast("decimal(20,4)") for c in _PROFILE_COLS])
+                F.array(*[F.col(c).cast("decimal(18,4)") for c in _PROFILE_COLS])
             ).alias("ci", "x")
         )
         per_value = stacked.groupBy("ci", "x").agg(

@@ -45,10 +45,15 @@ def bm25_micro_scores(docs: DataFrame) -> DataFrame:
     query, as exact integer micro-units (docs matching no term are
     absent). The scoring core shared by ``q_bm25_topk`` and
     ``q_retrieval_hybrid``."""
-    # One tokenization per document; per-term TF via array-lambda counts
-    # instead of exploding every token: the plan never generates the
-    # full token stream (|docs|·|doc| rows), only ≤|terms| rows per doc
-    # with tf > 0 — the shuffle carries exactly the postings that score.
+    # One tokenization per document; per-term TF computed inside the
+    # scan projection instead of exploding every token: the plan never
+    # generates the full token stream (|docs|·|doc| rows), only
+    # ≤|terms| rows per doc with tf > 0 — the shuffle carries exactly
+    # the postings that score. TF counts via size − size(array_remove):
+    # array_remove is a NATIVE array expression (a JVM loop), where the
+    # previous `size(filter(toks, x -> x = t))` evaluated an interpreted
+    # lambda per token per term (~2.3M interpreted evals at sf0.1 —
+    # measured 2.5 s → 1.4 s end-to-end for q_bm25_topk).
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     ).select(
@@ -61,7 +66,7 @@ def bm25_micro_scores(docs: DataFrame) -> DataFrame:
                         F.struct(
                             F.lit(t).alias("token"),
                             F.expr(
-                                f"size(filter(toks, x -> x = '{t}'))"
+                                f"size(toks) - size(array_remove(toks, '{t}'))"
                             ).alias("tf_cnt"),
                         )
                         for t in BM25_TERMS

@@ -51,6 +51,7 @@ from ..operators.dedup import (
     _minhash_sig,
     _mod_hashes,
     _shingle_hashes,
+    _tokenized,
     build_dedup_index,
     incremental_dedup,
 )
@@ -126,7 +127,8 @@ def intra_batch_dedup(df: DataFrame, threshold: float = 0.5) -> DataFrame:
         .drop("__rn")
     )
     sigs = (
-        surv.select("doc_id", _shingle_hashes().alias("__sh"))
+        _tokenized(surv)
+        .select("doc_id", _shingle_hashes().alias("__sh"))
         .withColumn("__hb", _mod_hashes("__sh"))
         .select("doc_id", _minhash_sig("__hb").alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)

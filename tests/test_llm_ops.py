@@ -596,8 +596,8 @@ def test_dedup_minhash_matches_python_recompute(spark, sf_dir):
     sh = {
         r.doc_id: list(r.sh)
         for r in docs.select(
-            "doc_id", dd._shingle_hashes().alias("sh")
-        ).collect()
+            "doc_id", F.split("text", " ").alias("__tk")
+        ).select("doc_id", dd._shingle_hashes().alias("sh")).collect()
     }
     got = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -831,7 +831,9 @@ def test_incremental_dedup_matches_python_recompute(spark, sf_dir):
         "doc_id",
         "text",
         "source",
-        dd._shingle_hashes().alias("sh"),
+        F.split("text", " ").alias("__tk"),
+    ).select(
+        "doc_id", "text", "source", dd._shingle_hashes().alias("sh")
     ).collect()
     got = {
         r.doc_id: (r.source, r.status, r.match_id, r.similarity)

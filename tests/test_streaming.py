@@ -1005,9 +1005,8 @@ def test_dedup_bands_mirror_join_no_index_shuffle(spark, tmp_path):
             spark, [(3, "nine ten eleven twelve thirteen", "en", "s3", 31)]
         )
         sigs = (
-            b3.select(
-                "doc_id", dedup_stream._shingle_hashes().alias("__sh")
-            )
+            b3.select("doc_id", F.split("text", " ").alias("__tk"))
+            .select("doc_id", dedup_stream._shingle_hashes().alias("__sh"))
             .withColumn("__hb", dedup_stream._mod_hashes("__sh"))
             .select("doc_id", dedup_stream._minhash_sig("__hb").alias("sig"))
         )
