@@ -25,9 +25,14 @@ from .helpers import fan_out
 
 # bigrams of the whitespace tokenization, as a column expression (pure
 # Catalyst: split → transform over an index sequence; no UDF)
+# Bigrams over a PRE-TOKENIZED `__tk` array column (project
+# F.split(text) first): an inlined split(text) in the HOF lambda body is
+# re-evaluated per element — twice here — so the old form re-tokenized
+# each doc ~2·len times (O(len²)/doc; pre-tokenizing measured >2x faster
+# at sf0.1 under identical load).
 _BIGRAMS = (
-    "transform(sequence(1, size(split(text, ' ')) - 1), "
-    "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))"
+    "transform(sequence(1, size(__tk) - 1), "
+    "i -> concat_ws(' ', __tk[i-1], __tk[i]))"
 )
 
 
@@ -39,7 +44,9 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the token count, sizes the exchange. Top-20 resolves as
     TakeOrderedAndProject (per-partition heaps), never a full sort."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    grams = docs.select(F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+    grams = docs.select(F.split("text", " ").alias("__tk")).select(
+        F.explode(F.expr(_BIGRAMS)).alias("bigram")
+    )
     return (
         grams.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -71,7 +78,8 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sort."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     per_gram = (
-        docs.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+        docs.select("doc_id", F.split("text", " ").alias("__tk"))
+        .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )

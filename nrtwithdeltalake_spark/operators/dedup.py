@@ -222,14 +222,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bit_count(xor) — never materializing O(n²) pairs.
     """
     docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # token-hash array materialized as a column BEFORE the 64-bit fold:
+    # HOF lambda bodies re-evaluate per element, so an inlined
+    # split+distinct+hash would re-tokenize and re-hash the document
+    # once per bit (64x per doc).
     sim = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"
+        ).alias("__hs"),
+    ).select(
         "doc_id",
         F.expr(
             """
             aggregate(
               transform(sequence(0, 63),
                 b -> CASE WHEN aggregate(
-                       transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+                       __hs,
                        0L,
                        (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1 ELSE -1 END
                      ) > 0 THEN shiftleft(1L, b) ELSE 0L END),
@@ -338,12 +347,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram to 8 bytes first; kept as text here for the DuckDB oracle)."""
     docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
     grams = docs.select(
+        "doc_id", F.split("text", " ").alias("__tk")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
                 "array_distinct(transform("
-                "sequence(1, greatest(size(split(text, ' ')) - 3, 1)), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i, 4))))"
+                "sequence(1, greatest(size(__tk) - 3, 1)), "
+                "i -> concat_ws(' ', slice(__tk, i, 4))))"
             )
         ).alias("gram"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -491,11 +502,18 @@ def build_dedup_index(docs: DataFrame) -> dict[str, DataFrame]:
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
         F.col("doc_id").alias("corpus_id"),
     )
+    # persisted: the signature computation (shingle + N_PERM permutation
+    # mins — the expensive per-row work) is consumed by BOTH index
+    # tables ("sigs" and the band explode below); without the persist a
+    # same-session consumer like q_dedup_incremental recomputes the
+    # corpus minhash twice. Pipelines that write the index to
+    # VersionedTables pay one materialization either way.
     sigs = (
         _tokenized(docs)
         .select("doc_id", _shingle_hashes().alias("__sh"))
         .withColumn("__hb", _mod_hashes("__sh"))
         .select("doc_id", _minhash_sig("__hb").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = sigs.select(
         F.col("doc_id").alias("corpus_id"),

