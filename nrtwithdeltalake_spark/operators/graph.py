@@ -326,21 +326,23 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), degree fold + orientation in one projection off the
     persisted edge list, wedge join and closure join both hash joins on
     edge-bounded keys. Nothing driver-side grows with the graph."""
+    from .freq import basket_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
+    # same r13 shape as q_copurchase_pairs: explicit repartition skips
+    # the dead map-side collect_set partial, and basket_pairs generates
+    # the C(n,2) fan-out in codegen (the nested transform-struct lambda
+    # this replaced ran interpreted per element).
     baskets = (
-        li.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts) - i - 1), "
-                "y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
+    pairs = basket_pairs(baskets).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
     edges = (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))

@@ -77,3 +77,39 @@ def test_retry_gate_trips_no_floor_no_retry():
     )
     assert retried == []
     assert timings["q_new"] == 50.0
+
+
+def test_steal_pct_since_last_call(monkeypatch):
+    """The steal sampler reads /proc/stat deltas since its previous
+    call (zero added latency), updates the run-wide high-water, and
+    degrades to 0.0 (loadavg-only gating) when /proc/stat is missing."""
+    readings = iter(
+        [
+            (1000, 10),  # baseline call -> 0.0 (no prior)
+            (2000, 110),  # +1000 total, +100 steal -> 10%
+            (2000, 110),  # no tick movement -> 0.0, not div-by-zero
+            None,  # /proc/stat gone -> 0.0
+        ]
+    )
+    monkeypatch.setattr(bench, "_read_cpu_stat", lambda: next(readings))
+    monkeypatch.setattr(bench, "_last_cpu_stat", None)
+    monkeypatch.setattr(bench, "_steal_max", 0.0)
+    assert bench._steal_pct() == 0.0
+    assert bench._steal_pct() == 10.0
+    assert bench._steal_pct() == 0.0
+    assert bench._steal_pct() == 0.0
+    assert bench._steal_max == 10.0
+
+
+def test_await_quiet_host_waits_out_steal(monkeypatch):
+    """loadavg alone can look quiet while another tenant steals the
+    CPUs (r13: identical reps 2-8x slow at loadavg < 2). The quiet
+    gate must hold until steal ALSO drops under STEAL_GATE_PCT."""
+    steals = iter([50.0, 20.0, 1.0])  # two contended samples, then calm
+    sleeps = []
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.0, 1.0))
+    monkeypatch.setattr(bench, "_steal_pct", lambda: next(steals))
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    load = bench._await_quiet_host(wait_s=600)
+    assert sleeps == [15, 15]  # waited exactly until the calm sample
+    assert load == 1.0

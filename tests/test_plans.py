@@ -296,6 +296,36 @@ def test_resample_interp_no_unbounded_following_frame(spark, sf_dir):
     assert "unboundedfollowing" not in plan, "quadratic window frame reintroduced"
 
 
+def test_resample_interp_gridless_shape(spark, sf_dir):
+    """r13 pin: interpolation runs on the OBSERVED grain — one lead()
+    window over bucket sums, gap rows generated in codegen. The dense
+    grid must never be joined (no join operator at all) nor sorted
+    beyond the single observed-grain window sort (the r12 shape paid a
+    BroadcastHashJoin plus TWO full-grid window sorts: 1.84 s vs
+    0.80 s at sf0.1)."""
+    from nrtwithdeltalake_spark.operators.relational_ext import q_resample_interp
+
+    plan = inspect.physical_plan(q_resample_interp(spark, sf_dir))
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, f"grid join reintroduced: {op}\n{plan[:2000]}"
+    assert plan.count("Window") == 1, plan[:2000]
+
+
+def test_copurchase_basket_agg_skips_dead_partial(spark, sf_dir):
+    """r13 pin: the order-grain basket collapse runs as an explicit
+    repartition on the order key + single-level aggregate. The map-side
+    partial collect_set never reduces bytes (its state is the
+    concatenated inputs) and at the local single-row-group scan it
+    built all 150k sets serially in one task (3.1 s vs 1.5 s at
+    sf0.1). The exchange below the basket aggregate must be the
+    repartition (REPARTITION_BY_COL), not ENSURE_REQUIREMENTS feeding
+    a partial/final pair."""
+    from nrtwithdeltalake_spark.operators.freq import q_copurchase_pairs
+
+    plan = inspect.physical_plan(q_copurchase_pairs(spark, sf_dir))
+    assert "REPARTITION_BY_COL" in plan, plan[:2000]
+
+
 def test_seq_packing_single_exchange(spark, sf_dir):
     """Packing's groupBy keys are a superset of the window partition
     keys, so the aggregation must reuse the window's exchange: exactly
