@@ -529,8 +529,20 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
+    # The pair-count aggregate gets the same dead-partial treatment as
+    # the basket collapse: measured at sf0.1 the pair stream is 99.7%
+    # UNIQUE (1,196,000 distinct of 1,199,575 pair rows — parts scale
+    # with SF in TPC-H, so the C(parts,2) pair space outgrows the pair
+    # stream quadratically and map-side density stays ~1 at any scale).
+    # The partial hash aggregate would build ~1.2M-entry tables per map
+    # task and merge almost nothing; the exchange carries the same
+    # (part_a, part_b) bytes either way. r14 A/B (interleaved):
+    # 2.90-3.18 s (partial) vs 2.58-2.94 s (skip). A packed-long pair
+    # key measured within noise of this and is NOT scale-safe
+    # (l_partkey is int64 — keys exceed 2^32 at 100 TB), so rejected.
     return (
         basket_pairs(baskets)
+        .repartition("part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
