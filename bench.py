@@ -191,7 +191,12 @@ def _await_quiet_host(wait_s: int = LOAD_WAIT_S) -> float:
     deadline = time.time() + wait_s
     load = os.getloadavg()[0]
     while time.time() < deadline:
-        if load <= LOAD_GATE and _steal_pct() <= STEAL_GATE_PCT:
+        # sampled UNCONDITIONALLY each iteration (not short-circuited
+        # behind the loadavg check): every sample advances the
+        # /proc/stat baseline, so later windows stay short and the
+        # run-wide high-water doesn't miss a loadavg-failed interval
+        steal = _steal_pct()
+        if load <= LOAD_GATE and steal <= STEAL_GATE_PCT:
             break
         time.sleep(15)
         load = os.getloadavg()[0]
@@ -225,7 +230,24 @@ def _prior_timings(sf: str) -> dict[str, float]:
     return floor
 
 
+def _sample_env() -> dict[str, float]:
+    """Per-query environment annotation: 1-min loadavg plus the steal
+    percentage since the previous sampler call — i.e. over the query's
+    own reps, since the between-query quiet gate re-baselines the
+    sampler. Makes a single contaminated measurement attributable
+    without a full re-run (additive fields only)."""
+    return {
+        "load1": round(os.getloadavg()[0], 2),
+        "steal_pct": round(_steal_pct(), 1),
+    }
+
+
 def main() -> None:
+    # prime the /proc/stat baseline: the sampler's first-ever call has
+    # no prior reading and reports 0.0, which would let the initial
+    # quiet-gate check declare a heavily-stolen host quiet (ADVICE r13)
+    _steal_pct()
+    time.sleep(1)
     load_at_start = _await_quiet_host()
     spark = build_spark(app_name="nrt_bench")
     queries = all_queries()
@@ -247,19 +269,25 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    query_env: dict[str, dict[str, float]] = {}
     retried: list[str] = []
     load_max = load_at_start
     for name in HEADLINE:
         load_max = max(load_max, _await_quiet_host(LOAD_WAIT_BETWEEN_S))
         best = min(run_once(name) for _ in range(3))
+        env = _sample_env()
         ref = prior.get(name)
         if ref and best > PRIOR_RATIO * ref and best - ref > PRIOR_SLACK_S:
             # suspected mid-run contention window: wait for quiet, then
             # give the query three fresh shots; the min stands either way
             retried.append(name)
             load_max = max(load_max, _await_quiet_host())
-            best = min([best] + [run_once(name) for _ in range(3)])
+            retry_best = min(run_once(name) for _ in range(3))
+            retry_env = _sample_env()
+            if retry_best < best:
+                best, env = retry_best, retry_env
         timings[name] = round(best, 3)
+        query_env[name] = env
         load_max = max(load_max, os.getloadavg()[0])
 
     second_pass = False
@@ -272,8 +300,10 @@ def main() -> None:
             load_max = max(load_max, _await_quiet_host())
             for name in HEADLINE:
                 best = min(run_once(name) for _ in range(2))
+                env = _sample_env()
                 if best < timings[name]:
                     timings[name] = round(best, 3)
+                    query_env[name] = env
 
     # any min still tripping the gate gets ONE targeted quiet-host
     # retry before the regressions field is emitted (see
@@ -312,6 +342,9 @@ def main() -> None:
         "steal_max_pct": round(_steal_max, 1),
         "steal_gate_pct": STEAL_GATE_PCT,
         "regressions": regressions,
+        # per-query measurement-environment annotation (additive,
+        # r14): loadavg + steal over the reps that produced each min
+        "query_env": query_env,
     }
     if retried:
         out["contention_reruns"] = retried

@@ -225,7 +225,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-hash array materialized as a column BEFORE the 64-bit fold:
     # HOF lambda bodies re-evaluate per element, so an inlined
     # split+distinct+hash would re-tokenize and re-hash the document
-    # once per bit (64x per doc).
+    # once per bit (64x per doc). The fold is built as TWO 32-bit
+    # halves OR'd together so `__hs` is referenced twice: CollapseProject
+    # inlines a non-trivial alias referenced exactly ONCE back into the
+    # consuming projection (the r13 single-fold form was silently
+    # re-collapsed, resurrecting the 64x re-tokenization — ADVICE r13),
+    # but leaves multi-referenced aliases materialized. Pinned by
+    # tests/test_plans.py::test_simhash_token_hashes_not_inlined.
+    _half_fold = """
+            aggregate(
+              transform(sequence({lo}, {hi}),
+                b -> CASE WHEN aggregate(
+                       __hs,
+                       0L,
+                       (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1 ELSE -1 END
+                     ) > 0 THEN shiftleft(1L, b) ELSE 0L END),
+              0L, (acc, x) -> acc | x)
+    """
     sim = docs.select(
         "doc_id",
         F.expr(
@@ -234,16 +250,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(
-            """
-            aggregate(
-              transform(sequence(0, 63),
-                b -> CASE WHEN aggregate(
-                       __hs,
-                       0L,
-                       (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1 ELSE -1 END
-                     ) > 0 THEN shiftleft(1L, b) ELSE 0L END),
-              0L, (acc, x) -> acc | x)
-            """
+            f"{_half_fold.format(lo=0, hi=31)} | {_half_fold.format(lo=32, hi=63)}"
         ).alias("simhash"),
     )
     chunks = sim.persist(StorageLevel.MEMORY_AND_DISK).select(
@@ -489,7 +496,9 @@ FROM reach GROUP BY node
 # ---------------------------------------------------------------------------
 
 
-def build_dedup_index(docs: DataFrame) -> dict[str, DataFrame]:
+def build_dedup_index(
+    docs: DataFrame, sigs: DataFrame | None = None
+) -> dict[str, DataFrame]:
     """Build the persistent dedup index for a corpus: the three small
     tables a continuously-ingesting pipeline keeps INSTEAD of re-reading
     corpus text — exact content hashes, minhash signatures, and LSH band
@@ -507,14 +516,18 @@ def build_dedup_index(docs: DataFrame) -> dict[str, DataFrame]:
     # tables ("sigs" and the band explode below); without the persist a
     # same-session consumer like q_dedup_incremental recomputes the
     # corpus minhash twice. Pipelines that write the index to
-    # VersionedTables pay one materialization either way.
-    sigs = (
-        _tokenized(docs)
-        .select("doc_id", _shingle_hashes().alias("__sh"))
-        .withColumn("__hb", _mod_hashes("__sh"))
-        .select("doc_id", _minhash_sig("__hb").alias("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # VersionedTables pay one materialization either way. A caller that
+    # already holds the (doc_id, sig) table — e.g. q_dedup_incremental's
+    # shared corpus+batch signature pass — supplies it via ``sigs`` and
+    # owns its persistence.
+    if sigs is None:
+        sigs = (
+            _tokenized(docs)
+            .select("doc_id", _shingle_hashes().alias("__sh"))
+            .withColumn("__hb", _mod_hashes("__sh"))
+            .select("doc_id", _minhash_sig("__hb").alias("sig"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     bands = sigs.select(
         F.col("doc_id").alias("corpus_id"),
         F.explode(
@@ -529,11 +542,21 @@ def build_dedup_index(docs: DataFrame) -> dict[str, DataFrame]:
         "exact": exact,
         "sigs": sigs.select(F.col("doc_id").alias("corpus_id"), "sig"),
         "bands": bands,
+        # persisted-handle for long-lived callers: the streaming
+        # foreachBatch loop calls this up to twice per micro-batch and
+        # must unpersist after its appends, or persisted blocks
+        # accumulate unboundedly (ADVICE r13). Batch queries may ignore
+        # it — their session ends with the invocation.
+        "_sig_cache": sigs,
     }
 
 
 def incremental_dedup(
-    batch: DataFrame, index: dict[str, DataFrame], threshold: float = 0.5
+    batch: DataFrame,
+    index: dict[str, DataFrame],
+    threshold: float = 0.5,
+    caches: list[DataFrame] | None = None,
+    bsigs: DataFrame | None = None,
 ) -> DataFrame:
     """Classify each batch document against the corpus index:
     ``exact_dup`` (content hash already present), ``near_dup``
@@ -549,13 +572,19 @@ def incremental_dedup(
     Intra-batch duplicates are the existing ``q_dedup_*`` operators' job
     before this runs."""
     r = N_PERM // N_BANDS
-    bsigs = (
-        _tokenized(batch)
-        .select("doc_id", _shingle_hashes().alias("__sh"))
-        .withColumn("__hb", _mod_hashes("__sh"))
-        .select("doc_id", _minhash_sig("__hb").alias("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if bsigs is None:
+        bsigs = (
+            _tokenized(batch)
+            .select("doc_id", _shingle_hashes().alias("__sh"))
+            .withColumn("__hb", _mod_hashes("__sh"))
+            .select("doc_id", _minhash_sig("__hb").alias("sig"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if caches is not None:
+            # hand the persisted batch-signature frame to long-lived
+            # callers (streaming foreachBatch) for unpersisting after
+            # their appends
+            caches.append(bsigs)
     bbands = bsigs.select(
         "doc_id",
         F.explode(
@@ -633,10 +662,33 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; the rest are the already-ingested corpus. Classification is
     deterministic (fixed permutations, md5), so the rows-only check is
     stable across runs."""
-    docs = _fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # no fan_out (r14): the signature pass below is one pass over the
+    # scan feeding hash-partitioned joins — the A/B measured the
+    # round-robin payload shuffle 1.1-1.4x slower (1.30 s -> 0.94 s).
+    docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    return incremental_dedup(batch, build_dedup_index(corpus))
+    # ONE signature pass over the whole docs scan, persisted once, and
+    # filtered into the corpus/batch halves — the r13 form ran two
+    # separate tokenize→shingle→minhash pipelines (plus two persist
+    # materializations) over disjoint subsets of the same scan.
+    # Per-doc signature expressions are deterministic, so filtering
+    # before or after signing is equivalent (r14 A/B: 1.41-1.51 s →
+    # 1.15-1.25 s at sf0.1, rows identical). Same total signature work
+    # at any scale — just one pass and one cache instead of two.
+    all_sigs = (
+        _tokenized(docs)
+        .select("doc_id", _shingle_hashes().alias("__sh"))
+        .withColumn("__hb", _mod_hashes("__sh"))
+        .select("doc_id", _minhash_sig("__hb").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    index = build_dedup_index(
+        corpus, sigs=all_sigs.filter(F.col("doc_id") % 5 != 0)
+    )
+    return incremental_dedup(
+        batch, index, bsigs=all_sigs.filter(F.col("doc_id") % 5 == 0)
+    )
 
 
 # ---------------------------------------------------------------------------

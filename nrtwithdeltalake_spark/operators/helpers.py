@@ -21,16 +21,30 @@ from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Repartition a small single-file scan to the cluster's parallelism.
+    """Repartition a narrow scan UP to the cluster's parallelism — but
+    only when the scan itself yields fewer tasks than that.
 
-    The test tables are single-row-group parquet files, so their scans are
-    one task; per-row-heavy expressions (regex packs, shingle/minhash
-    arrays, vector math) would otherwise run on one core. One cheap
-    shuffle buys full parallelism. At 100 TB inputs span thousands of
-    files and scans parallelize naturally — there this is a no-op choice;
-    never fan out plain scan→agg plans (map-side partial aggregation on
+    The test tables are single-row-group parquet files, so their scans
+    are one task; per-row-heavy expressions (regex packs, shingle/
+    minhash arrays, vector math) would otherwise run on one core. One
+    cheap shuffle buys full parallelism. At 100 TB inputs span
+    thousands of splits and the scan already out-parallelizes the
+    cluster — there the repartition would COALESCE thousands of scan
+    tasks down to cluster parallelism and shuffle the full payload, so
+    the gate below skips it whenever the planned scan partition count
+    (actual splits after maxPartitionBytes/openCost packing, ~4 ms of
+    driver-side planning per call) already meets ``defaultParallelism``.
+    Never fan out plain scan→agg plans (map-side partial aggregation on
     the scan is strictly better)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        # non-file-backed or otherwise unplannable source: keep the
+        # historical unconditional fan-out
+        pass
+    return df.repartition(target)
 
 # Decimal shapes chosen so products stay exact within precision 38:
 # price(15,2) * rate(5,4) -> (20,6); * rate(5,4) again -> (25,10).

@@ -127,14 +127,20 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drove the one driver-confirmed regression, 0.827→1.137 s; the
     # pre-explode HOF filter form pays an interpreted lambda per token).
     # See _TOKENS above for the three-way A/B.
+    # no fan_out on either branch (r14): both feed partial-aggregatable
+    # explode→groupBy plans, and the interleaved A/B measured the
+    # round-robin payload shuffle costing 2.1x the parallelism it buys
+    # at sf0.1 (1.10 s -> 0.52 s without). At 100 TB the scan
+    # out-parallelizes the cluster and the gated fan_out is a no-op
+    # either way (helpers.fan_out).
     tf = (
-        fan_out(docs.filter(F.col("doc_id") % 20 == 0), spark)
+        docs.filter(F.col("doc_id") % 20 == 0)
         .select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = (
-        fan_out(docs, spark)
+        docs
         .select(F.explode(F.array_distinct(F.expr(_TOKENS))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))

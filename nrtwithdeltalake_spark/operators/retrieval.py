@@ -119,7 +119,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode) → broadcast DF + corpus stats → quantized score → exact
     integer sum per doc → TakeOrderedAndProject(10).
     """
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # no fan_out (r14): TF counts collapse per doc inside the scan
+    # projection and every aggregate below is partial-aggregatable; the
+    # A/B measured the payload shuffle 1.4-1.6x slower (0.95 s -> 0.66 s).
+    docs = load_table(spark, sf_dir, "documents")
     return (
         bm25_micro_scores(docs)
         .select(

@@ -185,7 +185,9 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence → transform → posexplode): chunk generation happens inside
     codegen on the executors, output rows ∝ total characters / stride,
     and the operator parallelizes with the scan — no Python in the path."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # no fan_out (r14): chunk generation is pipelined codegen over the
+    # scan; A/B measured the payload shuffle 1.2-1.6x slower.
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
             "doc_id",

@@ -110,7 +110,11 @@ def _band_keys(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.bkey")
 
 
-def intra_batch_dedup(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+def intra_batch_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
     """Drop exact and near duplicates WITHIN one micro-batch, keeping
     the lowest doc_id of each duplicate group.
 
@@ -133,6 +137,8 @@ def intra_batch_dedup(df: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select("doc_id", _minhash_sig("__hb").alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if caches is not None:
+        caches.append(sigs)
     bands = _band_keys(sigs)
     cand = (
         bands.alias("l")
@@ -201,12 +207,15 @@ def dedup_ingest_batch(
     paths = index_paths(index_root)
     mirror = bands_mirror_name(index_root)
     if not VersionedTable.exists(paths["exact"]):
-        novel = intra_batch_dedup(batch_df, threshold)
+        boot_caches: list[DataFrame] = []
+        novel = intra_batch_dedup(batch_df, threshold, caches=boot_caches)
         idx = build_dedup_index(novel)
         for k in _INDEX_PARTS:
             VersionedTable.create(spark, paths[k], idx[k])
         _mirror_write(idx["bands"], mirror, "overwrite")
         VersionedTable.create(spark, corpus_path, novel)
+        for c in boot_caches + [idx["_sig_cache"]]:
+            c.unpersist()
         return
     index = {k: VersionedTable(spark, p).read() for k, p in paths.items()}
     # auth_bands stays the versioned read (file list pinned at .read()
@@ -223,13 +232,21 @@ def dedup_ingest_batch(
         # Safe under recompute: bands only GENERATE candidates, which the
         # sig verify checks against the pinned versioned sigs frame.
         index["bands"] = spark.table(mirror)
-    classified = incremental_dedup(batch_df, index, threshold=threshold).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    novel = intra_batch_dedup(select_novel(batch_df, classified), threshold).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # every persisted frame this batch creates (directly or inside
+    # incremental_dedup / build_dedup_index) is unpersisted before
+    # returning — a foreachBatch loop that leaks per-batch caches
+    # accumulates blocks unboundedly (ADVICE r13)
+    caches: list[DataFrame] = []
+    classified = incremental_dedup(
+        batch_df, index, threshold=threshold, caches=caches
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    caches.append(classified)
+    novel = intra_batch_dedup(
+        select_novel(batch_df, classified), threshold, caches=caches
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    caches.append(novel)
     idx = build_dedup_index(novel)
+    caches.append(idx["_sig_cache"])
 
     # Crash recovery: a row whose exact match is ITSELF was indexed by an
     # interrupted earlier attempt of this same (replayed) batch — finish
@@ -245,14 +262,15 @@ def dedup_ingest_batch(
     )
     has_recov = bool(recov.take(1))
     if not has_recov and not novel.take(1):
-        classified.unpersist()
-        novel.unpersist()
+        for c in caches:
+            c.unpersist()
         return
     sigs_add = idx["sigs"]
     bands_add = idx["bands"]
     corpus_add = novel
     if has_recov:
         ridx = build_dedup_index(recov)
+        caches.append(ridx["_sig_cache"])
         sigs_add = sigs_add.unionByName(
             ridx["sigs"].join(index["sigs"], "corpus_id", "left_anti")
         )
@@ -285,8 +303,8 @@ def dedup_ingest_batch(
         _mirror_write(bands_add, mirror, "append")
     VersionedTable(spark, paths["bands"]).append(bands_add)
     VersionedTable(spark, corpus_path).append(corpus_add)
-    classified.unpersist()
-    novel.unpersist()
+    for c in caches:
+        c.unpersist()
 
 
 def run_dedup_ingest(

@@ -19,6 +19,11 @@ from nrtwithdeltalake_spark.pipeline.sqldml import (
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _mk(spark, tmp_path, name="t", n=100):
     df = spark.createDataFrame(
         [(i, f"s{i % 7}", float(i) if i % 10 else None) for i in range(n)],

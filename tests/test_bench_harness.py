@@ -113,3 +113,32 @@ def test_await_quiet_host_waits_out_steal(monkeypatch):
     load = bench._await_quiet_host(wait_s=600)
     assert sleeps == [15, 15]  # waited exactly until the calm sample
     assert load == 1.0
+
+
+def test_sample_env_reports_load_and_steal(monkeypatch):
+    """r14 additive annotation: each query's min carries the loadavg
+    and steal window that produced it, so one contaminated measurement
+    is attributable without a full re-run."""
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (2.345, 0.0, 0.0))
+    monkeypatch.setattr(bench, "_steal_pct", lambda: 7.25)
+    env = bench._sample_env()
+    assert env == {"load1": 2.35, "steal_pct": 7.2}
+
+
+def test_await_quiet_host_samples_steal_even_when_load_fails(monkeypatch):
+    """ADVICE r13: the old short-circuit `load <= GATE and _steal_pct()`
+    skipped steal sampling whenever loadavg alone failed, stretching
+    later steal windows. Every loop iteration must advance the
+    /proc/stat baseline."""
+    calls = []
+    loads = iter([99.0, 99.0, 1.0])
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (next(loads), 0.0, 0.0)
+    )
+    monkeypatch.setattr(
+        bench, "_steal_pct", lambda: calls.append(1) or 0.0
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench._await_quiet_host(wait_s=600)
+    # three iterations (two loaded, one quiet) -> three steal samples
+    assert len(calls) == 3

@@ -13,6 +13,8 @@ watermarks."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 import threading
@@ -41,6 +43,11 @@ _DOCS = [
     "more clean tokens for the gate to pass",
 ]
 
+
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 def _mk_sources(spark, source_root):
     VersionedTable.create(

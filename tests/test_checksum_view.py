@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nrtwithdeltalake_spark.pipeline.checksum_view import (
@@ -16,6 +18,11 @@ from nrtwithdeltalake_spark.pipeline.checksum_view import (
 )
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
+
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 def _mk(spark, tmp_path, rows):
     base = VersionedTable.create(

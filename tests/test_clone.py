@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _mk(spark, path, n=100, parts=4):
     return VersionedTable.create(
         spark,

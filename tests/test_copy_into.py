@@ -19,6 +19,11 @@ from nrtwithdeltalake_spark.pipeline.sqldml import (
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _land(dirpath, name, ids, extra_col=None):
     os.makedirs(dirpath, exist_ok=True)
     cols = {

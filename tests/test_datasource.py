@@ -10,6 +10,11 @@ from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 from nrtwithdeltalake_spark.sources import datasource as ds
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module", autouse=True)
 def _register(spark):
     ds.register(spark)

@@ -16,6 +16,11 @@ from nrtwithdeltalake_spark.pipeline.sqldml import execute_dml
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _mk(spark, tmp_path, name="t"):
     """One big file (v0 create, 4000 rows) + three small append files
     (20 rows each)."""

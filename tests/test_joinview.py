@@ -5,12 +5,19 @@ of the current snapshots — while touching only changed keys."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from nrtwithdeltalake_spark.pipeline.joinview import IncrementalJoinView
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
+
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 def _mk(spark, tmp_path, how):
     fact = VersionedTable.create(

@@ -9,6 +9,8 @@ every op kind; old full-list logs keep working untouched.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -18,6 +20,11 @@ from nrtwithdeltalake_spark.pipeline import logcodec
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 from nrtwithdeltalake_spark.sources import datasource as ds
 
+
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 def _raw(t, v):
     with open(t._commit_path(v)) as f:

@@ -8,6 +8,8 @@ DV debt. Snapshot-dependent ops are allowed to LOSE (CommitConflictError)
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import threading
 
@@ -24,6 +26,11 @@ BATCHES = 4
 ROWS = 25
 SEED_LO, SEED_N = 100_000, 60  # present from t0: delete targets
 
+
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 def test_maintenance_storm_purge_copy_append_delete(spark, tmp_path):
     path = str(tmp_path / "storm")

@@ -19,6 +19,11 @@ from nrtwithdeltalake_spark.pipeline.tables import (
 )
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _mk(spark, tmp_path, name="t"):
     return VersionedTable.create(
         spark,

@@ -19,6 +19,11 @@ from nrtwithdeltalake_spark.pipeline.sqldml import execute_dml
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _mk(spark, tmp_path, name="t", days=("d1", "d2", "d3"), rows=30):
     df = spark.createDataFrame(
         [(i, days[i % len(days)], float(i)) for i in range(rows)],

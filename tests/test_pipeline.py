@@ -33,6 +33,11 @@ TXN_SCHEMA = T.StructType(
 )
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _txn_df(spark, rows, ts):
     import datetime
 

@@ -6,11 +6,18 @@ logical schema. Clean files carry over by reference."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyarrow.parquet as pq
 
 from nrtwithdeltalake_spark.pipeline.sqldml import execute_dml
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
+
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 def _mk(spark, tmp_path, name="t", parts=4):
     df = spark.createDataFrame(

@@ -23,6 +23,11 @@ KEYS = ["cust_id"]
 TRACKED = ["segment", "country"]
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _batch(spark, rows):
     return spark.createDataFrame(rows, "cust_id long, segment string, country string")
 

@@ -17,6 +17,11 @@ from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 SCHEMA = "TransactionId bigint, name string, amount double, op string, seq int"
 
 
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _df(spark, rows):
     return spark.createDataFrame(rows, SCHEMA)
 

@@ -4,6 +4,8 @@ DataFrame API is the oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -12,6 +14,11 @@ from nrtwithdeltalake_spark.sources.catalog import load_table
 from nrtwithdeltalake_spark.streaming import nrt
 from nrtwithdeltalake_spark.pipeline.tables import VersionedTable
 
+
+
+# Slow tier (see pytest.ini): excluded from the default driver-budget
+# run; executes via `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 def _run_to_memory(spark, stream_df, name, output_mode="complete"):
     q = (
